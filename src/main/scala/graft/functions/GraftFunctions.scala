@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.functions._
+
+/** Column-level API over the engine's custom expressions, plus SQL
+  * registration so `spark.sql("... uint256_encode(c) ...")` works too.
+  */
+object GraftFunctions {
+
+  private def toCol(e: Expression): Column = GraftColumnBridge.column(e)
+  private def toExpr(c: Column): Expression = GraftColumnBridge.expression(c)
+
+  /** numeric/string/integral → 32-byte big-endian uint256 carrier. */
+  def uint256_encode(c: Column): Column = toCol(Uint256Encode(toExpr(c)))
+
+  /** carrier → Decimal(38,0) (throws if >38 digits). */
+  def uint256_to_decimal(c: Column): Column = toCol(Uint256ToDecimal(toExpr(c)))
+
+  /** carrier floor-divided by a positive long (downscale). */
+  def uint256_div(c: Column, divisor: Long): Column =
+    toCol(Uint256DivLong(toExpr(c), divisor))
+
+  /** carrier → 64-char uppercase hex (composes built-ins; stays codegen'd). */
+  def uint256_hex(c: Column): Column = hex(c)
+
+  def registerAll(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction(
+      "uint256_encode", exprs => Uint256Encode(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "uint256_to_decimal", exprs => Uint256ToDecimal(exprs.head), "built-in")
+  }
+}

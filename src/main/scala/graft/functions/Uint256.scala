@@ -1,0 +1,150 @@
+package graft.functions
+
+import java.math.BigInteger
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Lossless uint256 carrier: 32-byte big-endian binary.
+  *
+  * The reference converts every PG `numeric` column (which holds uint256
+  * on-chain values, up to 78 decimal digits — beyond Spark's
+  * DecimalType(38)) to `int(x).to_bytes(32, "big")`
+  * (subgraph_extractor/cli.py:139-141). Fixed-width big-endian bytes are
+  * sortable with Spark's native unsigned-lexicographic BinaryType
+  * ordering, so range predicates, sorts, and joins on the carrier need no
+  * custom comparators — only arithmetic needs these helpers.
+  *
+  * Static methods here are the codegen targets for the Catalyst
+  * expressions below (whole-stage codegen emits direct static calls — no
+  * interpreted fallback, no UDF serialization overhead on the hot path).
+  */
+object Uint256 {
+  val Width = 32
+  private val Max = BigInteger.ONE.shiftLeft(256).subtract(BigInteger.ONE)
+
+  def encode(v: BigInteger): Array[Byte] = {
+    if (v.signum() < 0)
+      throw new IllegalArgumentException(s"uint256 cannot encode negative value $v")
+    if (v.compareTo(Max) > 0)
+      throw new IllegalArgumentException(s"value exceeds uint256 range: $v")
+    val raw = v.toByteArray // may carry a leading 0x00 sign byte, may be short
+    val out = new Array[Byte](Width)
+    val src = if (raw.length > Width) raw.length - Width else 0
+    val len = raw.length - src
+    System.arraycopy(raw, src, out, Width - len, len)
+    out
+  }
+
+  def encodeLong(v: Long): Array[Byte] = encode(BigInteger.valueOf(v))
+
+  def encodeDecimal(d: Decimal): Array[Byte] =
+    encode(d.toJavaBigDecimal.toBigIntegerExact)
+
+  def encodeString(s: UTF8String): Array[Byte] =
+    encode(new BigInteger(s.toString.trim))
+
+  def decode(b: Array[Byte]): BigInteger = new BigInteger(1, b)
+
+  /** Narrow to Decimal(38,0); throws if the value needs > 38 digits. */
+  def decodeDecimal(b: Array[Byte]): Decimal = {
+    val bi = decode(b)
+    if (bi.toString.length > 38)
+      throw new ArithmeticException(s"uint256 value does not fit Decimal(38,0): $bi")
+    Decimal(new java.math.BigDecimal(bi), 38, 0)
+  }
+
+  /** Integer floor division on the carrier (reference downscale semantics,
+    * cli.py:115-119 — documented-lossy wei→gwei style rescaling).
+    */
+  def divideLong(b: Array[Byte], divisor: Long): Array[Byte] =
+    encode(decode(b).divide(BigInteger.valueOf(divisor)))
+
+  def divide(b: Array[Byte], divisor: Array[Byte]): Array[Byte] =
+    encode(decode(b).divide(decode(divisor)))
+}
+
+/** numeric (decimal / string / integral) → 32-byte big-endian binary. */
+case class Uint256Encode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "uint256_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: DecimalType | StringType | LongType | IntegerType | ShortType | ByteType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"uint256_encode needs decimal/string/integral input, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any = child.dataType match {
+    case _: DecimalType => Uint256.encodeDecimal(v.asInstanceOf[Decimal])
+    case StringType     => Uint256.encodeString(v.asInstanceOf[UTF8String])
+    case LongType       => Uint256.encodeLong(v.asInstanceOf[Long])
+    case IntegerType    => Uint256.encodeLong(v.asInstanceOf[Int].toLong)
+    case ShortType      => Uint256.encodeLong(v.asInstanceOf[Short].toLong)
+    case ByteType       => Uint256.encodeLong(v.asInstanceOf[Byte].toLong)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = Uint256.getClass.getName.stripSuffix("$") // graft.functions.Uint256
+    val call = child.dataType match {
+      case _: DecimalType => (c: String) => s"$helper.encodeDecimal($c)"
+      case StringType     => (c: String) => s"$helper.encodeString($c)"
+      case _              => (c: String) => s"$helper.encodeLong((long)$c)"
+    }
+    defineCodeGen(ctx, ev, call)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Uint256Encode =
+    copy(child = newChild)
+}
+
+/** 32-byte binary → Decimal(38,0) (throws when the value needs >38 digits). */
+case class Uint256ToDecimal(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DecimalType(38, 0)
+  override def prettyName: String = "uint256_to_decimal"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other      => TypeCheckResult.TypeCheckFailure(s"expected binary, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    Uint256.decodeDecimal(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = Uint256.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, c => s"$helper.decodeDecimal($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Uint256ToDecimal =
+    copy(child = newChild)
+}
+
+/** Floor-divide the carrier by a positive long divisor (downscale). */
+case class Uint256DivLong(child: Expression, divisor: Long) extends UnaryExpression {
+  require(divisor > 0, s"divisor must be positive: $divisor")
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "uint256_div"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other      => TypeCheckResult.TypeCheckFailure(s"expected binary, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    Uint256.divideLong(v.asInstanceOf[Array[Byte]], divisor)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = Uint256.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, c => s"$helper.divideLong($c, ${divisor}L)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Uint256DivLong =
+    copy(child = newChild)
+}
