@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place to build the engine's SparkSession so Verify, Bench, and
+  * tests agree on semantics-critical settings.
+  */
+object Sessions {
+
+  /** Threads/shuffle-partitions come from SPARK_GRAFT_CPUS (driver sets
+    * it; local default 4). At cluster scale shuffle partitions would be
+    * sized to data volume instead — AQE coalescing makes the static
+    * number a ceiling, not a target.
+    */
+  def local(appName: String = "graft"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+      // rejects; read as epoch-nano Long and convert explicitly
+      // (graft.sources.Tables.events).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,258 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.GraftFunctions
+import graft.sources.Tables
+import graft.sources.Tables.dec2
+
+/** Reference-parity operators (SURVEY.md §2) expressed over the driver's
+  * parquet tables, one driver-checkable query per operator family.
+  *
+  * The reference's entity tables don't exist in the testdata, so `events`
+  * stands in for a block-versioned entity table (`event_id` ≈
+  * `lower(block_range)`), and the TPC-H-ish tables back the catalog and
+  * expression operators — see FIXTURES.md §5.
+  *
+  * Determinism rules shared with the DuckDB oracles (the driver
+  * hash-compares values):
+  *  - money doubles are cast to DECIMAL(18,2) before any arithmetic
+  *  - aggregates are emitted as DECIMAL(38,x) or BIGINT, never double
+  *  - timestamps are emitted as formatted strings (micros truncation)
+  *  - every query ends in a total ORDER BY
+  */
+object ParityQueries {
+
+  /** S1+P1-P3+O1 (cli.py:24-53): entity-range scan — half-open block
+    * window, surrogate/range columns dropped, deterministic order. The
+    * range predicate pushes down to the parquet scan.
+    */
+  def s1RangeScan(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .where(col("event_id") >= 200L && col("event_id") < 800L)
+      .withColumn("_block_number", col("event_id"))
+      .drop("props", "event_id") // ≈ drop vid, block_range
+      .select(
+        col("_block_number"),
+        col("user_id"),
+        col("event_type"),
+        dec2(col("value")).as("value_dec"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"))
+      .orderBy("_block_number")
+
+  val s1RangeScanSql: String =
+    """SELECT event_id AS _block_number, user_id, event_type,
+      |  CAST(value AS DECIMAL(18,2)) AS value_dec,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s
+      |FROM events WHERE event_id >= 200 AND event_id < 800
+      |ORDER BY _block_number""".stripMargin
+
+  /** S3+J1-J3+P4 (cli.py:72-92): catalog discovery — chained LEFT
+    * equi-joins over small dimension tables with a predicate on the
+    * joined result. `nation`/`region` are broadcast (catalog tables are
+    * tiny at any scale; no shuffle of the fact side).
+    */
+  def s3CatalogJoin(spark: SparkSession, d: String): DataFrame =
+    Tables.customer(spark, d)
+      .join(broadcast(Tables.nation(spark, d)),
+        col("c_nationkey") === col("n_nationkey"), "left")
+      .join(broadcast(Tables.region(spark, d)),
+        col("n_regionkey") === col("r_regionkey"), "left")
+      .where(col("c_acctbal") > 0 && col("n_name").isNotNull)
+      .select(
+        col("c_custkey"),
+        col("c_name"),
+        col("n_name"),
+        col("r_name"),
+        dec2(col("c_acctbal")).as("acctbal_dec"))
+      .orderBy("c_custkey")
+
+  val s3CatalogJoinSql: String =
+    """SELECT c_custkey, c_name, n_name, r_name,
+      |  CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal_dec
+      |FROM customer
+      |LEFT JOIN nation ON c_nationkey = n_nationkey
+      |LEFT JOIN region ON n_regionkey = r_regionkey
+      |WHERE c_acctbal > 0 AND n_name IS NOT NULL
+      |ORDER BY c_custkey""".stripMargin
+
+  /** S4+A1+O2+P5 (cli.py:366-380): distinct listing with a filter. */
+  def s4DistinctListing(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .where(col("event_type").isNotNull)
+      .select("event_type")
+      .distinct()
+      .orderBy("event_type")
+
+  val s4DistinctListingSql: String =
+    """SELECT DISTINCT event_type FROM events
+      |WHERE event_type IS NOT NULL ORDER BY event_type""".stripMargin
+
+  /** S5+O3 (cli.py:429-434): deterministic top-N preview. */
+  def s5Preview(spark: SparkSession, d: String): DataFrame =
+    Tables.part(spark, d)
+      .select(
+        col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
+        col("p_size"), dec2(col("p_retailprice")).as("retail_dec"))
+      .orderBy("p_partkey")
+      .limit(10)
+
+  val s5PreviewSql: String =
+    """SELECT p_partkey, p_name, p_brand, p_type, p_size,
+      |  CAST(p_retailprice AS DECIMAL(18,2)) AS retail_dec
+      |FROM part ORDER BY p_partkey LIMIT 10""".stripMargin
+
+  /** E1 (cli.py:115-119): documented-lossy downscale — integer floor
+    * division on exact scaled integers (cents), wei→gwei style.
+    */
+  def e1Downscale(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (dec2(col("l_extendedprice")) * 100).cast(LongType).as("price_cents"))
+      .withColumn("price_kilocents", expr("price_cents div 1000"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val e1DownscaleSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 1000 AS price_kilocents
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** E2+E3 (cli.py:120-130): clamp-with-default plus boolean validity
+    * companion column — `v <= max ? v : default`, `valid = v <= max`.
+    */
+  def e2ClampValidity(spark: SparkSession, d: String): DataFrame = {
+    val qty = col("l_quantity").cast(LongType)
+    Tables.lineitem(spark, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(qty <= 30L, qty).otherwise(0L).as("qty_clamped"),
+        (qty <= 30L).as("qty_valid"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val e2ClampValiditySql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  CASE WHEN CAST(l_quantity AS BIGINT) <= 30 THEN CAST(l_quantity AS BIGINT) ELSE 0 END AS qty_clamped,
+      |  CAST(l_quantity AS BIGINT) <= 30 AS qty_valid
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** E5+E1-on-carrier (cli.py:139-141): uint256 32-byte big-endian
+    * carrier — encode, floor-divide on the carrier, and round-trip back
+    * to decimal. Emitted as 64-char hex so the oracle can reproduce it
+    * (`hex()` on binary is codegen'd and stays in whole-stage codegen).
+    */
+  def e5Uint256(spark: SparkSession, d: String): DataFrame = {
+    val cents = (dec2(col("l_extendedprice")) * 100).cast(DecimalType(18, 0))
+    Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_linenumber"), cents.as("cents"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        hex(GraftFunctions.uint256_encode(col("cents"))).as("cents_u256_hex"),
+        hex(GraftFunctions.uint256_div(
+          GraftFunctions.uint256_encode(col("cents")), 1000L)).as("kilocents_u256_hex"),
+        GraftFunctions.uint256_to_decimal(
+          GraftFunctions.uint256_encode(col("cents"))).as("cents_roundtrip"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val e5Uint256Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  lpad(to_hex(cents), 64, '0') AS cents_u256_hex,
+      |  lpad(to_hex(cents // 1000), 64, '0') AS kilocents_u256_hex,
+      |  CAST(cents AS DECIMAL(38,0)) AS cents_roundtrip
+      |FROM (SELECT l_orderkey, l_linenumber,
+      |        CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |      FROM lineitem)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** O1+P2+P6 (cli.py:44, 144): computed projection + column drop +
+    * multi-key deterministic sort.
+    */
+  def o1SortedProjection(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        dec2(col("o_totalprice")).as("total_dec"),
+        substring(col("o_orderpriority"), 1, 1).cast(IntegerType).as("priority_code"))
+      .orderBy(col("total_dec").desc, col("o_orderkey"))
+
+  val o1SortedProjectionSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CAST(o_totalprice AS DECIMAL(18,2)) AS total_dec,
+      |  CAST(substr(o_orderpriority, 1, 1) AS INT) AS priority_code
+      |FROM orders ORDER BY total_dec DESC, o_orderkey""".stripMargin
+
+  /** Flagship aggregation (TPC-H Q1 shape): hash aggregate with partial
+    * (map-side) combine on exact scaled integers; averages as integer
+    * floor divisions so the result is engine-independent. One shuffle on
+    * the two grouping keys.
+    */
+  def q1Agg(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+    val qtyC = (dec2(col("l_quantity")) * 100).cast(LongType)
+    val priceC = (dec2(col("l_extendedprice")) * 100).cast(LongType)
+    val discPct = (dec2(col("l_discount")) * 100).cast(LongType)
+    val taxPct = (dec2(col("l_tax")) * 100).cast(LongType)
+    li.select(
+        col("l_returnflag"), col("l_linestatus"),
+        qtyC.as("qty_c"), priceC.as("price_c"),
+        (priceC * (lit(100L) - discPct)).as("disc_price_e4"),
+        (priceC * (lit(100L) - discPct) * (lit(100L) + taxPct))
+          .cast(DecimalType(38, 0)).as("charge_e6"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("qty_c").cast(DecimalType(38, 0)).as("sum_qty_cents"),
+        sum("price_c").cast(DecimalType(38, 0)).as("sum_price_cents"),
+        sum("disc_price_e4").cast(DecimalType(38, 0)).as("sum_disc_price_e4"),
+        sum("charge_e6").cast(DecimalType(38, 0)).as("sum_charge_e6"),
+        count(lit(1)).as("count_order"),
+        expr("sum(qty_c) div count(1)").as("avg_qty_cents"),
+        expr("sum(price_c) div count(1)").as("avg_price_cents"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q1AggSql: String =
+    """WITH t AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_c,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,
+      |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS disc_pct,
+      |    CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT) AS tax_pct
+      |  FROM lineitem)
+      |SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(qty_c) AS DECIMAL(38,0)) AS sum_qty_cents,
+      |  CAST(sum(price_c) AS DECIMAL(38,0)) AS sum_price_cents,
+      |  CAST(sum(price_c * (100 - disc_pct)) AS DECIMAL(38,0)) AS sum_disc_price_e4,
+      |  CAST(sum(price_c * (100 - disc_pct) * (100 + tax_pct)) AS DECIMAL(38,0)) AS sum_charge_e6,
+      |  count(*) AS count_order,
+      |  CAST(sum(qty_c) AS BIGINT) // count(*) AS avg_qty_cents,
+      |  CAST(sum(price_c) AS BIGINT) // count(*) AS avg_price_cents
+      |FROM t GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_s1_range_scan" -> (s1RangeScan _),
+    "q_s3_catalog_join" -> (s3CatalogJoin _),
+    "q_s4_distinct_listing" -> (s4DistinctListing _),
+    "q_s5_preview" -> (s5Preview _),
+    "q_e1_downscale" -> (e1Downscale _),
+    "q_e2_clamp_validity" -> (e2ClampValidity _),
+    "q_e5_uint256" -> (e5Uint256 _),
+    "q_o1_sorted_projection" -> (o1SortedProjection _),
+    "q1_agg" -> (q1Agg _))
+
+  val oracles: Map[String, String] = Map(
+    "q_s1_range_scan" -> s1RangeScanSql,
+    "q_s3_catalog_join" -> s3CatalogJoinSql,
+    "q_s4_distinct_listing" -> s4DistinctListingSql,
+    "q_s5_preview" -> s5PreviewSql,
+    "q_e1_downscale" -> e1DownscaleSql,
+    "q_e2_clamp_validity" -> e2ClampValiditySql,
+    "q_e5_uint256" -> e5Uint256Sql,
+    "q_o1_sorted_projection" -> o1SortedProjectionSql,
+    "q1_agg" -> q1AggSql)
+}
