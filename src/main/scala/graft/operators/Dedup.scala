@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Deduplication operators over `documents` — the core of any
+  * training-data pipeline.
+  *
+  * Scale design (the interesting part at 100 TB):
+  *  - exact dedup: one hash-groupBy — a single shuffle on a 64-hex key,
+  *    map-side partial aggregation keeps it near scan-bound
+  *  - MinHash+LSH: signatures are computed map-side (higher-order array
+  *    functions, no explode of shingles); only (doc_id, band) pairs — a
+  *    few short rows per document, NOT the shingle set — are shuffled.
+  *    Candidate generation is an equi-join on (band_id, band_value), so
+  *    Catalyst plans a shuffled hash join keyed by the band value; AQE
+  *    handles hot buckets (boilerplate/empty docs) via skew-join split.
+  *  - SimHash: entirely map-side, one 16-bit signature per doc; dup
+  *    groups fall out of a window count over the signature.
+  *  - n-gram Jaccard verification runs only on LSH candidate pairs
+  *    (the classic candidate→verify funnel), never all-pairs.
+  *
+  * Hash parity with DuckDB: H16(s) = substr(sha256(s),1,16); minhash_j =
+  * lexicographic MIN of H16(j ++ ':' ++ shingle) — fixed-width lowercase
+  * hex makes lexicographic MIN equal numeric MIN in both engines.
+  */
+object Dedup {
+
+  import TextAnalysis.{tokensSpark, tokensDuck, shinglesSpark, shinglesDuck}
+
+  private val NumHashes = 16
+  private val NumBands = 4 // 4 rows per band
+
+  /** (doc_id, sig: array<string>[16]) — one row per doc with shingles. */
+  private def signatures(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .withColumn("toks", expr(tokensSpark))
+      .withColumn("shingles", expr(shinglesSpark))
+      .where(size(col("shingles")) > 0)
+      .select(
+        col("doc_id"),
+        expr(
+          s"""transform(sequence(0, ${NumHashes - 1}), j ->
+             |  array_min(transform(shingles, s2 ->
+             |    substring(sha2(concat(cast(j as string), ':', s2), 256), 1, 16))))"""
+            .stripMargin.replace("\n", " ")).as("sig"))
+
+  private val signaturesDuckCte: String =
+    s"""t AS (SELECT doc_id, $tokensDuck AS toks FROM documents),
+       |sh AS (SELECT doc_id, $shinglesDuck AS shingles FROM t),
+       |g AS (SELECT doc_id,
+       |        list_transform(range(0, $NumHashes), j ->
+       |          list_aggregate(list_transform(shingles, s2 ->
+       |            substr(sha256(CAST(j AS VARCHAR) || ':' || s2), 1, 16)), 'min')) AS sig
+       |      FROM sh WHERE len(shingles) > 0)""".stripMargin
+
+  /** (doc_id, band_id, band_val) — NumBands short rows per doc. */
+  private def bands(sigs: DataFrame): DataFrame =
+    sigs.select(
+      col("doc_id"),
+      posexplode(expr(
+        s"""transform(sequence(0, ${NumBands - 1}), b ->
+           |  concat(sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3]))"""
+          .stripMargin.replace("\n", " "))).as(Seq("band_id", "band_val")))
+
+  private val bandsDuckCte: String =
+    s"""bands AS (SELECT doc_id, b AS band_id,
+       |            sig[4*b+1] || sig[4*b+2] || sig[4*b+3] || sig[4*b+4] AS band_val
+       |          FROM g, generate_series(0, ${NumBands - 1}) bs(b))""".stripMargin
+
+  /** Distinct candidate pairs (doc_a < doc_b) sharing any LSH band. */
+  private def candidatePairs(spark: SparkSession, d: String): DataFrame = {
+    val sigs = signatures(spark, d)
+    val b = bands(sigs)
+    b.as("a").join(b.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  private val candidatePairsDuckCte: String =
+    """pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |          FROM bands a JOIN bands b
+      |            ON a.band_id = b.band_id AND a.band_val = b.band_val
+      |           AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Exact dedup: hash-group on normalized content (token-joined, so
+    * whitespace/punctuation differences collapse); keep the smallest
+    * doc_id as the canonical representative.
+    */
+  def dedupExact(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"),
+        sha2(expr(s"concat_ws(' ', $tokensSpark)"), 256).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keeper_doc_id")
+
+  val dedupExactSql: String =
+    s"""SELECT sha256(array_to_string($tokensDuck, ' ')) AS content_hash,
+       |  min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+       |FROM documents
+       |GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin
+
+  /** MinHash + LSH banding: candidate near-dup pairs with the estimated
+    * Jaccard (fraction of agreeing minhashes, scaled 1e4).
+    */
+  def dedupMinhashLsh(spark: SparkSession, d: String): DataFrame = {
+    val sigs = signatures(spark, d)
+    candidatePairs(spark, d)
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"),
+        expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) * 10000L div $NumHashes")
+          .as("est_jaccard_e4"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupMinhashLshSql: String =
+    s"""WITH $signaturesDuckCte,
+       |$bandsDuckCte,
+       |$candidatePairsDuckCte
+       |SELECT doc_a, doc_b,
+       |  CAST(len(list_filter(range(0, $NumHashes), j -> ga.sig[j+1] = gb.sig[j+1])) * 10000 AS BIGINT) // $NumHashes AS est_jaccard_e4
+       |FROM pairs JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** SimHash (16-bit here; 64-bit in production is the same shape):
+    * per-token 16-bit hashes vote per bit position; the signature is the
+    * sign vector packed into an integer. Near-dups share the signature.
+    */
+  def dedupSimhash(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val df = Tables.documents(spark, d)
+      .withColumn("toks", expr(tokensSpark))
+      .where(size(col("toks")) > 0)
+      .withColumn("vs",
+        expr("transform(toks, t -> cast(conv(substring(sha2(t, 256), 1, 4), 16, 10) as long))"))
+      .select(
+        col("doc_id"),
+        expr(
+          """aggregate(sequence(0, 15), 0L, (acc, b) ->
+            |  acc + CASE WHEN aggregate(vs, 0L, (a2, v) ->
+            |                a2 + CASE WHEN shiftright(v, b) % 2 = 1 THEN 1 ELSE -1 END) >= 0
+            |        THEN shiftleft(1L, b) ELSE 0L END)"""
+            .stripMargin.replace("\n", " ")).as("simhash"))
+    df.withColumn("n_same_simhash",
+        count(lit(1)).over(Window.partitionBy("simhash")))
+      .orderBy("doc_id")
+  }
+
+  val dedupSimhashSql: String =
+    s"""WITH t AS (SELECT doc_id, $tokensDuck AS toks FROM documents),
+       |v AS (SELECT doc_id,
+       |        list_transform(toks, tk -> ('0x' || substr(sha256(tk), 1, 4))::BIGINT) AS vs
+       |      FROM t WHERE len(toks) > 0),
+       |s AS (SELECT doc_id,
+       |        CAST(list_sum(list_transform(range(0, 16), b ->
+       |          CASE WHEN list_sum(list_transform(vs, x ->
+       |                 CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+       |          THEN 1 << b ELSE 0 END)) AS BIGINT) AS simhash
+       |      FROM v)
+       |SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash) AS n_same_simhash
+       |FROM s ORDER BY doc_id""".stripMargin
+
+  /** Exact n-gram Jaccard, verified only on the LSH candidate pairs —
+    * the candidate→verify funnel that makes near-dedup tractable at
+    * scale (all-pairs Jaccard is quadratic; LSH candidates are ~linear).
+    */
+  def dedupNgramJaccard(spark: SparkSession, d: String): DataFrame = {
+    val sets = Tables.documents(spark, d)
+      .withColumn("toks", expr(tokensSpark))
+      .withColumn("shingles", expr(shinglesSpark))
+      .where(size(col("shingles")) > 0)
+      .select(col("doc_id"), array_distinct(col("shingles")).as("sset"))
+    candidatePairs(spark, d)
+      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b")), "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"),
+        expr("size(array_intersect(set_a, set_b)) * 10000L div size(array_union(set_a, set_b))")
+          .as("jaccard_e4"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupNgramJaccardSql: String =
+    s"""WITH $signaturesDuckCte,
+       |$bandsDuckCte,
+       |$candidatePairsDuckCte,
+       |sets AS (SELECT doc_id, list_distinct(shingles) AS sset
+       |         FROM sh WHERE len(shingles) > 0)
+       |SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(sa.sset, sb.sset)) * 10000 AS BIGINT)
+       |    // len(list_distinct(list_concat(sa.sset, sb.sset))) AS jaccard_e4
+       |FROM pairs JOIN sets sa ON sa.doc_id = doc_a JOIN sets sb ON sb.doc_id = doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (dedupExact _),
+    "q_dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "q_dedup_simhash" -> (dedupSimhash _),
+    "q_dedup_ngram_jaccard" -> (dedupNgramJaccard _))
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" -> dedupExactSql,
+    "q_dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "q_dedup_simhash" -> dedupSimhashSql,
+    "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql)
+}

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Scale design:
+  *  - brute-force top-k: the query set is tiny and BROADCAST, so the
+  *    corpus is scanned once with no shuffle of the big side; per-row
+  *    work is a fused dot-product projection, then a per-query top-k.
+  *    This is the exact-baseline path (and how you'd score a sample).
+  *  - LSH top-k / near-dup: random-hyperplane signs (here: coordinate
+  *    hyperplanes on 8 fixed dims — deterministic and oracle-friendly)
+  *    bucket the corpus; candidates only join within a bucket. The
+  *    equi-join on the bucket key shuffles each side once, and bucket
+  *    counts are ~n/256, so pair work is ~n²/256 instead of n² — the
+  *    scale path. AQE's skew-join split covers unbalanced buckets.
+  *
+  * Float parity with DuckDB: all math is double-precision with a fixed
+  * fold order (Spark `aggregate` is a left fold; DuckDB
+  * `list_dot_product` on DOUBLE[] matches — verified empirically), and
+  * scores are emitted as floor(cos * 1e6) BIGINT, so results hash-match
+  * bit-for-bit.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float-array columns in double
+    * precision (matches DuckDB's list_dot_product on DOUBLE[]).
+    */
+  private def dotExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)"
+
+  /** cos(a,b) = dot/(sqrt(na*nb)) — same association on both engines. */
+  private def cosE6(a: String, b: String): Column =
+    expr(s"cast(floor(${dotExpr(a, b)} / sqrt(${dotExpr(a, a)} * ${dotExpr(b, b)}) * 1000000) as bigint)")
+
+  private def cosE6Duck(a: String, b: String): String =
+    s"""CAST(floor(list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))
+       |  / sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))
+       |       * list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[]))) * 1000000) AS BIGINT)"""
+      .stripMargin.replace("\n", " ")
+
+  /** 8-bit sign-LSH bucket from 8 fixed coordinates (0,8,...,56). */
+  private val bucketSpark =
+    """aggregate(sequence(0, 7), 0, (acc, k) ->
+      |  acc + CASE WHEN element_at(embedding, 8*k+1) >= cast(0 as float)
+      |        THEN shiftleft(1, k) ELSE 0 END)"""
+      .stripMargin.replace("\n", " ")
+
+  private val bucketDuck =
+    """CAST(list_sum(list_transform(range(0, 8), k ->
+      |  CASE WHEN embedding[8*k+1] >= 0 THEN 1 << k ELSE 0 END)) AS INT)"""
+      .stripMargin.replace("\n", " ")
+
+  private val K = 5
+  private val NumQueries = 5 // vec_id < 5 are the query vectors
+
+  /** Exact top-k cosine neighbors for the query set, brute force over
+    * the corpus with the query side broadcast.
+    */
+  def simTopkBrute(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    val queries = emb.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val ranked = emb.select(col("vec_id"), col("embedding"))
+      .join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosE6("q_emb", "embedding").as("cos_e6"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos_e6").desc, col("vec_id"))))
+      .where(col("rank") <= K)
+    ranked.orderBy("q_id", "rank")
+  }
+
+  val simTopkBruteSql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $NumQueries),
+       |c AS (SELECT q_id, vec_id, ${cosE6Duck("q_emb", "embedding")} AS cos_e6
+       |      FROM embeddings, q WHERE vec_id <> q_id),
+       |r AS (SELECT q_id, vec_id, cos_e6,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cos_e6 DESC, vec_id) AS rank
+       |      FROM c)
+       |SELECT q_id, vec_id, cos_e6, rank FROM r WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** LSH-bucketed top-k: same queries, but candidates limited to the
+    * query's sign bucket — the approximate, corpus-scale path.
+    */
+  def simTopkLsh(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+      .withColumn("bucket", expr(bucketSpark))
+    val queries = emb.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("bucket").as("q_bucket"))
+    emb.select(col("vec_id"), col("embedding"), col("bucket"))
+      .join(broadcast(queries),
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosE6("q_emb", "embedding").as("cos_e6"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos_e6").desc, col("vec_id"))))
+      .where(col("rank") <= K)
+      .orderBy("q_id", "rank")
+  }
+
+  val simTopkLshSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding, $bucketDuck AS bucket FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket FROM e WHERE vec_id < $NumQueries),
+       |c AS (SELECT q_id, e.vec_id, ${cosE6Duck("q_emb", "e.embedding")} AS cos_e6
+       |      FROM e, q WHERE e.bucket = q.q_bucket AND e.vec_id <> q.q_id),
+       |r AS (SELECT q_id, vec_id, cos_e6,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cos_e6 DESC, vec_id) AS rank
+       |      FROM c)
+       |SELECT q_id, vec_id, cos_e6, rank FROM r WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** Embedding near-duplicate pairs: sign-LSH buckets, then exact cosine
+    * within a bucket, thresholded. At corpus scale this is the standard
+    * semantic-dedup funnel (bucket → verify), with one shuffle on the
+    * bucket key.
+    */
+  def dedupEmbedding(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+      .withColumn("bucket", expr(bucketSpark))
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+    emb.as("a").join(emb.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosE6("a.embedding", "b.embedding").as("cos_e6"))
+      .where(col("cos_e6") >= 300000L)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val dedupEmbeddingSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding, $bucketDuck AS bucket FROM embeddings)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ${cosE6Duck("a.embedding", "b.embedding")} AS cos_e6
+       |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE ${cosE6Duck("a.embedding", "b.embedding")} >= 300000
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_topk_brute" -> (simTopkBrute _),
+    "q_sim_topk_lsh" -> (simTopkLsh _),
+    "q_dedup_embedding" -> (dedupEmbedding _))
+
+  val oracles: Map[String, String] = Map(
+    "q_sim_topk_brute" -> simTopkBruteSql,
+    "q_sim_topk_lsh" -> simTopkLshSql,
+    "q_dedup_embedding" -> dedupEmbeddingSql)
+}

@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token counting, quality scoring, language-ID
+  * heuristic, and document fingerprinting.
+  *
+  * Everything is a single map-side projection (higher-order array
+  * functions, no explode/shuffle), so at 100 TB these run at scan speed
+  * and parallelize per parquet split. All numeric outputs are exact
+  * integer math (scaled by 1e2/1e4) so the DuckDB oracles hash-match.
+  *
+  * Shared primitives (identical on the DuckDB side):
+  *  - tokens:   regexp_extract_all(lower(text), '[a-z0-9]+')
+  *  - H16(s):   first 16 hex chars of sha256(s) — fixed-width lowercase
+  *              hex, so lexicographic MIN == numeric MIN and both engines
+  *              agree without any hex→int conversion
+  *  - shingles: word 3-grams joined with single spaces
+  */
+object TextAnalysis {
+
+  /** Spark-side tokens expression (expects a `text` column in scope). */
+  val tokensSpark = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+
+  /** DuckDB-side tokens expression. */
+  val tokensDuck = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+  /** Word 3-gram shingles over a `toks` column. Spark array subscripts
+    * are 0-based; guard short docs explicitly — Spark's sequence(1, 0)
+    * would DESCEND and fabricate bogus shingles.
+    */
+  val shinglesSpark: String =
+    """CASE WHEN size(toks) < 3 THEN array()
+      |     ELSE transform(sequence(1, size(toks) - 2),
+      |                    i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))
+      |END""".stripMargin.replace("\n", " ")
+
+  /** DuckDB lists are 1-indexed; range(a, b) is empty when b <= a. */
+  val shinglesDuck: String =
+    ("list_transform(range(1, greatest(len(toks) - 2, 0) + 1), " +
+      "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")
+
+  /** Token counting: whitespace-ish word tokens and a BPE-ish regex that
+    * also counts punctuation/symbol singletons.
+    */
+  def textTokens(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .withColumn("toks", expr(tokensSpark))
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        size(col("toks")).cast(LongType).as("n_word_tokens"),
+        expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0))")
+          .cast(LongType).as("n_bpeish_tokens"),
+        expr("aggregate(transform(toks, t -> length(t)), 0L, (a, x) -> a + x)")
+          .as("sum_token_chars"))
+      .orderBy("doc_id")
+
+  val textTokensSql: String =
+    s"""SELECT doc_id, n_chars,
+       |  CAST(len($tokensDuck) AS BIGINT) AS n_word_tokens,
+       |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpeish_tokens,
+       |  CAST(list_sum(list_transform($tokensDuck, t -> length(t))) AS BIGINT) AS sum_token_chars
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val Stopwords = Seq("the", "a", "of", "and", "is", "to", "in")
+  private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+
+  /** Quality scoring: length, mean token length, stopword ratio,
+    * type-token ratio — the standard cheap features for corpus
+    * filtering. Ratios are scaled integers (1e4) via floor division.
+    */
+  def textQuality(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .withColumn("toks", expr(tokensSpark))
+      .withColumn("n_toks", size(col("toks")).cast(LongType))
+      .where(col("n_toks") > 0)
+      .select(
+        col("doc_id"),
+        col("n_toks"),
+        expr("aggregate(transform(toks, t -> length(t)), 0L, (a, x) -> a + x) * 100 div n_toks")
+          .as("avg_token_len_e2"),
+        expr(s"size(filter(toks, t -> t IN (${inList(Stopwords)}))) * 10000L div n_toks")
+          .as("stopword_ratio_e4"),
+        expr("size(array_distinct(toks)) * 10000L div n_toks").as("type_token_e4"),
+        (col("n_chars") >= 100 && col("n_chars") <= 20000).as("len_ok"))
+      .orderBy("doc_id")
+
+  val textQualitySql: String =
+    s"""WITH t AS (SELECT doc_id, n_chars, $tokensDuck AS toks FROM documents),
+       |u AS (SELECT doc_id, n_chars, toks, CAST(len(toks) AS BIGINT) AS n_toks FROM t WHERE len(toks) > 0)
+       |SELECT doc_id, n_toks,
+       |  CAST(list_sum(list_transform(toks, t -> length(t))) * 100 AS BIGINT) // n_toks AS avg_token_len_e2,
+       |  CAST(len(list_filter(toks, t -> t IN (${inList(Stopwords)}))) * 10000 AS BIGINT) // n_toks AS stopword_ratio_e4,
+       |  CAST(len(list_distinct(toks)) * 10000 AS BIGINT) // n_toks AS type_token_e4,
+       |  (n_chars >= 100 AND n_chars <= 20000) AS len_ok
+       |FROM u ORDER BY doc_id""".stripMargin
+
+  /** Language-ID heuristic marker sets (alphabetical language order —
+    * ties resolve to the first).
+    */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "is", "to"),
+    "es" -> Seq("el", "los", "de", "y", "es", "que"),
+    "fr" -> Seq("le", "les", "de", "et", "est", "que"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2", "you3"))
+
+  /** Language-ID: function-word hit counts per language, argmax with
+    * alphabetical tie-break, 'und' when nothing matches. (Real systems
+    * use char n-gram models; the shape — per-doc scores then argmax —
+    * is identical and equally shuffle-free.)
+    */
+  def textLangId(spark: SparkSession, d: String): DataFrame = {
+    val scored = LangMarkers.foldLeft(
+      Tables.documents(spark, d).withColumn("toks", expr(tokensSpark))) {
+      case (df, (lang, words)) =>
+        df.withColumn(s"score_$lang",
+          expr(s"size(filter(toks, t -> t IN (${inList(words)})))").cast(LongType))
+    }
+    val maxScore = LangMarkers.map(m => col(s"score_${m._1}")).reduce(greatest(_, _))
+    val predicted = LangMarkers.reverse.foldLeft(lit("und")) {
+      case (acc, (lang, _)) =>
+        when(maxScore > 0 && col(s"score_$lang") === maxScore, lit(lang)).otherwise(acc)
+    }
+    scored.select(
+        col("doc_id") +: col("lang").as("labeled_lang") +:
+          LangMarkers.map { case (l, _) => col(s"score_$l") } :+
+          predicted.as("predicted_lang"): _*)
+      .withColumn("agrees", col("predicted_lang") === col("labeled_lang"))
+      .orderBy("doc_id")
+  }
+
+  val textLangIdSql: String = {
+    val scoreCols = LangMarkers.map { case (l, ws) =>
+      s"CAST(len(list_filter(toks, t -> t IN (${inList(ws)}))) AS BIGINT) AS score_$l"
+    }.mkString(", ")
+    val maxExpr = "greatest(" + LangMarkers.map(m => s"score_${m._1}").mkString(", ") + ")"
+    val caseArms = LangMarkers.map { case (l, _) =>
+      s"WHEN score_$l = $maxExpr THEN '$l'"
+    }.mkString(" ")
+    val predicted = s"CASE WHEN $maxExpr = 0 THEN 'und' $caseArms ELSE 'und' END"
+    s"""WITH t AS (SELECT doc_id, lang, $tokensDuck AS toks FROM documents),
+       |s AS (SELECT doc_id, lang AS labeled_lang, $scoreCols FROM t)
+       |SELECT doc_id, labeled_lang, ${LangMarkers.map(m => s"score_${m._1}").mkString(", ")},
+       |  $predicted AS predicted_lang,
+       |  ($predicted) = labeled_lang AS agrees
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** Document fingerprinting (winnowing-style): min/max H16 over the
+    * 3-gram shingle hashes — a compact content signature robust to small
+    * edits away from the hash-order extremes. Docs with <3 tokens have
+    * no shingles and drop out (same semantics both engines).
+    */
+  def textFingerprint(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .withColumn("toks", expr(tokensSpark))
+      .withColumn("shingles", expr(shinglesSpark))
+      .where(size(col("shingles")) > 0)
+      .select(
+        col("doc_id"),
+        expr("array_min(transform(shingles, s -> substring(sha2(s, 256), 1, 16)))")
+          .as("fp_min"),
+        expr("array_max(transform(shingles, s -> substring(sha2(s, 256), 1, 16)))")
+          .as("fp_max"),
+        size(col("shingles")).cast(LongType).as("n_shingles"))
+      .orderBy("doc_id")
+
+  val textFingerprintSql: String =
+    s"""WITH t AS (SELECT doc_id, $tokensDuck AS toks FROM documents),
+       |s AS (SELECT doc_id, $shinglesDuck AS shingles FROM t)
+       |SELECT doc_id,
+       |  list_aggregate(list_transform(shingles, s -> substr(sha256(s), 1, 16)), 'min') AS fp_min,
+       |  list_aggregate(list_transform(shingles, s -> substr(sha256(s), 1, 16)), 'max') AS fp_max,
+       |  CAST(len(shingles) AS BIGINT) AS n_shingles
+       |FROM s WHERE len(shingles) > 0 ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_tokens" -> (textTokens _),
+    "q_text_quality" -> (textQuality _),
+    "q_text_langid" -> (textLangId _),
+    "q_text_fingerprint" -> (textFingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "q_text_tokens" -> textTokensSql,
+    "q_text_quality" -> textQualitySql,
+    "q_text_langid" -> textLangIdSql,
+    "q_text_fingerprint" -> textFingerprintSql)
+}
