@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, ParityQueries, Similarity, TextAnalysis}
+import graft.operators.{Dedup, EventAnalytics, Multimodal, ParityQueries,
+  PlannerQueries, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,12 +23,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityQueries.queries ++ TextAnalysis.queries ++ Dedup.queries ++
-      Similarity.queries
+      Similarity.queries ++ EventAnalytics.queries ++ Multimodal.queries ++
+      PlannerQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     ParityQueries.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
-      Similarity.oracles
+      Similarity.oracles ++ EventAnalytics.oracles ++ Multimodal.oracles ++
+      PlannerQueries.oracles
 }

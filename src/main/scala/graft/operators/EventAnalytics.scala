@@ -1,0 +1,267 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+import graft.sources.Tables.dec2
+
+/** Analytics over the `events` stream table and the star schema —
+  * window functions, sessionization, as-of joins, rollups, and set
+  * operations (SURVEY.md §2.7/§2.8 are absent in the reference; these
+  * are the beyond-parity operators a real pipeline needs).
+  *
+  * Time discipline: all comparisons/arithmetic run on integer epoch
+  * micros/nanos (`ts_ns` longs), never on engine timestamp types, so
+  * Spark (micros) and DuckDB (nanos) agree exactly; timestamps in
+  * output are formatted strings.
+  */
+object EventAnalytics {
+
+  /** Tumbling 1-hour windowed aggregation per event type — the batch
+    * twin of the Structured Streaming windowed aggregation (the
+    * streaming module reuses this shape with a watermark).
+    */
+  def eventsWindowedAgg(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy(
+        window(col("ts"), "1 hour").getField("start").as("hour_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum((dec2(col("value")) * 100).cast(LongType)).cast(DecimalType(38, 0))
+          .as("sum_value_cents"),
+        countDistinct("user_id").as("n_users"))
+      .select(
+        date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_s"),
+        col("event_type"), col("n_events"), col("sum_value_cents"), col("n_users"))
+      .orderBy("hour_s", "event_type")
+
+  val eventsWindowedAggSql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s,
+      |  event_type,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DECIMAL(38,0)) AS sum_value_cents,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1, 2 ORDER BY hour_s, event_type""".stripMargin
+
+  /** Sessionization: 30-minute inactivity gap splits a user's events
+    * into sessions (lag + running sum of boundaries — one shuffle on
+    * user_id, then linear window work; the standard scalable shape).
+    */
+  def eventsSessionize(spark: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ns")
+    val gapNs = 30L * 60 * 1000000000L
+    Tables.events(spark, d)
+      .select(col("user_id"), col("ts_ns"), col("event_id"))
+      .withColumn("prev_ns", lag("ts_ns", 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > gapNs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum("is_new").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("event_id").as("first_event_id"),
+        max("event_id").as("last_event_id"),
+        expr("(max(ts_ns) - min(ts_ns)) div 1000000000").as("duration_s"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  val eventsSessionizeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
+      |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)) AS prev_ns
+      |  FROM events),
+      |m AS (
+      |  SELECT *, CASE WHEN prev_ns IS NULL OR ts_ns - prev_ns > 1800000000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id, ts_ns, event_id,
+      |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ns
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM m)
+      |SELECT user_id, session_seq, count(*) AS n_events,
+      |  min(event_id) AS first_event_id, max(event_id) AS last_event_id,
+      |  (max(ts_ns) - min(ts_ns)) // 1000000000 AS duration_s
+      |FROM s GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
+  /** Per-user activity stats with a global rank — top-20 users. */
+  def eventsUserStats(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum((dec2(col("value")) * 100).cast(LongType)).cast(DecimalType(38, 0))
+          .as("sum_value_cents"),
+        countDistinct("event_type").as("n_types"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_events").desc, col("user_id"))))
+      .where(col("rank") <= 20)
+      .orderBy("rank")
+
+  val eventsUserStatsSql: String =
+    """WITH u AS (
+      |  SELECT user_id, count(*) AS n_events,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DECIMAL(38,0)) AS sum_value_cents,
+      |    count(DISTINCT event_type) AS n_types
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, n_events, sum_value_cents, n_types,
+      |  row_number() OVER (ORDER BY n_events DESC, user_id) AS rank
+      |FROM u QUALIFY rank <= 20 ORDER BY rank""".stripMargin
+
+  /** As-of join: each purchase matched to the same user's most recent
+    * click at-or-before it. Spark has no ASOF JOIN; the scalable
+    * re-expression is union → one shuffle+sort per user → running
+    * `last(_, ignoreNulls)` — linear in events, no range-join blowup.
+    * The DuckDB oracle uses its native ASOF JOIN, making this a true
+    * cross-engine semantics check.
+    */
+  def joinAsof(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"), expr("ts_ns div 1000").as("t_us"),
+        col("event_id"), col("event_type"))
+    // kind 0 = click (right side) sorts before kind 1 = purchase (left
+    // side) at equal t_us, making the match inclusive (click at the same
+    // instant is visible to the purchase).
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("t_us"), lit(0).as("kind"),
+        col("event_id").as("click_id"), lit(null).cast(LongType).as("purchase_id"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("t_us"), lit(1).as("kind"),
+        lit(null).cast(LongType).as("click_id"), col("event_id").as("purchase_id"))
+    val w = Window.partitionBy("user_id")
+      .orderBy("t_us", "kind", "click_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_click_id", last("click_id", ignoreNulls = true).over(w))
+      .where(col("kind") === 1)
+      .select(col("purchase_id"), col("user_id"), col("t_us").as("purchase_us"),
+        col("last_click_id"))
+      .orderBy("purchase_id")
+  }
+
+  val joinAsofSql: String =
+    """WITH c AS (SELECT user_id, epoch_ns(ts) // 1000 AS t_us, event_id
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, epoch_ns(ts) // 1000 AS t_us, event_id
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id AS purchase_id, p.user_id, p.t_us AS purchase_us,
+      |  c.event_id AS last_click_id
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.t_us >= c.t_us
+      |ORDER BY purchase_id""".stripMargin
+
+  /** ROLLUP over region → nation of customer balances (grouping-set
+    * aggregation; partial aggregation applies per grouping set).
+    */
+  def aggRollup(spark: SparkSession, d: String): DataFrame = {
+    Tables.customer(spark, d).createOrReplaceTempView("customer_v")
+    Tables.nation(spark, d).createOrReplaceTempView("nation_v")
+    Tables.region(spark, d).createOrReplaceTempView("region_v")
+    spark.sql(
+      """SELECT /*+ BROADCAST(n), BROADCAST(r) */ r_name, n_name,
+        |  CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DECIMAL(38,0)) AS sum_acctbal_cents,
+        |  count(*) AS n_customers,
+        |  CAST(grouping(r_name) * 2 + grouping(n_name) AS BIGINT) AS grouping_level
+        |FROM customer_v c
+        |JOIN nation_v n ON c_nationkey = n_nationkey
+        |JOIN region_v r ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+  }
+
+  val aggRollupSql: String =
+    """SELECT r_name, n_name,
+      |  CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DECIMAL(38,0)) AS sum_acctbal_cents,
+      |  count(*) AS n_customers,
+      |  CAST(grouping(r_name) * 2 + grouping(n_name) AS BIGINT) AS grouping_level
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
+
+  /** Set operations (§2.8): INTERSECT / EXCEPT / UNION ALL in one
+    * result — market-segment customers split by purchase activity.
+    */
+  def setOps(spark: SparkSession, d: String): DataFrame = {
+    val building = Tables.customer(spark, d)
+      .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val buyers = Tables.orders(spark, d)
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    building.intersect(buyers).select(lit("active").as("tag"), col("c_custkey"))
+      .unionAll(
+        building.except(buyers).select(lit("dormant").as("tag"), col("c_custkey")))
+      .orderBy("tag", "c_custkey")
+  }
+
+  val setOpsSql: String =
+    """SELECT 'active' AS tag, c_custkey
+      |FROM (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |      INTERSECT SELECT o_custkey FROM orders)
+      |UNION ALL
+      |SELECT 'dormant' AS tag, c_custkey
+      |FROM (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |      EXCEPT SELECT o_custkey FROM orders)
+      |ORDER BY tag, c_custkey""".stripMargin
+
+  /** TPC-H Q3 shape: selective join across customer→orders→lineitem
+    * with aggregation and top-10 — the classic shuffle-join benchmark.
+    * Customer (filtered) broadcasts; orders⋈lineitem shuffles on the
+    * order key.
+    */
+  def q3Shipping(spark: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(spark, d).where(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, d)
+      .where(col("o_orderdate") < lit("1998-01-01"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"),
+        (dec2(col("l_extendedprice")) * 100).cast(LongType).as("price_c"),
+        (dec2(col("l_discount")) * 100).cast(LongType).as("disc_pct"))
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(
+        sum(expr("price_c * (100 - disc_pct)")).cast(DecimalType(38, 0))
+          .as("revenue_e4"),
+        min(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("orderdate_s"))
+      .orderBy(col("revenue_e4").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  val q3ShippingSql: String =
+    """SELECT o_orderkey,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |         * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS DECIMAL(38,0)) AS revenue_e4,
+      |  min(strftime(o_orderdate, '%Y-%m-%d')) AS orderdate_s
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY o_orderkey
+      |ORDER BY revenue_e4 DESC, o_orderkey LIMIT 10""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_windowed_agg" -> (eventsWindowedAgg _),
+    "q_events_sessionize" -> (eventsSessionize _),
+    "q_events_user_stats" -> (eventsUserStats _),
+    "q_join_asof" -> (joinAsof _),
+    "q_agg_rollup" -> (aggRollup _),
+    "q_set_ops" -> (setOps _),
+    "q3_shipping" -> (q3Shipping _))
+
+  val oracles: Map[String, String] = Map(
+    "q_events_windowed_agg" -> eventsWindowedAggSql,
+    "q_events_sessionize" -> eventsSessionizeSql,
+    "q_events_user_stats" -> eventsUserStatsSql,
+    "q_join_asof" -> joinAsofSql,
+    "q_agg_rollup" -> aggRollupSql,
+    "q_set_ops" -> setOpsSql,
+    "q3_shipping" -> q3ShippingSql)
+}
