@@ -1,0 +1,97 @@
+package graft.extract
+
+import org.apache.spark.sql.SparkSession
+
+import graft.functions.Transforms
+import graft.model.ExtractConfig
+import graft.plans.{Partition, Partitioner, Watermark}
+import graft.sinks.Fs
+
+/** The reference's extraction pipeline (`extract`, cli.py:275-339),
+  * re-expressed over Spark:
+  *
+  *  1. catalog discovery (S3) → deployment + indexed block range
+  *  2. config written once, verified immutable on re-runs (K4)
+  *  3. previous watermark read (K5)
+  *  4. per table: hierarchical plan (R1) minus previous plan (A2) =
+  *     work-list; each missing partition is scanned (S1), transformed
+  *     (E1-E7), sorted, and written as one parquet fragment (K1/O1)
+  *  5. per table: `_metadata` summary rewritten (K2)
+  *  6. watermark committed LAST (K5) — the crash-consistency point: a
+  *     failed run re-plans from the old watermark and re-extracts its
+  *     partitions; deterministic content + per-directory overwrite make
+  *     the retry idempotent. Progress is never inferred from files on
+  *     disk (the reference's regression-tested bug,
+  *     tests/test_get_column_info.py:181-225).
+  *
+  * Scale note: the reference runs partitions sequentially on one
+  * thread; here each partition's scan→transform→sort→write is a Spark
+  * job (distributed within the partition), and the per-partition loop
+  * itself is embarrassingly parallel — partitions never overlap, so a
+  * scheduler may run them concurrently. Partition *content* stays
+  * deterministic: stable sort on `_block_number` and single-fragment
+  * output per partition directory.
+  */
+object ExtractPipeline {
+
+  final case class TableResult(table: String, written: Vector[Partition],
+      fragments: Int)
+  final case class ExtractResult(outputRoot: String, tables: Seq[TableResult],
+      watermark: Watermark)
+
+  def extract(
+      spark: SparkSession,
+      source: EntitySource,
+      config: ExtractConfig,
+      outputLocation: String,
+      nowMillis: Long = System.currentTimeMillis()): ExtractResult = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cat = source.catalog(spark).getOrElse(config.subgraph,
+      throw new IllegalArgumentException(
+        s"subgraph '${config.subgraph}' not found in catalog"))
+
+    val root = s"${outputLocation.stripSuffix("/")}/${config.name}/${config.version}"
+
+    // K4: config immutability
+    val cfgPath = s"$root/config.json"
+    Fs.readString(cfgPath, conf) match {
+      case Some(existing) => ExtractConfig.requireUnchanged(existing, config)
+      case None           => Fs.writeString(cfgPath, ExtractConfig.toJson(config), conf)
+    }
+
+    // K5: previous watermark bounds the already-extracted plan
+    val prev = Watermark.read(root, conf)
+
+    val results = config.tables.toSeq.sortBy(_._1).map { case (table, tc) =>
+      val newPlan = Partitioner.plan(cat.earliestBlock, cat.latestBlock, tc.partitionSizes)
+      val oldPlan = prev match {
+        case Some(w) => Partitioner.plan(w.earliestBlock, w.latestBlock, tc.partitionSizes)
+        case None    => Vector.empty
+      }
+      val work = Partitioner.worklist(newPlan, oldPlan)
+      val types = source.columnTypes(spark, cat.schemaName, table)
+      val tDir = Partitioner.tableDir(root, config.subgraph, table)
+      work.foreach { p =>
+        val raw = source.scanRange(spark, cat.schemaName, table, p.start, p.end)
+        val converted = Transforms.convertColumns(raw, types, tc)
+        // O1 determinism: one sorted fragment per partition directory
+        // (partition tier sizing — not file-count knobs — controls
+        // fragment size, mirroring the reference's one-file contract).
+        converted
+          .repartition(1)
+          .sortWithinPartitions(Transforms.BlockColumn)
+          .write.mode("overwrite")
+          .parquet(Partitioner.partitionDir(tDir, p))
+      }
+      // K2: summary footer over every fragment currently in the table
+      val fragments = MetadataSink.writeMetadata(tDir, conf)
+      TableResult(table, work, fragments)
+    }
+
+    // K5 commit point — strictly after all tables succeeded.
+    val wm = Watermark(config.subgraph, cat.deployment, nowMillis,
+      cat.earliestBlock, cat.latestBlock)
+    Watermark.commit(root, wm, conf)
+    ExtractResult(root, results, wm)
+  }
+}
