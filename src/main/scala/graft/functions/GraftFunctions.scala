@@ -25,6 +25,19 @@ object GraftFunctions {
   /** carrier → 64-char uppercase hex (composes built-ins; stays codegen'd). */
   def uint256_hex(c: Column): Column = hex(c)
 
+  /** text → MinHash signature (array<long>, null when no shingles). */
+  def minhash_sig(c: Column, numHashes: Int = 16): Column =
+    toCol(MinHashSig(toExpr(c), numHashes))
+
+  /** text → [fp_min, fp_max, n_shingles] (null when no shingles). */
+  def text_fingerprint(c: Column): Column = toCol(TextFingerprint(toExpr(c)))
+
+  /** text → 16-bit SimHash (null when no tokens). */
+  def simhash16(c: Column): Column = toCol(SimHash16(toExpr(c)))
+
+  /** text → distinct 3-gram shingles (null when none). */
+  def shingle_set(c: Column): Column = toCol(ShingleSet(toExpr(c)))
+
   def registerAll(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction(

@@ -1,0 +1,244 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compiled single-pass text-hash kernels behind the dedup operators.
+  *
+  * Semantically these equal the declarative pipelines
+  * `tokens → 3-gram shingles → sha256 → min/…` shared with the DuckDB
+  * oracles (TextAnalysis.tokensSpark / shinglesSpark), but Spark's
+  * higher-order array functions evaluate interpreted — per-element
+  * lambda frames cost microseconds, which dominates MinHash at corpus
+  * scale. Each expression here runs the whole per-document computation
+  * in one static JVM method (codegen emits a direct call), turning the
+  * signature stage scan-bound.
+  *
+  * Token regex `[a-z0-9]+` on lowercased text and shingle join with a
+  * single space are byte-for-byte the oracle semantics.
+  */
+object TextHash {
+
+  private val TokenRe = Pattern.compile("[a-z0-9]+")
+
+  def tokens(text: String): Array[String] = {
+    val m = TokenRe.matcher(text.toLowerCase)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) out += m.group()
+    out.toArray
+  }
+
+  def shingles(toks: Array[String]): Array[String] = {
+    if (toks.length < 3) return Array.empty
+    val out = new Array[String](toks.length - 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+      i += 1
+    }
+    out
+  }
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  def sha256Hex(s: String): String = {
+    val d = MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+    val out = new Array[Char](64)
+    var i = 0
+    while (i < 32) {
+      out(2 * i) = HexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Parse 14 hex chars (56 bits) starting at `off` (0-based). */
+  private def hex56(hex: String, off: Int): Long = {
+    var v = 0L
+    var i = off
+    while (i < off + 14) {
+      val c = hex.charAt(i)
+      v = (v << 4) | (if (c <= '9') c - '0' else c - 'a' + 10).toLong
+      i += 1
+    }
+    v
+  }
+
+  /** MinHash signature: for shingle hash h = sha256-hex, halves
+    * h1 = hex[0,14), h2 = hex[14,28); sig_j = min over shingles of
+    * h1 + j*h2. Null (no shingles) → null signature.
+    */
+  def minHashSig(text: UTF8String, numHashes: Int): ArrayData = {
+    val sh = shingles(tokens(text.toString))
+    if (sh.isEmpty) return null
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      val hex = sha256Hex(sh(i))
+      val h1 = hex56(hex, 0)
+      val h2 = hex56(hex, 14)
+      var j = 0
+      while (j < numHashes) {
+        val v = h1 + j.toLong * h2
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** [fp_min16, fp_max16, n_shingles-as-string] or null when no
+    * shingles (string array keeps the expression single-typed; the
+    * caller casts the count).
+    */
+  def fingerprint(text: UTF8String): ArrayData = {
+    val sh = shingles(tokens(text.toString))
+    if (sh.isEmpty) return null
+    var mn: String = null
+    var mx: String = null
+    var i = 0
+    while (i < sh.length) {
+      val h = sha256Hex(sh(i)).substring(0, 16)
+      if (mn == null || h.compareTo(mn) < 0) mn = h
+      if (mx == null || h.compareTo(mx) > 0) mx = h
+      i += 1
+    }
+    new GenericArrayData(Array[Any](
+      UTF8String.fromString(mn), UTF8String.fromString(mx),
+      UTF8String.fromString(sh.length.toString)))
+  }
+
+  /** Distinct 3-gram shingles in first-occurrence order (order is
+    * irrelevant to the set-size consumers). Null when no shingles.
+    */
+  def shingleSet(text: UTF8String): ArrayData = {
+    val sh = shingles(tokens(text.toString))
+    if (sh.isEmpty) return null
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < sh.length) { seen.add(sh(i)); i += 1 }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** 16-bit SimHash over token multiset; per-token value = first 16
+    * bits of sha256. Null when the document has no tokens.
+    */
+  def simHash16(text: UTF8String): java.lang.Long = {
+    val toks = tokens(text.toString)
+    if (toks.isEmpty) return null
+    val votes = new Array[Int](16)
+    var i = 0
+    while (i < toks.length) {
+      val hex = sha256Hex(toks(i))
+      val v = Integer.parseInt(hex.substring(0, 4), 16)
+      var b = 0
+      while (b < 16) {
+        votes(b) += (if (((v >> b) & 1) == 1) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    var sh = 0L
+    var b = 0
+    while (b < 16) {
+      if (votes(b) >= 0) sh |= (1L << b)
+      b += 1
+    }
+    sh
+  }
+}
+
+private[functions] trait TextStringInput extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected string, got $other")
+  }
+  protected final def helperName: String =
+    TextHash.getClass.getName.stripSuffix("$")
+}
+
+/** text → array<long> MinHash signature (null when no shingles). */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression with TextStringInput {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig"
+  override def nullSafeEval(v: Any): Any =
+    TextHash.minHashSig(v.asInstanceOf[UTF8String], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""${ev.value} = $helperName.minHashSig($c, $numHashes);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** text → [fp_min, fp_max, n_shingles] (null when no shingles). */
+case class TextFingerprint(child: Expression)
+    extends UnaryExpression with TextStringInput {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "text_fingerprint"
+  override def nullSafeEval(v: Any): Any =
+    TextHash.fingerprint(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""${ev.value} = $helperName.fingerprint($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): TextFingerprint =
+    copy(child = newChild)
+}
+
+/** text → array<string> of distinct 3-gram shingles (null when none). */
+case class ShingleSet(child: Expression)
+    extends UnaryExpression with TextStringInput {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "shingle_set"
+  override def nullSafeEval(v: Any): Any =
+    TextHash.shingleSet(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""${ev.value} = $helperName.shingleSet($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): ShingleSet =
+    copy(child = newChild)
+}
+
+/** text → 16-bit SimHash as long (null when no tokens). */
+case class SimHash16(child: Expression)
+    extends UnaryExpression with TextStringInput {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash16"
+  override def nullSafeEval(v: Any): Any = {
+    val r = TextHash.simHash16(v.asInstanceOf[UTF8String])
+    if (r == null) null else r.longValue()
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""java.lang.Long r = $helperName.simHash16($c);
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.longValue(); }"""
+        .stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): SimHash16 =
+    copy(child = newChild)
+}

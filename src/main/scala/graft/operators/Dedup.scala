@@ -34,28 +34,36 @@ object Dedup {
   private val NumHashes = 16
   private val NumBands = 4 // 4 rows per band
 
-  /** (doc_id, sig: array<string>[16]) — one row per doc with shingles. */
+  /** (doc_id, sig: array<long>[16]) — one row per doc with shingles.
+    *
+    * One sha256 per shingle, split into two 56-bit halves (h1, h2); the
+    * 16 MinHash functions are the arithmetic family `h1 + j*h2`
+    * (no overflow: h < 2^56, j ≤ 15 ⇒ sums < 2^61). This is 16× less
+    * hashing than sha256-per-function, and the caller persists the
+    * result so the LSH self-join doesn't recompute it per branch.
+    * Each heavy array is materialized under its own alias —
+    * CollapseProject won't merge projections that would duplicate
+    * non-cheap expressions, so every stage evaluates once.
+    */
   private def signatures(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
-      .withColumn("toks", expr(tokensSpark))
-      .withColumn("shingles", expr(shinglesSpark))
-      .where(size(col("shingles")) > 0)
-      .select(
-        col("doc_id"),
-        expr(
-          s"""transform(sequence(0, ${NumHashes - 1}), j ->
-             |  array_min(transform(shingles, s2 ->
-             |    substring(sha2(concat(cast(j as string), ':', s2), 256), 1, 16))))"""
-            .stripMargin.replace("\n", " ")).as("sig"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.minhash_sig(col("text"), NumHashes).as("sig"))
+      .where(col("sig").isNotNull)
 
   private val signaturesDuckCte: String =
     s"""t AS (SELECT doc_id, $tokensDuck AS toks FROM documents),
        |sh AS (SELECT doc_id, $shinglesDuck AS shingles FROM t),
+       |hs0 AS (SELECT doc_id, list_transform(shingles, s2 -> substr(sha256(s2), 1, 28)) AS hs
+       |        FROM sh WHERE len(shingles) > 0),
+       |hv AS (SELECT doc_id,
+       |         list_transform(hs, h -> ('0x' || substr(h, 1, 14))::BIGINT) AS h1s,
+       |         list_transform(hs, h -> ('0x' || substr(h, 15, 14))::BIGINT) AS h2s
+       |       FROM hs0),
        |g AS (SELECT doc_id,
        |        list_transform(range(0, $NumHashes), j ->
-       |          list_aggregate(list_transform(shingles, s2 ->
-       |            substr(sha256(CAST(j AS VARCHAR) || ':' || s2), 1, 16)), 'min')) AS sig
-       |      FROM sh WHERE len(shingles) > 0)""".stripMargin
+       |          list_aggregate(list_transform(range(1, len(h1s) + 1), i -> h1s[i] + j * h2s[i]), 'min')) AS sig
+       |      FROM hv)""".stripMargin
 
   /** (doc_id, band_id, band_val) — NumBands short rows per doc. */
   private def bands(sigs: DataFrame): DataFrame =
@@ -63,17 +71,20 @@ object Dedup {
       col("doc_id"),
       posexplode(expr(
         s"""transform(sequence(0, ${NumBands - 1}), b ->
-           |  concat(sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3]))"""
+           |  concat_ws('-', cast(sig[4*b] as string), cast(sig[4*b+1] as string),
+           |                 cast(sig[4*b+2] as string), cast(sig[4*b+3] as string)))"""
           .stripMargin.replace("\n", " "))).as(Seq("band_id", "band_val")))
 
   private val bandsDuckCte: String =
     s"""bands AS (SELECT doc_id, b AS band_id,
-       |            sig[4*b+1] || sig[4*b+2] || sig[4*b+3] || sig[4*b+4] AS band_val
+       |            concat_ws('-', sig[4*b+1], sig[4*b+2], sig[4*b+3], sig[4*b+4]) AS band_val
        |          FROM g, generate_series(0, ${NumBands - 1}) bs(b))""".stripMargin
 
-  /** Distinct candidate pairs (doc_a < doc_b) sharing any LSH band. */
-  private def candidatePairs(spark: SparkSession, d: String): DataFrame = {
-    val sigs = signatures(spark, d)
+  /** Distinct candidate pairs (doc_a < doc_b) sharing any LSH band.
+    * `sigs` should be persisted by the caller — it feeds both join
+    * branches and the later signature/shingle-set lookups.
+    */
+  private def candidatePairs(sigs: DataFrame): DataFrame = {
     val b = bands(sigs)
     b.as("a").join(b.as("b"),
         col("a.band_id") === col("b.band_id") &&
@@ -111,8 +122,8 @@ object Dedup {
     * Jaccard (fraction of agreeing minhashes, scaled 1e4).
     */
   def dedupMinhashLsh(spark: SparkSession, d: String): DataFrame = {
-    val sigs = signatures(spark, d)
-    candidatePairs(spark, d)
+    val sigs = signatures(spark, d).persist()
+    candidatePairs(sigs)
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .select(
@@ -138,18 +149,9 @@ object Dedup {
   def dedupSimhash(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val df = Tables.documents(spark, d)
-      .withColumn("toks", expr(tokensSpark))
-      .where(size(col("toks")) > 0)
-      .withColumn("vs",
-        expr("transform(toks, t -> cast(conv(substring(sha2(t, 256), 1, 4), 16, 10) as long))"))
-      .select(
-        col("doc_id"),
-        expr(
-          """aggregate(sequence(0, 15), 0L, (acc, b) ->
-            |  acc + CASE WHEN aggregate(vs, 0L, (a2, v) ->
-            |                a2 + CASE WHEN shiftright(v, b) % 2 = 1 THEN 1 ELSE -1 END) >= 0
-            |        THEN shiftleft(1L, b) ELSE 0L END)"""
-            .stripMargin.replace("\n", " ")).as("simhash"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.simhash16(col("text")).as("simhash"))
+      .where(col("simhash").isNotNull)
     df.withColumn("n_same_simhash",
         count(lit(1)).over(Window.partitionBy("simhash")))
       .orderBy("doc_id")
@@ -175,11 +177,11 @@ object Dedup {
     */
   def dedupNgramJaccard(spark: SparkSession, d: String): DataFrame = {
     val sets = Tables.documents(spark, d)
-      .withColumn("toks", expr(tokensSpark))
-      .withColumn("shingles", expr(shinglesSpark))
-      .where(size(col("shingles")) > 0)
-      .select(col("doc_id"), array_distinct(col("shingles")).as("sset"))
-    candidatePairs(spark, d)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.shingle_set(col("text")).as("sset"))
+      .where(col("sset").isNotNull)
+      .persist()
+    candidatePairs(signatures(spark, d).persist())
       .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b")), "doc_b")
       .select(

@@ -160,16 +160,17 @@ object TextAnalysis {
     */
   def textFingerprint(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
-      .withColumn("toks", expr(tokensSpark))
-      .withColumn("shingles", expr(shinglesSpark))
-      .where(size(col("shingles")) > 0)
+      // single compiled pass (graft.functions.TextFingerprint);
+      // materialized under one alias so the three field reads don't
+      // re-evaluate it (CollapseProject keeps multi-referenced
+      // non-cheap aliases in their own projection)
+      .withColumn("fp", graft.functions.GraftFunctions.text_fingerprint(col("text")))
+      .where(col("fp").isNotNull)
       .select(
         col("doc_id"),
-        expr("array_min(transform(shingles, s -> substring(sha2(s, 256), 1, 16)))")
-          .as("fp_min"),
-        expr("array_max(transform(shingles, s -> substring(sha2(s, 256), 1, 16)))")
-          .as("fp_max"),
-        size(col("shingles")).cast(LongType).as("n_shingles"))
+        col("fp").getItem(0).as("fp_min"),
+        col("fp").getItem(1).as("fp_max"),
+        col("fp").getItem(2).cast(LongType).as("n_shingles"))
       .orderBy("doc_id")
 
   val textFingerprintSql: String =

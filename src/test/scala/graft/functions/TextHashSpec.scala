@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.operators.TextAnalysis
+
+/** Differential tests: the compiled single-pass kernels must equal the
+  * declarative higher-order-function pipelines they replaced (which are
+  * themselves the DuckDB-oracle semantics).
+  */
+class TextHashSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "THE QUICK brown FOX, jumps; over 123 dogs!"),
+      (3L, "short one"), // < 3 tokens → no shingles
+      (4L, ""),
+      (5L, "a b c a b c a b c"),
+      (6L, "spark group query row data slow small filter customer line"))
+      .toDF("doc_id", "text")
+  }
+
+  test("MinHashSig equals the declarative minhash pipeline") {
+    val declarative = docs
+      .withColumn("toks", expr(TextAnalysis.tokensSpark))
+      .withColumn("shingles", expr(TextAnalysis.shinglesSpark))
+      .where(size(col("shingles")) > 0)
+      .withColumn("hs", expr("transform(shingles, s2 -> substring(sha2(s2, 256), 1, 28))"))
+      .withColumn("h1s", expr("transform(hs, h -> cast(conv(substring(h, 1, 14), 16, 10) as long))"))
+      .withColumn("h2s", expr("transform(hs, h -> cast(conv(substring(h, 15, 14), 16, 10) as long))"))
+      .select(col("doc_id"),
+        expr("transform(sequence(0, 15), j -> array_min(zip_with(h1s, h2s, (a, b) -> a + j * b)))")
+          .as("sig"))
+      .orderBy("doc_id").collect()
+    val compiled = docs
+      .select(col("doc_id"), GraftFunctions.minhash_sig(col("text"), 16).as("sig"))
+      .where(col("sig").isNotNull)
+      .orderBy("doc_id").collect()
+    assert(compiled.map(_.toString) === declarative.map(_.toString))
+    assert(compiled.length === 4) // docs 3 and 4 have no shingles
+  }
+
+  test("TextFingerprint equals the declarative min/max hash pipeline") {
+    val declarative = docs
+      .withColumn("toks", expr(TextAnalysis.tokensSpark))
+      .withColumn("shingles", expr(TextAnalysis.shinglesSpark))
+      .where(size(col("shingles")) > 0)
+      .withColumn("hs", expr("transform(shingles, s -> substring(sha2(s, 256), 1, 16))"))
+      .select(col("doc_id"), array_min(col("hs")).as("fp_min"),
+        array_max(col("hs")).as("fp_max"),
+        size(col("shingles")).cast("long").as("n_shingles"))
+      .orderBy("doc_id").collect()
+    val compiled = docs
+      .withColumn("fp", GraftFunctions.text_fingerprint(col("text")))
+      .where(col("fp").isNotNull)
+      .select(col("doc_id"), col("fp").getItem(0).as("fp_min"),
+        col("fp").getItem(1).as("fp_max"),
+        col("fp").getItem(2).cast("long").as("n_shingles"))
+      .orderBy("doc_id").collect()
+    assert(compiled.map(_.toString) === declarative.map(_.toString))
+  }
+
+  test("SimHash16 equals the declarative bit-vote pipeline") {
+    val declarative = docs
+      .withColumn("toks", expr(TextAnalysis.tokensSpark))
+      .where(size(col("toks")) > 0)
+      .withColumn("vs",
+        expr("transform(toks, t -> cast(conv(substring(sha2(t, 256), 1, 4), 16, 10) as long))"))
+      .select(col("doc_id"),
+        expr("""aggregate(sequence(0, 15), 0L, (acc, b) ->
+                 acc + CASE WHEN aggregate(vs, 0L, (a2, v) ->
+                               a2 + CASE WHEN shiftright(v, b) % 2 = 1 THEN 1 ELSE -1 END) >= 0
+                       THEN shiftleft(1L, b) ELSE 0L END)""").as("simhash"))
+      .orderBy("doc_id").collect()
+    val compiled = docs
+      .select(col("doc_id"), GraftFunctions.simhash16(col("text")).as("simhash"))
+      .where(col("simhash").isNotNull)
+      .orderBy("doc_id").collect()
+    assert(compiled.map(_.toString) === declarative.map(_.toString))
+    assert(compiled.length === 5) // doc 4 has no tokens
+  }
+}
