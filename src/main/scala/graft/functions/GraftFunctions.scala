@@ -44,5 +44,13 @@ object GraftFunctions {
       "uint256_encode", exprs => Uint256Encode(exprs.head), "built-in")
     registry.createOrReplaceTempFunction(
       "uint256_to_decimal", exprs => Uint256ToDecimal(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "minhash_sig", exprs => MinHashSig(exprs.head, 16), "built-in")
+    registry.createOrReplaceTempFunction(
+      "simhash16", exprs => SimHash16(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "shingle_set", exprs => ShingleSet(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction(
+      "text_fingerprint", exprs => TextFingerprint(exprs.head), "built-in")
   }
 }

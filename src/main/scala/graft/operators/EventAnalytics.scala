@@ -247,7 +247,45 @@ object EventAnalytics {
       |GROUP BY o_orderkey
       |ORDER BY revenue_e4 DESC, o_orderkey LIMIT 10""".stripMargin
 
+  /** Semi-structured extraction: parse the JSON `props` payload
+    * (get_json_object is codegen'd; a production pipeline would use
+    * from_json with a schema — same plan shape) and aggregate on the
+    * extracted field.
+    */
+  def jsonExtract(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .where(col("k").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").cast(DecimalType(38, 0)).as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
+  val jsonExtractSql: String =
+    """WITH j AS (SELECT event_type,
+      |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |           FROM events)
+      |SELECT event_type, count(*) AS n, CAST(sum(k) AS DECIMAL(38,0)) AS sum_k,
+      |  min(k) AS min_k, max(k) AS max_k
+      |FROM j WHERE k IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** HLL sketch distinct-count (approx_count_distinct). Engines'
+    * sketches differ, so there is no value oracle — the driver records
+    * a rows-only check; the exact-distinct twin is oracle-checked in
+    * eventsWindowedAgg/eventsUserStats.
+    */
+  def hllDistinct(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy("event_type")
+      .agg(approx_count_distinct("user_id").as("approx_users"),
+        countDistinct("user_id").as("exact_users"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_extract" -> (jsonExtract _),
+    "q_hll_distinct" -> (hllDistinct _),
     "q_events_windowed_agg" -> (eventsWindowedAgg _),
     "q_events_sessionize" -> (eventsSessionize _),
     "q_events_user_stats" -> (eventsUserStats _),
@@ -257,6 +295,8 @@ object EventAnalytics {
     "q3_shipping" -> (q3Shipping _))
 
   val oracles: Map[String, String] = Map(
+    "q_json_extract" -> jsonExtractSql,
+    // q_hll_distinct intentionally has no oracle (sketches differ)
     "q_events_windowed_agg" -> eventsWindowedAggSql,
     "q_events_sessionize" -> eventsSessionizeSql,
     "q_events_user_stats" -> eventsUserStatsSql,

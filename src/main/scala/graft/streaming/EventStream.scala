@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the `events` table shape (SURVEY.md §2.10:
+  * the reference's incremental loop is batch-polling with a watermark
+  * file; this module is the Spark-idiomatic continuous alternative —
+  * `readStream → transform → writeStream` with event-time watermarks,
+  * checkpointed state, and `Trigger.AvailableNow` for catch-up runs).
+  *
+  * The transforms are shared with batch: the same function builds the
+  * plan whether its input came from `read` or `readStream`, which is
+  * how the batch oracles also validate the streaming semantics.
+  */
+object EventStream {
+
+  /** Raw parquet schema of the events table (ts as epoch-nanos Long —
+    * see Sessions/Tables nanos handling). readStream requires an
+    * explicit schema.
+    */
+  val RawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream of events parquet under `dir`. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    normalize(spark.readStream.schema(RawSchema).parquet(dir))
+
+  /** Same nanos→micros timestamp recovery as the batch reader. */
+  def normalize(raw: DataFrame): DataFrame =
+    raw.withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+
+  /** Tumbling 1-hour windowed aggregation per event type, tolerating
+    * 2 hours of event-time lateness. On a stream this is incremental
+    * state per (window, type); in batch it degenerates to a plain
+    * windowed groupBy (watermark is a no-op) — one shared plan shape.
+    */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum((col("value").cast(DecimalType(18, 2)) * 100).cast(LongType))
+          .cast(DecimalType(38, 0)).as("sum_value_cents"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_s"),
+        col("event_type"), col("n_events"), col("sum_value_cents"))
+
+  final case class UserActivity(user_id: Long, n_events: Long, total_cents: Long)
+
+  /** Stateful per-user running totals via mapGroupsWithState — the
+    * custom-state primitive a real pipeline uses for sessionization /
+    * online features. State is one (count, cents) pair per user, stored
+    * in the checkpointed state store.
+    */
+  def userActivity(events: DataFrame): Dataset[UserActivity] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), UserActivity](GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[(Long, Long)]) =>
+          val (n0, c0) = state.getOption.getOrElse((0L, 0L))
+          var n = n0; var c = c0
+          rows.foreach { case (_, cents) => n += 1; c += cents }
+          state.update((n, c))
+          UserActivity(user, n, c)
+      }
+  }
+
+  /** Run a streaming DataFrame to an in-memory table until all
+    * currently-available input is processed (catch-up semantics — the
+    * streaming analog of the reference's incremental batch run).
+    */
+  def runAvailableNow(df: DataFrame, sinkTable: String, checkpoint: String,
+      mode: OutputMode): StreamingQuery = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(sinkTable)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+}
