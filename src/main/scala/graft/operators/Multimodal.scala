@@ -100,11 +100,46 @@ object Multimodal {
       |WHERE n_chars >= 200
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Resize step over the decoded metadata: fit into a 224x224 box
+    * preserving aspect ratio (integer math — floor, consistent with the
+    * oracle). The decode runs in the same mapPartitions pass shape as
+    * [[multimodalDecode]]; the resize itself is pure column algebra.
+    */
+  def multimodalResize(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.sources.Tables.documents(spark, d)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("blob"))
+      .as[MediaBlob]
+      .mapPartitions(_.map(FakeDecoder.decode))
+      .toDF()
+      .withColumn("scale_e6",
+        expr("least(224000000 div width, 224000000 div height)"))
+      .select(
+        col("doc_id"), col("width"), col("height"),
+        expr("cast((width * scale_e6) div 1000000 as int)").as("out_w"),
+        expr("cast((height * scale_e6) div 1000000 as int)").as("out_h"))
+      .orderBy("doc_id")
+  }
+
+  val multimodalResizeSql: String =
+    """WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents),
+      |m AS (SELECT doc_id,
+      |        CAST(64 + ('0x' || substr(hx, 1, 2))::INT % 512 AS INT) AS width,
+      |        CAST(64 + ('0x' || substr(hx, 3, 2))::INT % 512 AS INT) AS height
+      |      FROM h),
+      |s AS (SELECT *, least(224000000 // width, 224000000 // height) AS scale_e6 FROM m)
+      |SELECT doc_id, width, height,
+      |  CAST((width * scale_e6) // 1000000 AS INT) AS out_w,
+      |  CAST((height * scale_e6) // 1000000 AS INT) AS out_h
+      |FROM s ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_decode" -> (multimodalDecode _),
-    "q_multimodal_frames" -> (multimodalFrames _))
+    "q_multimodal_frames" -> (multimodalFrames _),
+    "q_multimodal_resize" -> (multimodalResize _))
 
   val oracles: Map[String, String] = Map(
     "q_multimodal_decode" -> multimodalDecodeSql,
-    "q_multimodal_frames" -> multimodalFramesSql)
+    "q_multimodal_frames" -> multimodalFramesSql,
+    "q_multimodal_resize" -> multimodalResizeSql)
 }

@@ -118,6 +118,73 @@ object Similarity {
        |SELECT q_id, vec_id, cos_e6, rank FROM r WHERE rank <= $K
        |ORDER BY q_id, rank""".stripMargin
 
+  /** IVF (inverted-file) top-k: a coarse quantizer assigns every vector
+    * to its nearest centroid (here: 8 deterministic "centroids" — the
+    * vectors with vec_id 10..17 — standing in for k-means output, which
+    * would be a separate training job); queries probe their 2 nearest
+    * centroids and search only those inverted lists. At corpus scale
+    * the assignment is one broadcast-centroids map pass, the inverted
+    * lists are the shuffle key, and probe fan-out bounds the search to
+    * nprobe/nlist of the corpus.
+    */
+  def simTopkIvf(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    val cents = emb.where(col("vec_id") >= 10 && col("vec_id") < 18)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    // nearest centroid per corpus vector (rank 1 of 8 — broadcast map side)
+    val assign = emb.join(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        cosE6("embedding", "cent_emb").as("cent_cos"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cent_cos").desc, col("cent_id"))))
+      .where(col("crank") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
+    // queries probe their 2 nearest centroids
+    val probes = emb.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .join(broadcast(cents))
+      .select(col("q_id"), col("q_emb"), col("cent_id"),
+        cosE6("q_emb", "cent_emb").as("cent_cos"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cent_cos").desc, col("cent_id"))))
+      .where(col("crank") <= 2)
+      .select(col("q_id"), col("q_emb"), col("cent_id"))
+    probes.join(assign, Seq("cent_id"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosE6("q_emb", "embedding").as("cos_e6"))
+      .groupBy("q_id", "vec_id").agg(max("cos_e6").as("cos_e6")) // dedupe multi-probe hits
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos_e6").desc, col("vec_id"))))
+      .where(col("rank") <= K)
+      .orderBy("q_id", "rank")
+  }
+
+  val simTopkIvfSql: String =
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+       |               FROM embeddings WHERE vec_id >= 10 AND vec_id < 18),
+       |assign AS (
+       |  SELECT vec_id, embedding, cent_id FROM (
+       |    SELECT e.vec_id, e.embedding, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosE6Duck("e.embedding", "c.cent_emb")} DESC, c.cent_id) AS crank
+       |    FROM embeddings e, cents c) WHERE crank = 1),
+       |probes AS (
+       |  SELECT q_id, q_emb, cent_id FROM (
+       |    SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosE6Duck("e.embedding", "c.cent_emb")} DESC, c.cent_id) AS crank
+       |    FROM embeddings e, cents c WHERE e.vec_id < $NumQueries) WHERE crank <= 2),
+       |cand AS (
+       |  SELECT p.q_id, a.vec_id,
+       |    max(${cosE6Duck("p.q_emb", "a.embedding")}) AS cos_e6
+       |  FROM probes p JOIN assign a ON p.cent_id = a.cent_id
+       |  WHERE a.vec_id <> p.q_id GROUP BY p.q_id, a.vec_id),
+       |r AS (SELECT q_id, vec_id, cos_e6,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cos_e6 DESC, vec_id) AS rank
+       |      FROM cand)
+       |SELECT q_id, vec_id, cos_e6, rank FROM r WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin
+
   /** Embedding near-duplicate pairs: sign-LSH buckets, then exact cosine
     * within a bucket, thresholded. At corpus scale this is the standard
     * semantic-dedup funnel (bucket → verify), with one shuffle on the
@@ -147,10 +214,12 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk_brute" -> (simTopkBrute _),
     "q_sim_topk_lsh" -> (simTopkLsh _),
+    "q_sim_topk_ivf" -> (simTopkIvf _),
     "q_dedup_embedding" -> (dedupEmbedding _))
 
   val oracles: Map[String, String] = Map(
     "q_sim_topk_brute" -> simTopkBruteSql,
     "q_sim_topk_lsh" -> simTopkLshSql,
+    "q_sim_topk_ivf" -> simTopkIvfSql,
     "q_dedup_embedding" -> dedupEmbeddingSql)
 }
