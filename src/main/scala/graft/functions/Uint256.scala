@@ -64,6 +64,16 @@ object Uint256 {
   def divideLong(b: Array[Byte], divisor: Long): Array[Byte] =
     encode(decode(b).divide(BigInteger.valueOf(divisor)))
 
+  /** Validates like encode (non-negative, fits uint256) and rescales to
+    * (38,0) like decodeDecimal, without materializing the carrier.
+    */
+  def checkedDecimal(d: Decimal): Decimal = {
+    val bi = d.toJavaBigDecimal.toBigIntegerExact
+    if (bi.signum() < 0)
+      throw new IllegalArgumentException(s"uint256 cannot encode negative value $bi")
+    Decimal(new java.math.BigDecimal(bi), 38, 0)
+  }
+
   def divide(b: Array[Byte], divisor: Array[Byte]): Array[Byte] =
     encode(decode(b).divide(decode(divisor)))
 }
@@ -123,6 +133,33 @@ case class Uint256ToDecimal(child: Expression) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(newChild: Expression): Uint256ToDecimal =
+    copy(child = newChild)
+}
+
+/** Validated decimal identity: semantically equal to
+  * `uint256_to_decimal(uint256_encode(x))` for decimal inputs — rejects
+  * negatives exactly like the encode step — but skips materializing the
+  * 32-byte carrier. Installed by the optimizer rule
+  * [[graft.Uint256Simplification]]; never user-facing.
+  */
+case class Uint256RoundTrip(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DecimalType(38, 0)
+  override def prettyName: String = "uint256_roundtrip"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: DecimalType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expected decimal, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    Uint256.checkedDecimal(v.asInstanceOf[Decimal])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = Uint256.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, c => s"$helper.checkedDecimal($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Uint256RoundTrip =
     copy(child = newChild)
 }
 

@@ -118,6 +118,30 @@ object Dedup {
        |FROM documents
        |GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin
 
+  /** The keep side of exact dedup: LEFT SEMI join of the corpus against
+    * the canonical representatives — the operator a pipeline actually
+    * runs to emit the deduplicated training set (the groups query above
+    * is its diagnostics twin).
+    */
+  def dedupKeepCanonical(spark: SparkSession, d: String): DataFrame = {
+    val hashed = Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        sha2(expr(s"concat_ws(' ', $tokensSpark)"), 256).as("content_hash"))
+    val keepers = hashed.groupBy("content_hash")
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    hashed.join(keepers, Seq("doc_id"), "left_semi")
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  val dedupKeepCanonicalSql: String =
+    s"""SELECT doc_id, lang, source FROM documents
+       |WHERE doc_id IN (
+       |  SELECT min(doc_id) FROM documents
+       |  GROUP BY sha256(array_to_string($tokensDuck, ' ')))
+       |ORDER BY doc_id""".stripMargin
+
   /** MinHash + LSH banding: candidate near-dup pairs with the estimated
     * Jaccard (fraction of agreeing minhashes, scaled 1e4).
     */
@@ -205,12 +229,14 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (dedupExact _),
+    "q_dedup_keep_canonical" -> (dedupKeepCanonical _),
     "q_dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_ngram_jaccard" -> (dedupNgramJaccard _))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactSql,
+    "q_dedup_keep_canonical" -> dedupKeepCanonicalSql,
     "q_dedup_minhash_lsh" -> dedupMinhashLshSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql)

@@ -247,6 +247,39 @@ object EventAnalytics {
       |GROUP BY o_orderkey
       |ORDER BY revenue_e4 DESC, o_orderkey LIMIT 10""".stripMargin
 
+  /** Range (band) join: each lineitem priced into a value band via a
+    * non-equi join against a tiny broadcast band table — the pattern
+    * for histogram/banding joins; Spark plans a broadcast nested-loop,
+    * which is exactly right when one side is a handful of ranges.
+    */
+  def joinRange(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      (0L, 2000000L, "low"),
+      (2000000L, 6000000L, "mid"),
+      (6000000L, 12000000L, "high"))
+      .toDF("lo_cents", "hi_cents", "band")
+    Tables.lineitem(spark, d)
+      .select((dec2(col("l_extendedprice")) * 100).cast(LongType).as("cents"))
+      .join(broadcast(bands),
+        col("cents") >= col("lo_cents") && col("cents") < col("hi_cents"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_items"),
+        sum("cents").cast(DecimalType(38, 0)).as("sum_cents"))
+      .orderBy("band")
+  }
+
+  val joinRangeSql: String =
+    """WITH bands(lo_cents, hi_cents, band) AS (
+      |  VALUES (0, 2000000, 'low'), (2000000, 6000000, 'mid'),
+      |         (6000000, 12000000, 'high')),
+      |li AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |       FROM lineitem)
+      |SELECT band, count(*) AS n_items,
+      |  CAST(sum(cents) AS DECIMAL(38,0)) AS sum_cents
+      |FROM li JOIN bands ON cents >= lo_cents AND cents < hi_cents
+      |GROUP BY band ORDER BY band""".stripMargin
+
   /** Semi-structured extraction: parse the JSON `props` payload
     * (get_json_object is codegen'd; a production pipeline would use
     * from_json with a schema — same plan shape) and aggregate on the
@@ -284,6 +317,7 @@ object EventAnalytics {
       .orderBy("event_type")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_range" -> (joinRange _),
     "q_json_extract" -> (jsonExtract _),
     "q_hll_distinct" -> (hllDistinct _),
     "q_events_windowed_agg" -> (eventsWindowedAgg _),
@@ -295,6 +329,7 @@ object EventAnalytics {
     "q3_shipping" -> (q3Shipping _))
 
   val oracles: Map[String, String] = Map(
+    "q_join_range" -> joinRangeSql,
     "q_json_extract" -> jsonExtractSql,
     // q_hll_distinct intentionally has no oracle (sketches differ)
     "q_events_windowed_agg" -> eventsWindowedAggSql,
