@@ -1,9 +1,10 @@
 package graft.extract
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.functions.Transforms
-import graft.model.ExtractConfig
+import graft.model.{ExtractConfig, TableConfig}
 import graft.plans.{Partition, Partitioner, Watermark}
 import graft.sinks.Fs
 
@@ -39,12 +40,20 @@ object ExtractPipeline {
   final case class ExtractResult(outputRoot: String, tables: Seq[TableResult],
       watermark: Watermark)
 
+  /** Work-lists at or above this size are written by [[writeBulk]] (one
+    * distributed job) instead of the per-partition loop; the loop keeps
+    * tiny incremental runs cheap (no broadcast/range-join overhead) and
+    * mirrors the reference exactly.
+    */
+  val DefaultBulkThreshold = 16
+
   def extract(
       spark: SparkSession,
       source: EntitySource,
       config: ExtractConfig,
       outputLocation: String,
-      nowMillis: Long = System.currentTimeMillis()): ExtractResult = {
+      nowMillis: Long = System.currentTimeMillis(),
+      bulkThreshold: Int = DefaultBulkThreshold): ExtractResult = {
     val conf = spark.sparkContext.hadoopConfiguration
     val cat = source.catalog(spark).getOrElse(config.subgraph,
       throw new IllegalArgumentException(
@@ -71,13 +80,15 @@ object ExtractPipeline {
       val work = Partitioner.worklist(newPlan, oldPlan)
       val types = source.columnTypes(spark, cat.schemaName, table)
       val tDir = Partitioner.tableDir(root, config.subgraph, table)
-      work.foreach { p =>
-        val raw = source.scanRange(spark, cat.schemaName, table, p.start, p.end)
-        val converted = Transforms.convertColumns(raw, types, tc)
+      def convert(raw: DataFrame): DataFrame =
+        Transforms.convertColumns(raw, types, tc)
+      if (work.size >= bulkThreshold)
+        writeBulk(spark, source, cat.schemaName, table, convert, work, tDir)
+      else work.foreach { p =>
         // O1 determinism: one sorted fragment per partition directory
         // (partition tier sizing — not file-count knobs — controls
         // fragment size, mirroring the reference's one-file contract).
-        converted
+        convert(source.scanRange(spark, cat.schemaName, table, p.start, p.end))
           .repartition(1)
           .sortWithinPartitions(Transforms.BlockColumn)
           .write.mode("overwrite")
@@ -93,5 +104,56 @@ object ExtractPipeline {
       cat.earliestBlock, cat.latestBlock)
     Watermark.commit(root, wm, conf)
     ExtractResult(root, results, wm)
+  }
+
+  /** Bulk sink: the whole work-list in ONE distributed job. One scan
+    * covers the union range (predicate still pushed down); rows are
+    * tagged with their target partition via a broadcast range-join
+    * against the (tiny) plan; a hash repartition on the partition key
+    * puts each partition's rows in exactly one task, so the
+    * partitionBy writer emits the same one-sorted-fragment-per-
+    * directory layout as the loop. Dynamic partition overwrite replaces
+    * only the touched directories — old partitions are untouched, and
+    * crashed re-runs stay idempotent.
+    *
+    * At 100 TB this is the difference between thousands of serialized
+    * driver-scheduled jobs and one job whose tasks fan out across the
+    * cluster. (The largest tier bounds per-task data — tier sizing is
+    * the skew control.)
+    */
+  private def writeBulk(
+      spark: SparkSession,
+      source: EntitySource,
+      schemaName: String,
+      table: String,
+      convert: DataFrame => DataFrame,
+      work: Vector[Partition],
+      tDir: String): Unit = {
+    import spark.implicits._
+    val lo = work.map(_.start).min
+    val hi = work.map(_.end).max
+    val plan = work.map(p => (p.size, p.start, p.end))
+      .toDF("partition_size", "start_partition", "end_partition")
+    val converted = convert(source.scanRange(spark, schemaName, table, lo, hi))
+    converted
+      .join(broadcast(plan),
+        col(Transforms.BlockColumn) >= col("start_partition") &&
+          col(Transforms.BlockColumn) < col("end_partition"))
+      .repartition(col("partition_size"), col("start_partition"))
+      .sortWithinPartitions("partition_size", "start_partition", Transforms.BlockColumn)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("partition_size", "start_partition", "end_partition")
+      .parquet(tDir)
+    // partitionBy skips empty partitions; the schema-preserving empty
+    // fragment contract (E7) still holds — fill the gaps explicitly.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val emptyDf = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], converted.schema)
+    work.foreach { p =>
+      val dir = Partitioner.partitionDir(tDir, p)
+      if (!Fs.exists(dir, conf))
+        emptyDf.coalesce(1).write.mode("overwrite").parquet(dir)
+    }
   }
 }

@@ -168,6 +168,63 @@ class ExtractPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(fields("_block_number") === LongType)
   }
 
+  test("bulk writer produces the loop writer's exact layout and content") {
+    val src = tmp(); val outLoop = tmp(); val outBulk = tmp()
+    GraphNodeFixture.write(spark, src, FullLatest)
+    val rLoop = ExtractPipeline.extract(spark, new ParquetEntitySource(src),
+      config(), outLoop, 1L, bulkThreshold = Int.MaxValue)
+    val rBulk = ExtractPipeline.extract(spark, new ParquetEntitySource(src),
+      config(), outBulk, 1L, bulkThreshold = 1)
+    assert(rLoop.tables.head.written === rBulk.tables.head.written)
+
+    // identical partition directory sets
+    def dirs(out: String): Set[String] = {
+      val base = java.nio.file.Paths.get(tableDir(out))
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("end_partition="))
+        .map(p => base.relativize(p).toString).toSet
+    }
+    assert(dirs(outLoop) === dirs(outBulk))
+    assert(dirs(outLoop).nonEmpty)
+
+    // identical content, including per-fragment sort order (binary
+    // columns hex-encoded — Row.toString prints array identity)
+    def rows(out: String) = {
+      val df = spark.read.parquet(tableDir(out))
+      df.select(df.schema.fields.map { f =>
+        if (f.dataType == BinaryType)
+          org.apache.spark.sql.functions.hex(df(f.name)).as(f.name)
+        else df(f.name)
+      }.toIndexedSeq: _*).orderBy("_block_number").collect()
+    }
+    val a = rows(outLoop)
+    val b = rows(outBulk)
+    assert(a.map(_.toString) === b.map(_.toString))
+    assert(a.length === 6)
+    assert(MetadataSink.rowCountFromMetadata(tableDir(outBulk),
+      spark.sparkContext.hadoopConfiguration) === 6)
+  }
+
+  test("bulk incremental run only replaces its own partitions (dynamic overwrite)") {
+    val src = tmp(); val out = tmp()
+    GraphNodeFixture.write(spark, src, PartialLatest)
+    val r1 = ExtractPipeline.extract(spark, new ParquetEntitySource(src),
+      config(), out, 1L, bulkThreshold = 1)
+    GraphNodeFixture.write(spark, src, FullLatest)
+    val r2 = ExtractPipeline.extract(spark, new ParquetEntitySource(src),
+      config(), out, 2L, bulkThreshold = 1)
+    assert(r1.tables.head.written.toSet.intersect(
+      r2.tables.head.written.toSet).isEmpty)
+    // first-run partitions survived the second bulk write
+    r1.tables.head.written.foreach { p =>
+      assert(graft.sinks.Fs.exists(
+        Partitioner.partitionDir(tableDir(out), p),
+        spark.sparkContext.hadoopConfiguration))
+    }
+    assert(spark.read.parquet(tableDir(out)).count() === 6)
+  }
+
   test("config drift aborts (K4)") {
     val src = tmp(); val out = tmp()
     GraphNodeFixture.write(spark, src, FullLatest)
