@@ -247,6 +247,77 @@ object EventAnalytics {
       |GROUP BY o_orderkey
       |ORDER BY revenue_e4 DESC, o_orderkey LIMIT 10""".stripMargin
 
+  /** TPC-H Q5 shape: six-table join — dimensions broadcast down the
+    * chain, the orders⋈lineitem shuffle keyed on the order key, revenue
+    * summed per nation only where supplier and customer share the
+    * nation (the classic local-supplier-volume semantics).
+    */
+  def q5LocalSupplier(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d).select(
+      col("l_orderkey"), col("l_suppkey"),
+      (dec2(col("l_extendedprice")) * 100).cast(LongType).as("price_c"),
+      (dec2(col("l_discount")) * 100).cast(LongType).as("disc_pct"))
+    li.join(Tables.orders(spark, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, d).select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, d).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(spark, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(sum(expr("price_c * (100 - disc_pct)")).cast(DecimalType(38, 0))
+          .as("revenue_e4"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val q5LocalSupplierSql: String =
+    """SELECT r_name, n_name,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |         * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS DECIMAL(38,0)) AS revenue_e4,
+      |  count(*) AS n_lineitems
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** Sliding window frame: 7-row trailing revenue average per day —
+    * ROWS BETWEEN frame semantics over an ordered daily series.
+    */
+  def windowFrames(spark: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(spark, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day_s"))
+      .agg(sum((dec2(col("value")) * 100).cast(LongType)).as("rev_c"))
+    daily
+      .withColumn("trailing_avg_c", expr(
+        """sum(rev_c) OVER (ORDER BY day_s ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+          | div count(rev_c) OVER (ORDER BY day_s ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"""
+          .stripMargin.replace("\n", "")))
+      .select(col("day_s"), col("rev_c").cast(DecimalType(38, 0)).as("rev_cents"),
+        col("trailing_avg_c"))
+      .orderBy("day_s")
+  }
+
+  val windowFramesSql: String =
+    """WITH daily AS (
+      |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_s,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_c
+      |  FROM events GROUP BY 1)
+      |SELECT day_s, CAST(rev_c AS DECIMAL(38,0)) AS rev_cents,
+      |  CAST(sum(rev_c) OVER w AS BIGINT)
+      |    // count(rev_c) OVER w AS trailing_avg_c
+      |FROM daily
+      |WINDOW w AS (ORDER BY day_s ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY day_s""".stripMargin
+
   /** Range (band) join: each lineitem priced into a value band via a
     * non-equi join against a tiny broadcast band table — the pattern
     * for histogram/banding joins; Spark plans a broadcast nested-loop,
@@ -317,6 +388,8 @@ object EventAnalytics {
       .orderBy("event_type")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q5_local_supplier" -> (q5LocalSupplier _),
+    "q_window_frames" -> (windowFrames _),
     "q_join_range" -> (joinRange _),
     "q_json_extract" -> (jsonExtract _),
     "q_hll_distinct" -> (hllDistinct _),
@@ -329,6 +402,8 @@ object EventAnalytics {
     "q3_shipping" -> (q3Shipping _))
 
   val oracles: Map[String, String] = Map(
+    "q5_local_supplier" -> q5LocalSupplierSql,
+    "q_window_frames" -> windowFramesSql,
     "q_join_range" -> joinRangeSql,
     "q_json_extract" -> jsonExtractSql,
     // q_hll_distinct intentionally has no oracle (sketches differ)
