@@ -38,6 +38,13 @@ object GraftFunctions {
   /** text → distinct 3-gram shingles (null when none). */
   def shingle_set(c: Column): Column = toCol(ShingleSet(toExpr(c)))
 
+  /** text → canonical content-hash (token-normalized sha256 hex). */
+  def content_hash(c: Column): Column = toCol(ContentHash(toExpr(c)))
+
+  /** text → [n_tokens, sum_token_chars, stopword_hits, n_distinct]. */
+  def text_stats(c: Column, stopwords: Seq[String]): Column =
+    toCol(TextStats(toExpr(c), stopwords))
+
   def registerAll(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction(

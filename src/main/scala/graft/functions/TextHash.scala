@@ -119,6 +119,33 @@ object TextHash {
       UTF8String.fromString(sh.length.toString)))
   }
 
+  /** Per-document token statistics in one pass:
+    * [n_tokens, sum_token_chars, stopword_hits, n_distinct_tokens].
+    */
+  def textStats(text: UTF8String, stopwords: Array[String]): ArrayData = {
+    val toks = tokens(text.toString)
+    val stop = stopwords.toSet
+    var sumLen = 0L
+    var stopHits = 0L
+    val distinct = new java.util.HashSet[String]()
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      sumLen += t.length
+      if (stop.contains(t)) stopHits += 1
+      distinct.add(t)
+      i += 1
+    }
+    new GenericArrayData(Array(toks.length.toLong, sumLen, stopHits,
+      distinct.size.toLong))
+  }
+
+  /** Canonical content hash: sha256 over the single-space token join —
+    * whitespace/punctuation-insensitive exact-dedup key.
+    */
+  def contentHash(text: UTF8String): UTF8String =
+    UTF8String.fromString(sha256Hex(tokens(text.toString).mkString(" ")))
+
   /** Distinct 3-gram shingles in first-occurrence order (order is
     * irrelevant to the set-size consumers). Null when no shingles.
     */
@@ -203,6 +230,38 @@ case class TextFingerprint(child: Expression)
          |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin
     })
   override protected def withNewChildInternal(newChild: Expression): TextFingerprint =
+    copy(child = newChild)
+}
+
+/** text → [n_tokens, sum_token_chars, stopword_hits, n_distinct]. */
+case class TextStats(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression with TextStringInput {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "text_stats"
+
+  @transient private lazy val stopArr = stopwords.toArray
+
+  override def nullSafeEval(v: Any): Any =
+    TextHash.textStats(v.asInstanceOf[UTF8String], stopArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopwords", stopArr, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c => s"$helperName.textStats($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): TextStats =
+    copy(child = newChild)
+}
+
+/** text → canonical content-hash hex (never null for non-null input). */
+case class ContentHash(child: Expression)
+    extends UnaryExpression with TextStringInput {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "content_hash"
+  override def nullSafeEval(v: Any): Any =
+    TextHash.contentHash(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$helperName.contentHash($c)")
+  override protected def withNewChildInternal(newChild: Expression): ContentHash =
     copy(child = newChild)
 }
 

@@ -107,7 +107,7 @@ object Dedup {
   def dedupExact(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
       .select(col("doc_id"),
-        sha2(expr(s"concat_ws(' ', $tokensSpark)"), 256).as("content_hash"))
+        graft.functions.GraftFunctions.content_hash(col("text")).as("content_hash"))
       .groupBy("content_hash")
       .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
       .orderBy("keeper_doc_id")
@@ -126,7 +126,8 @@ object Dedup {
   def dedupKeepCanonical(spark: SparkSession, d: String): DataFrame = {
     val hashed = Tables.documents(spark, d)
       .select(col("doc_id"), col("lang"), col("source"),
-        sha2(expr(s"concat_ws(' ', $tokensSpark)"), 256).as("content_hash"))
+        graft.functions.GraftFunctions.content_hash(col("text")).as("content_hash"))
+      .persist() // feeds both the keeper aggregation and the semi-join
     val keepers = hashed.groupBy("content_hash")
       .agg(min("doc_id").as("doc_id"))
       .select("doc_id")

@@ -77,17 +77,17 @@ object TextAnalysis {
     */
   def textQuality(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
-      .withColumn("toks", expr(tokensSpark))
-      .withColumn("n_toks", size(col("toks")).cast(LongType))
+      // compiled single pass: [n_tokens, sum_chars, stop_hits, n_distinct]
+      .withColumn("st",
+        graft.functions.GraftFunctions.text_stats(col("text"), Stopwords))
+      .withColumn("n_toks", col("st").getItem(0))
       .where(col("n_toks") > 0)
       .select(
         col("doc_id"),
         col("n_toks"),
-        expr("aggregate(transform(toks, t -> length(t)), 0L, (a, x) -> a + x) * 100 div n_toks")
-          .as("avg_token_len_e2"),
-        expr(s"size(filter(toks, t -> t IN (${inList(Stopwords)}))) * 10000L div n_toks")
-          .as("stopword_ratio_e4"),
-        expr("size(array_distinct(toks)) * 10000L div n_toks").as("type_token_e4"),
+        expr("st[1] * 100 div n_toks").as("avg_token_len_e2"),
+        expr("st[2] * 10000L div n_toks").as("stopword_ratio_e4"),
+        expr("st[3] * 10000L div n_toks").as("type_token_e4"),
         (col("n_chars") >= 100 && col("n_chars") <= 20000).as("len_ok"))
       .orderBy("doc_id")
 

@@ -64,6 +64,37 @@ class TextHashSpec extends AnyFunSuite with SparkTestBase {
     assert(compiled.map(_.toString) === declarative.map(_.toString))
   }
 
+  test("ContentHash equals sha2 over the token join") {
+    val declarative = docs
+      .select(col("doc_id"),
+        sha2(expr(s"concat_ws(' ', ${TextAnalysis.tokensSpark})"), 256).as("h"))
+      .orderBy("doc_id").collect()
+    val compiled = docs
+      .select(col("doc_id"), GraftFunctions.content_hash(col("text")).as("h"))
+      .orderBy("doc_id").collect()
+    assert(compiled.map(_.toString) === declarative.map(_.toString))
+  }
+
+  test("TextStats equals the declarative token statistics") {
+    val stop = Seq("the", "a", "of", "and", "is", "to", "in")
+    val inList = stop.map(w => s"'$w'").mkString(", ")
+    val declarative = docs
+      .withColumn("toks", expr(TextAnalysis.tokensSpark))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n"),
+        expr("aggregate(transform(toks, t -> length(t)), 0L, (a, x) -> a + x)").as("len"),
+        expr(s"size(filter(toks, t -> t IN ($inList)))").cast("long").as("stop"),
+        expr("size(array_distinct(toks))").cast("long").as("dist"))
+      .orderBy("doc_id").collect()
+    val compiled = docs
+      .withColumn("st", GraftFunctions.text_stats(col("text"), stop))
+      .select(col("doc_id"), col("st").getItem(0).as("n"),
+        col("st").getItem(1).as("len"), col("st").getItem(2).as("stop"),
+        col("st").getItem(3).as("dist"))
+      .orderBy("doc_id").collect()
+    assert(compiled.map(_.toString) === declarative.map(_.toString))
+  }
+
   test("SimHash16 equals the declarative bit-vote pipeline") {
     val declarative = docs
       .withColumn("toks", expr(TextAnalysis.tokensSpark))
