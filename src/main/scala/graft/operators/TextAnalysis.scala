@@ -182,13 +182,33 @@ object TextAnalysis {
        |  CAST(len(shingles) AS BIGINT) AS n_shingles
        |FROM s WHERE len(shingles) > 0 ORDER BY doc_id""".stripMargin
 
+  /** Corpus vocabulary: token document-frequency and collection-
+    * frequency, top-50 — the explode→groupBy shape (one shuffle on the
+    * token; map-side partial counts keep the explosion from ever being
+    * materialized through the exchange).
+    */
+  def textVocab(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), explode(expr(tokensSpark)).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("coll_freq"), countDistinct("doc_id").as("doc_freq"))
+      .orderBy(col("coll_freq").desc, col("token"))
+      .limit(50)
+
+  val textVocabSql: String =
+    s"""SELECT token, count(*) AS coll_freq, count(DISTINCT doc_id) AS doc_freq
+       |FROM (SELECT doc_id, unnest($tokensDuck) AS token FROM documents)
+       |GROUP BY token ORDER BY coll_freq DESC, token LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_vocab" -> (textVocab _),
     "q_text_tokens" -> (textTokens _),
     "q_text_quality" -> (textQuality _),
     "q_text_langid" -> (textLangId _),
     "q_text_fingerprint" -> (textFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_text_vocab" -> textVocabSql,
     "q_text_tokens" -> textTokensSql,
     "q_text_quality" -> textQualitySql,
     "q_text_langid" -> textLangIdSql,
