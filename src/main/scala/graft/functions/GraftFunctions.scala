@@ -45,6 +45,10 @@ object GraftFunctions {
   def text_stats(c: Column, stopwords: Seq[String]): Column =
     toCol(TextStats(toExpr(c), stopwords))
 
+  /** (array<float>, array<float>) → floor(cosine * 1e6) as long. */
+  def cosine_e6(a: Column, b: Column): Column =
+    toCol(CosineSimE6(toExpr(a), toExpr(b)))
+
   def registerAll(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction(

@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Compiled vector kernels for the embedding operators.
+  *
+  * Semantics are EXACTLY the declarative form shared with the DuckDB
+  * oracles (see operators.Similarity): float elements widened to
+  * double, dot/norms accumulated left-to-right in index order,
+  * `cos = dot / sqrt(na * nb)`, emitted as `floor(cos * 1e6)` BIGINT —
+  * bit-for-bit what `aggregate(zip_with(...))` computes, minus the
+  * per-element interpreted lambda frames.
+  */
+object VectorOps {
+
+  /** floor(1e6 * cosine) over two float arrays; null on length
+    * mismatch or zero norm (same as the declarative NaN/零 guard-free
+    * behavior: division by zero yields NaN → floor → overflow; we
+    * return null instead, and inputs in this dataset never hit it).
+    */
+  def cosineE6(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na * nb)
+    if (denom == 0.0) return null
+    math.floor(dot / denom * 1000000).toLong
+  }
+}
+
+/** (array<float>, array<float>) → floor(cosine * 1e6) as long. */
+case class CosineSimE6(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_e6"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"expected two array<float>, got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val r = VectorOps.cosineE6(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (r == null) null else r.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = VectorOps.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""java.lang.Long r = $helper.cosineE6($a, $b);
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.longValue(); }"""
+        .stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimE6 =
+    copy(left = newLeft, right = newRight)
+}

@@ -124,14 +124,15 @@ object Dedup {
     * is its diagnostics twin).
     */
   def dedupKeepCanonical(spark: SparkSession, d: String): DataFrame = {
-    val hashed = Tables.documents(spark, d)
+    import org.apache.spark.sql.expressions.Window
+    // one shuffle on content_hash; rank-1 row per group IS the semi-join
+    // against min-doc_id keepers, without a second pass over the corpus
+    Tables.documents(spark, d)
       .select(col("doc_id"), col("lang"), col("source"),
         graft.functions.GraftFunctions.content_hash(col("text")).as("content_hash"))
-      .persist() // feeds both the keeper aggregation and the semi-join
-    val keepers = hashed.groupBy("content_hash")
-      .agg(min("doc_id").as("doc_id"))
-      .select("doc_id")
-    hashed.join(keepers, Seq("doc_id"), "left_semi")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("content_hash").orderBy("doc_id")))
+      .where(col("rn") === 1)
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
   }

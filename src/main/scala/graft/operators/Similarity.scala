@@ -30,14 +30,20 @@ import graft.sources.Tables
 object Similarity {
 
   /** Sequential-fold dot product of two float-array columns in double
-    * precision (matches DuckDB's list_dot_product on DOUBLE[]).
+    * precision (matches DuckDB's list_dot_product on DOUBLE[]). Kept as
+    * the declarative reference semantics; the queries use the compiled
+    * [[graft.functions.CosineSimE6]] kernel, pinned to this form by
+    * VectorOpsSpec.
     */
-  private def dotExpr(a: String, b: String): String =
+  def dotExpr(a: String, b: String): String =
     s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)"
 
   /** cos(a,b) = dot/(sqrt(na*nb)) — same association on both engines. */
-  private def cosE6(a: String, b: String): Column =
+  def cosE6Declarative(a: String, b: String): Column =
     expr(s"cast(floor(${dotExpr(a, b)} / sqrt(${dotExpr(a, a)} * ${dotExpr(b, b)}) * 1000000) as bigint)")
+
+  private def cosE6(a: String, b: String): Column =
+    graft.functions.GraftFunctions.cosine_e6(col(a), col(b))
 
   private def cosE6Duck(a: String, b: String): String =
     s"""CAST(floor(list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))
@@ -198,8 +204,13 @@ object Similarity {
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cosE6("a.embedding", "b.embedding").as("cos_e6"))
+        cosE6("a.embedding", "b.embedding").as("cos_e6"),
+        // pushdown barrier: without it, PushDownPredicates substitutes
+        // the threshold filter through the alias and the cosine is
+        // evaluated twice (once in Filter, once in Project)
+        monotonically_increasing_id().as("_mid"))
       .where(col("cos_e6") >= 300000L)
+      .drop("_mid")
       .orderBy("vec_a", "vec_b")
   }
 
