@@ -22,6 +22,10 @@ object GraftFunctions {
   def uint256_div(c: Column, divisor: Long): Column =
     toCol(Uint256DivLong(toExpr(c), divisor))
 
+  /** carrier ÷ carrier (null on zero divisor). */
+  def uint256_div(c: Column, divisor: Column): Column =
+    toCol(Uint256Div(toExpr(c), toExpr(divisor)))
+
   /** carrier → 64-char uppercase hex (composes built-ins; stays codegen'd). */
   def uint256_hex(c: Column): Column = hex(c)
 

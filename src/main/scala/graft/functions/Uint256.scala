@@ -76,6 +76,14 @@ object Uint256 {
 
   def divide(b: Array[Byte], divisor: Array[Byte]): Array[Byte] =
     encode(decode(b).divide(decode(divisor)))
+
+  /** Codegen target for [[Uint256Div]]: null (not ArithmeticException)
+    * on zero divisor.
+    */
+  def divideOrNull(b: Array[Byte], divisor: Array[Byte]): Array[Byte] = {
+    val d = decode(divisor)
+    if (d.signum() == 0) null else encode(decode(b).divide(d))
+  }
 }
 
 /** numeric (decimal / string / integral) → 32-byte big-endian binary. */
@@ -161,6 +169,41 @@ case class Uint256RoundTrip(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Uint256RoundTrip =
     copy(child = newChild)
+}
+
+/** Floor-divide one carrier by another (column divisor — e.g. token
+  * amounts divided by per-row decimals). Null on division by zero.
+  */
+case class Uint256Div(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "uint256_div_col"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(s"expected (binary, binary), got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val d = Uint256.decode(b.asInstanceOf[Array[Byte]])
+    if (d.signum() == 0) null
+    else Uint256.encode(
+      Uint256.decode(a.asInstanceOf[Array[Byte]]).divide(d))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = Uint256.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""byte[] r = $helper.divideOrNull($a, $b);
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }""".stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Uint256Div =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Floor-divide the carrier by a positive long divisor (downscale). */

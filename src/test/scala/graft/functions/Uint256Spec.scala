@@ -68,6 +68,16 @@ class Uint256Spec extends AnyFunSuite {
     }
   }
 
+  test("carrier/carrier division matches BigInteger; zero divisor is null") {
+    forAll(genUint256, genUint256) { (x, y) =>
+      val r = Uint256.divideOrNull(Uint256.encode(x), Uint256.encode(y))
+      if (y.signum() == 0) assert(r === null)
+      else assert(Uint256.decode(r) === x.divide(y))
+    }
+    assert(Uint256.divideOrNull(Uint256.encode(BigInteger.TEN),
+      Uint256.encode(BigInteger.ZERO)) === null)
+  }
+
   test("negative and oversized values are rejected") {
     assertThrows[IllegalArgumentException](Uint256.encode(BigInteger.valueOf(-1)))
     assertThrows[IllegalArgumentException](
