@@ -247,6 +247,33 @@ object EventAnalytics {
       |GROUP BY o_orderkey
       |ORDER BY revenue_e4 DESC, o_orderkey LIMIT 10""".stripMargin
 
+  /** Salted two-phase aggregation: the skew-safe shape for hot keys at
+    * 100 TB. Phase 1 aggregates on (key, salt) — a hot key's rows split
+    * across SaltBuckets reducers — phase 2 merges the partials per key.
+    * Results are EXACTLY the plain GROUP BY (integer sums are
+    * associative), which is what the oracle checks; only the shuffle
+    * distribution differs. Salt is derived deterministically from
+    * event_id so re-runs are stable.
+    */
+  def aggSalted(spark: SparkSession, d: String): DataFrame = {
+    val SaltBuckets = 8
+    Tables.events(spark, d)
+      .select(col("user_id"),
+        (col("event_id") % SaltBuckets).as("salt"),
+        (dec2(col("value")) * 100).cast(LongType).as("cents"))
+      .groupBy("user_id", "salt")
+      .agg(count(lit(1)).as("n_partial"), sum("cents").as("cents_partial"))
+      .groupBy("user_id")
+      .agg(sum("n_partial").as("n_events"),
+        sum("cents_partial").cast(DecimalType(38, 0)).as("sum_value_cents"))
+      .orderBy("user_id")
+  }
+
+  val aggSaltedSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DECIMAL(38,0)) AS sum_value_cents
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** TPC-H Q5 shape: six-table join — dimensions broadcast down the
     * chain, the orders⋈lineitem shuffle keyed on the order key, revenue
     * summed per nation only where supplier and customer share the
@@ -389,6 +416,7 @@ object EventAnalytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q5_local_supplier" -> (q5LocalSupplier _),
+    "q_agg_salted" -> (aggSalted _),
     "q_window_frames" -> (windowFrames _),
     "q_join_range" -> (joinRange _),
     "q_json_extract" -> (jsonExtract _),
@@ -403,6 +431,7 @@ object EventAnalytics {
 
   val oracles: Map[String, String] = Map(
     "q5_local_supplier" -> q5LocalSupplierSql,
+    "q_agg_salted" -> aggSaltedSql,
     "q_window_frames" -> windowFramesSql,
     "q_join_range" -> joinRangeSql,
     "q_json_extract" -> jsonExtractSql,
