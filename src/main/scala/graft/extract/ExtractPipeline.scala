@@ -140,7 +140,11 @@ object ExtractPipeline {
         col(Transforms.BlockColumn) >= col("start_partition") &&
           col(Transforms.BlockColumn) < col("end_partition"))
       .repartition(col("partition_size"), col("start_partition"))
-      .sortWithinPartitions("partition_size", "start_partition", Transforms.BlockColumn)
+      // the sort MUST lead with every partitionBy column: FileFormatWriter
+      // otherwise inserts its own (unstable) sort on the partition keys
+      // and the within-fragment block order is lost
+      .sortWithinPartitions("partition_size", "start_partition",
+        "end_partition", Transforms.BlockColumn)
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("partition_size", "start_partition", "end_partition")

@@ -95,7 +95,10 @@ object StreamingExtract {
       .localCheckpoint(true)
     merged
       .repartition(col("start_partition"))
-      .sortWithinPartitions("start_partition", Transforms.BlockColumn)
+      // sort must lead with every partitionBy column or FileFormatWriter
+      // re-sorts (unstably) on the partition keys alone
+      .sortWithinPartitions("partition_size", "start_partition",
+        "end_partition", Transforms.BlockColumn)
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("partition_size", "start_partition", "end_partition")
