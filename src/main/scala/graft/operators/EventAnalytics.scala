@@ -31,8 +31,7 @@ object EventAnalytics {
         col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum((dec2(col("value")) * 100).cast(LongType)).cast(DecimalType(38, 0))
-          .as("sum_value_cents"),
+        sum((dec2(col("value")) * 100).cast(LongType)).as("sum_value_cents"),
         countDistinct("user_id").as("n_users"))
       .select(
         date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_s"),
@@ -43,7 +42,7 @@ object EventAnalytics {
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s,
       |  event_type,
       |  count(*) AS n_events,
-      |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DECIMAL(38,0)) AS sum_value_cents,
+      |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_value_cents,
       |  count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1, 2 ORDER BY hour_s, event_type""".stripMargin
 
@@ -96,8 +95,7 @@ object EventAnalytics {
       .groupBy("user_id")
       .agg(
         count(lit(1)).as("n_events"),
-        sum((dec2(col("value")) * 100).cast(LongType)).cast(DecimalType(38, 0))
-          .as("sum_value_cents"),
+        sum((dec2(col("value")) * 100).cast(LongType)).as("sum_value_cents"),
         countDistinct("event_type").as("n_types"))
       .withColumn("rank", row_number().over(
         Window.orderBy(col("n_events").desc, col("user_id"))))
@@ -107,7 +105,7 @@ object EventAnalytics {
   val eventsUserStatsSql: String =
     """WITH u AS (
       |  SELECT user_id, count(*) AS n_events,
-      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DECIMAL(38,0)) AS sum_value_cents,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_value_cents,
       |    count(DISTINCT event_type) AS n_types
       |  FROM events GROUP BY user_id)
       |SELECT user_id, n_events, sum_value_cents, n_types,
@@ -164,7 +162,7 @@ object EventAnalytics {
     Tables.region(spark, d).createOrReplaceTempView("region_v")
     spark.sql(
       """SELECT /*+ BROADCAST(n), BROADCAST(r) */ r_name, n_name,
-        |  CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DECIMAL(38,0)) AS sum_acctbal_cents,
+        |  CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_acctbal_cents,
         |  count(*) AS n_customers,
         |  CAST(grouping(r_name) * 2 + grouping(n_name) AS BIGINT) AS grouping_level
         |FROM customer_v c
@@ -176,7 +174,7 @@ object EventAnalytics {
 
   val aggRollupSql: String =
     """SELECT r_name, n_name,
-      |  CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DECIMAL(38,0)) AS sum_acctbal_cents,
+      |  CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_acctbal_cents,
       |  count(*) AS n_customers,
       |  CAST(grouping(r_name) * 2 + grouping(n_name) AS BIGINT) AS grouping_level
       |FROM customer
@@ -228,8 +226,7 @@ object EventAnalytics {
       .join(li, col("o_orderkey") === col("l_orderkey"))
       .groupBy("o_orderkey")
       .agg(
-        sum(expr("price_c * (100 - disc_pct)")).cast(DecimalType(38, 0))
-          .as("revenue_e4"),
+        sum(expr("price_c * (100 - disc_pct)")).as("revenue_e4"),
         min(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("orderdate_s"))
       .orderBy(col("revenue_e4").desc, col("o_orderkey"))
       .limit(10)
@@ -238,7 +235,7 @@ object EventAnalytics {
   val q3ShippingSql: String =
     """SELECT o_orderkey,
       |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-      |         * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS DECIMAL(38,0)) AS revenue_e4,
+      |         * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS revenue_e4,
       |  min(strftime(o_orderdate, '%Y-%m-%d')) AS orderdate_s
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
@@ -265,13 +262,13 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_partial"), sum("cents").as("cents_partial"))
       .groupBy("user_id")
       .agg(sum("n_partial").as("n_events"),
-        sum("cents_partial").cast(DecimalType(38, 0)).as("sum_value_cents"))
+        sum("cents_partial").as("sum_value_cents"))
       .orderBy("user_id")
   }
 
   val aggSaltedSql: String =
     """SELECT user_id, count(*) AS n_events,
-      |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DECIMAL(38,0)) AS sum_value_cents
+      |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_value_cents
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** TPC-H Q5 shape: six-table join — dimensions broadcast down the
@@ -296,8 +293,7 @@ object EventAnalytics {
       .join(broadcast(Tables.region(spark, d)),
         col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
-      .agg(sum(expr("price_c * (100 - disc_pct)")).cast(DecimalType(38, 0))
-          .as("revenue_e4"),
+      .agg(sum(expr("price_c * (100 - disc_pct)")).as("revenue_e4"),
         count(lit(1)).as("n_lineitems"))
       .orderBy("r_name", "n_name")
   }
@@ -305,7 +301,7 @@ object EventAnalytics {
   val q5LocalSupplierSql: String =
     """SELECT r_name, n_name,
       |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-      |         * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS DECIMAL(38,0)) AS revenue_e4,
+      |         * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS revenue_e4,
       |  count(*) AS n_lineitems
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -328,7 +324,7 @@ object EventAnalytics {
         """sum(rev_c) OVER (ORDER BY day_s ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
           | div count(rev_c) OVER (ORDER BY day_s ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"""
           .stripMargin.replace("\n", "")))
-      .select(col("day_s"), col("rev_c").cast(DecimalType(38, 0)).as("rev_cents"),
+      .select(col("day_s"), col("rev_c").as("rev_cents"),
         col("trailing_avg_c"))
       .orderBy("day_s")
   }
@@ -338,7 +334,7 @@ object EventAnalytics {
       |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_s,
       |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_c
       |  FROM events GROUP BY 1)
-      |SELECT day_s, CAST(rev_c AS DECIMAL(38,0)) AS rev_cents,
+      |SELECT day_s, rev_c AS rev_cents,
       |  CAST(sum(rev_c) OVER w AS BIGINT)
       |    // count(rev_c) OVER w AS trailing_avg_c
       |FROM daily
@@ -363,7 +359,7 @@ object EventAnalytics {
         col("cents") >= col("lo_cents") && col("cents") < col("hi_cents"))
       .groupBy("band")
       .agg(count(lit(1)).as("n_items"),
-        sum("cents").cast(DecimalType(38, 0)).as("sum_cents"))
+        sum("cents").as("sum_cents"))
       .orderBy("band")
   }
 
@@ -374,7 +370,7 @@ object EventAnalytics {
       |li AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
       |       FROM lineitem)
       |SELECT band, count(*) AS n_items,
-      |  CAST(sum(cents) AS DECIMAL(38,0)) AS sum_cents
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM li JOIN bands ON cents >= lo_cents AND cents < hi_cents
       |GROUP BY band ORDER BY band""".stripMargin
 
@@ -389,7 +385,7 @@ object EventAnalytics {
         get_json_object(col("props"), "$.k").cast(LongType).as("k"))
       .where(col("k").isNotNull)
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sum("k").cast(DecimalType(38, 0)).as("sum_k"),
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
         min("k").as("min_k"), max("k").as("max_k"))
       .orderBy("event_type")
 
@@ -397,7 +393,7 @@ object EventAnalytics {
     """WITH j AS (SELECT event_type,
       |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       |           FROM events)
-      |SELECT event_type, count(*) AS n, CAST(sum(k) AS DECIMAL(38,0)) AS sum_k,
+      |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
       |  min(k) AS min_k, max(k) AS max_k
       |FROM j WHERE k IS NOT NULL
       |GROUP BY event_type ORDER BY event_type""".stripMargin

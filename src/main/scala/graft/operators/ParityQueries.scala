@@ -19,7 +19,12 @@ import graft.sources.Tables.dec2
   * Determinism rules shared with the DuckDB oracles (the driver
   * hash-compares values):
   *  - money doubles are cast to DECIMAL(18,2) before any arithmetic
-  *  - aggregates are emitted as DECIMAL(38,x) or BIGINT, never double
+  *  - FINAL output columns are only BIGINT / STRING / BOOLEAN (never
+  *    decimal or double): the driver reads Spark parquet via pyarrow
+  *    (DECIMAL -> python Decimal) but the oracle via DuckDB fetch
+  *    (DECIMAL -> float64), so a decimal column can never hash-match.
+  *    Exact decimals that exceed int64 are emitted as strings — the
+  *    scale-proof lossless path.
   *  - timestamps are emitted as formatted strings (micros truncation)
   *  - every query ends in a total ORDER BY
   */
@@ -38,13 +43,13 @@ object ParityQueries {
         col("_block_number"),
         col("user_id"),
         col("event_type"),
-        dec2(col("value")).as("value_dec"),
+        dec2(col("value")).cast(StringType).as("value_s"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"))
       .orderBy("_block_number")
 
   val s1RangeScanSql: String =
     """SELECT event_id AS _block_number, user_id, event_type,
-      |  CAST(value AS DECIMAL(18,2)) AS value_dec,
+      |  CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value_s,
       |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s
       |FROM events WHERE event_id >= 200 AND event_id < 800
       |ORDER BY _block_number""".stripMargin
@@ -66,12 +71,12 @@ object ParityQueries {
         col("c_name"),
         col("n_name"),
         col("r_name"),
-        dec2(col("c_acctbal")).as("acctbal_dec"))
+        dec2(col("c_acctbal")).cast(StringType).as("acctbal_s"))
       .orderBy("c_custkey")
 
   val s3CatalogJoinSql: String =
     """SELECT c_custkey, c_name, n_name, r_name,
-      |  CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal_dec
+      |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS acctbal_s
       |FROM customer
       |LEFT JOIN nation ON c_nationkey = n_nationkey
       |LEFT JOIN region ON n_regionkey = r_regionkey
@@ -95,13 +100,13 @@ object ParityQueries {
     Tables.part(spark, d)
       .select(
         col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
-        col("p_size"), dec2(col("p_retailprice")).as("retail_dec"))
+        col("p_size"), dec2(col("p_retailprice")).cast(StringType).as("retail_s"))
       .orderBy("p_partkey")
       .limit(10)
 
   val s5PreviewSql: String =
     """SELECT p_partkey, p_name, p_brand, p_type, p_size,
-      |  CAST(p_retailprice AS DECIMAL(18,2)) AS retail_dec
+      |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS VARCHAR) AS retail_s
       |FROM part ORDER BY p_partkey LIMIT 10""".stripMargin
 
   /** E1 (cli.py:115-119): documented-lossy downscale — integer floor
@@ -155,7 +160,8 @@ object ParityQueries {
         hex(GraftFunctions.uint256_div(
           GraftFunctions.uint256_encode(col("cents")), 1000L)).as("kilocents_u256_hex"),
         GraftFunctions.uint256_to_decimal(
-          GraftFunctions.uint256_encode(col("cents"))).as("cents_roundtrip"))
+          GraftFunctions.uint256_encode(col("cents"))).cast(StringType)
+          .as("cents_roundtrip"))
       .orderBy("l_orderkey", "l_linenumber")
   }
 
@@ -163,7 +169,7 @@ object ParityQueries {
     """SELECT l_orderkey, l_linenumber,
       |  lpad(to_hex(cents), 64, '0') AS cents_u256_hex,
       |  lpad(to_hex(cents // 1000), 64, '0') AS kilocents_u256_hex,
-      |  CAST(cents AS DECIMAL(38,0)) AS cents_roundtrip
+      |  CAST(cents AS VARCHAR) AS cents_roundtrip
       |FROM (SELECT l_orderkey, l_linenumber,
       |        CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
       |      FROM lineitem)
@@ -176,15 +182,15 @@ object ParityQueries {
     Tables.orders(spark, d)
       .select(
         col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        dec2(col("o_totalprice")).as("total_dec"),
+        (dec2(col("o_totalprice")) * 100).cast(LongType).as("total_cents"),
         substring(col("o_orderpriority"), 1, 1).cast(IntegerType).as("priority_code"))
-      .orderBy(col("total_dec").desc, col("o_orderkey"))
+      .orderBy(col("total_cents").desc, col("o_orderkey"))
 
   val o1SortedProjectionSql: String =
     """SELECT o_orderkey, o_custkey, o_orderstatus,
-      |  CAST(o_totalprice AS DECIMAL(18,2)) AS total_dec,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS total_cents,
       |  CAST(substr(o_orderpriority, 1, 1) AS INT) AS priority_code
-      |FROM orders ORDER BY total_dec DESC, o_orderkey""".stripMargin
+      |FROM orders ORDER BY total_cents DESC, o_orderkey""".stripMargin
 
   /** Flagship aggregation (TPC-H Q1 shape): hash aggregate with partial
     * (map-side) combine on exact scaled integers; averages as integer
@@ -205,10 +211,13 @@ object ParityQueries {
           .cast(DecimalType(38, 0)).as("charge_e6"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum("qty_c").cast(DecimalType(38, 0)).as("sum_qty_cents"),
-        sum("price_c").cast(DecimalType(38, 0)).as("sum_price_cents"),
-        sum("disc_price_e4").cast(DecimalType(38, 0)).as("sum_disc_price_e4"),
-        sum("charge_e6").cast(DecimalType(38, 0)).as("sum_charge_e6"),
+        sum("qty_c").as("sum_qty_cents"),
+        sum("price_c").as("sum_price_cents"),
+        sum("disc_price_e4").as("sum_disc_price_e4"),
+        // charge_e6 sums as DECIMAL(38,0) (exact past int64 at scale);
+        // emitted as a string so both engines render identical digits.
+        sum("charge_e6").cast(DecimalType(38, 0)).cast(StringType)
+          .as("sum_charge_e6"),
         count(lit(1)).as("count_order"),
         expr("sum(qty_c) div count(1)").as("avg_qty_cents"),
         expr("sum(price_c) div count(1)").as("avg_price_cents"))
@@ -224,10 +233,10 @@ object ParityQueries {
       |    CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT) AS tax_pct
       |  FROM lineitem)
       |SELECT l_returnflag, l_linestatus,
-      |  CAST(sum(qty_c) AS DECIMAL(38,0)) AS sum_qty_cents,
-      |  CAST(sum(price_c) AS DECIMAL(38,0)) AS sum_price_cents,
-      |  CAST(sum(price_c * (100 - disc_pct)) AS DECIMAL(38,0)) AS sum_disc_price_e4,
-      |  CAST(sum(price_c * (100 - disc_pct) * (100 + tax_pct)) AS DECIMAL(38,0)) AS sum_charge_e6,
+      |  CAST(sum(qty_c) AS BIGINT) AS sum_qty_cents,
+      |  CAST(sum(price_c) AS BIGINT) AS sum_price_cents,
+      |  CAST(sum(price_c * (100 - disc_pct)) AS BIGINT) AS sum_disc_price_e4,
+      |  CAST(CAST(sum(price_c * (100 - disc_pct) * (100 + tax_pct)) AS DECIMAL(38,0)) AS VARCHAR) AS sum_charge_e6,
       |  count(*) AS count_order,
       |  CAST(sum(qty_c) AS BIGINT) // count(*) AS avg_qty_cents,
       |  CAST(sum(price_c) AS BIGINT) // count(*) AS avg_price_cents

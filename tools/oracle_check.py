@@ -1,17 +1,52 @@
 #!/usr/bin/env python3
-"""Mimic the driver's correctness gate: for each query dumped by
+"""Mimic the driver's correctness gate STRICTLY: for each query dumped by
 graft.Verify, run the DuckDB oracle SQL on the same parquet tables and
-compare row count, column names/types, and all values.
+compare row count, column names, and canonical string renderings of every
+value. The Spark side is read via pyarrow (like the driver), NOT via
+DuckDB — so type-representation drift (e.g. parquet DECIMAL -> python
+Decimal('3.50') vs DuckDB fetch -> float 3.5) is caught here instead of
+in the driver's hash compare.
 
 Usage: python3 tools/oracle_check.py <verify_out_dir> <sf_dir>
 """
+import glob
 import json
+import math
 import sys
+from decimal import Decimal
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v) -> str:
+    """Canonical string for a cell value, NaN/None-safe."""
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        return "<null>" if math.isnan(v) else repr(v)
+    if isinstance(v, np.floating):
+        f = float(v)
+        return "<null>" if math.isnan(f) else repr(f)
+    if isinstance(v, (np.integer, int)):
+        return str(int(v))
+    if isinstance(v, (np.bool_, bool)):
+        return str(bool(v))
+    if isinstance(v, (bytes, bytearray)):
+        return "0x" + bytes(v).hex()
+    if isinstance(v, Decimal):
+        return str(v)  # keeps scale: Decimal('3.50') -> '3.50'
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(canon(x) for x in v.tolist()) + "]"
+    if isinstance(v, list):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if v is pd.NaT:
+        return "<null>"
+    return str(v)
 
 
 def main(out_dir: str, sf_dir: str) -> int:
@@ -24,8 +59,9 @@ def main(out_dir: str, sf_dir: str) -> int:
     failures = 0
     for name, sql in sorted(oracles.items()):
         try:
-            spark_df = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+            files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+            spark_df = pd.concat(
+                [pd.read_parquet(p) for p in files], ignore_index=True)
         except Exception as e:
             print(f"FAIL {name}: cannot read spark output: {e}")
             failures += 1
@@ -49,20 +85,18 @@ def main(out_dir: str, sf_dir: str) -> int:
             continue
         mismatched = []
         for c in spark_df.columns:
-            a, b = spark_df[c], oracle_df[c]
-            eq = a.reset_index(drop=True).eq(b.reset_index(drop=True)) | (
-                a.isna().reset_index(drop=True) & b.isna().reset_index(drop=True))
-            if not bool(eq.all()):
-                bad = (~eq).idxmax()
+            a = [canon(v) for v in spark_df[c]]
+            b = [canon(v) for v in oracle_df[c]]
+            if a != b:
+                bad = next(i for i in range(len(a)) if a[i] != b[i])
                 mismatched.append(
-                    f"{c}[row {bad}]: spark={a.iloc[bad]!r} oracle={b.iloc[bad]!r}")
+                    f"{c}[row {bad}]: spark={a[bad]!r} oracle={b[bad]!r}")
         if mismatched:
             print(f"FAIL {name}: " + "; ".join(mismatched[:3]))
             failures += 1
         else:
             print(f"PASS {name} ({len(spark_df)} rows, "
                   f"{len(spark_df.columns)} cols)")
-    queries_without_oracle = set()  # informational only
     print(f"{'ALL PASS' if failures == 0 else f'{failures} FAILURES'} "
           f"({len(oracles)} oracles)")
     return 1 if failures else 0
