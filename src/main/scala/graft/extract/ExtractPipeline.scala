@@ -94,8 +94,13 @@ object ExtractPipeline {
           .write.mode("overwrite")
           .parquet(Partitioner.partitionDir(tDir, p))
       }
-      // K2: summary footer over every fragment currently in the table
-      val fragments = MetadataSink.writeMetadata(tDir, conf)
+      // Superseded partitions (smaller tiers now covered by a larger
+      // one after the range grew) are pruned so whole-directory readers
+      // never double-count; `_metadata` (K2) is then built from the
+      // CURRENT plan's partitions only, matching the reference
+      // (cli.py:328 writes it from the run's partition list).
+      MetadataSink.pruneStalePartitions(tDir, newPlan, conf)
+      val fragments = MetadataSink.writeMetadata(tDir, newPlan, conf)
       TableResult(table, work, fragments)
     }
 

@@ -7,6 +7,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.parquet.format.converter.ParquetMetadataConverter
 import org.apache.parquet.hadoop.{Footer, ParquetFileReader, ParquetFileWriter}
 
+import graft.plans.Partition
+
 /** `_metadata` summary sink (K2, reference cli.py:245-273): collect the
   * footer of every data fragment under a table directory and write one
   * combined `_metadata` file, so planners can enumerate row groups and
@@ -22,22 +24,93 @@ object MetadataSink {
   /** Collect footers of all `*.parquet` files under `tableDir`
     * (recursive, skipping `_`-prefixed files) and write
     * `tableDir/_metadata`. Returns the number of fragments summarized.
+    *
+    * Only safe when every fragment on disk belongs to the current plan —
+    * prefer [[writeMetadata(tableDir:String,plan:Seq[graft\.plans\.Partition],conf:org\.apache\.hadoop\.conf\.Configuration)*
+    * the plan-scoped overload]], which cannot double-count blocks when a
+    * grown range makes a larger tier supersede smaller partitions
+    * (reference writes `_metadata` from the current plan's partitions
+    * only, cli.py:328 + cli.py:245-273).
     */
   def writeMetadata(tableDir: String, conf: Configuration): Int = {
     val dir = new Path(tableDir)
     val fs = dir.getFileSystem(conf)
+    writeFooters(dir, listFragments(fs, dir, conf), conf)
+  }
+
+  /** Plan-scoped `_metadata`: summarize ONLY fragments inside the given
+    * plan's partition directories. Fragments of superseded partitions
+    * (a smaller tier now covered by a larger one) are excluded, so
+    * `_metadata`-driven readers never see a block twice even if stale
+    * directories still exist on disk.
+    */
+  def writeMetadata(tableDir: String, plan: Seq[Partition],
+      conf: Configuration): Int = {
+    val dir = new Path(tableDir)
+    val fs = dir.getFileSystem(conf)
+    val files = plan.map(p => new Path(dir, p.relativePath))
+      .filter(fs.exists)
+      .flatMap(pd => listFragments(fs, pd, conf))
+      .sortBy(_.toString)
+    writeFooters(dir, files, conf)
+  }
+
+  /** Delete partition directories under `tableDir` that are NOT in the
+    * current plan — the stale smaller-tier partitions left behind when a
+    * grown block range re-covers them with a larger tier. Returns the
+    * deleted directories. Safe to run after a successful extract: plan
+    * content is deterministic and the watermark is committed later, so a
+    * crash between write and prune just re-prunes next run.
+    */
+  def pruneStalePartitions(tableDir: String, plan: Seq[Partition],
+      conf: Configuration): Seq[String] = {
+    val dir = new Path(tableDir)
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return Nil
+    val keep = plan.map(_.relativePath).toSet
+    val stale = for {
+      sizeDir <- fs.listStatus(dir).toSeq if sizeDir.isDirectory &&
+        sizeDir.getPath.getName.startsWith("partition_size=")
+      startDir <- fs.listStatus(sizeDir.getPath).toSeq if startDir.isDirectory
+      endDir <- fs.listStatus(startDir.getPath).toSeq if endDir.isDirectory
+      rel = s"${sizeDir.getPath.getName}/${startDir.getPath.getName}/${endDir.getPath.getName}"
+      if !keep.contains(rel)
+    } yield endDir.getPath
+    stale.foreach(fs.delete(_, true))
+    // drop now-empty intermediate dirs so listings stay clean
+    for {
+      sizeDir <- fs.listStatus(dir).toSeq if sizeDir.isDirectory &&
+        sizeDir.getPath.getName.startsWith("partition_size=")
+      startDir <- fs.listStatus(sizeDir.getPath).toSeq if startDir.isDirectory
+      if fs.listStatus(startDir.getPath).isEmpty
+    } fs.delete(startDir.getPath, false)
+    for {
+      sizeDir <- fs.listStatus(dir).toSeq if sizeDir.isDirectory &&
+        sizeDir.getPath.getName.startsWith("partition_size=")
+      if fs.listStatus(sizeDir.getPath).isEmpty
+    } fs.delete(sizeDir.getPath, false)
+    stale.map(_.toString)
+  }
+
+  private def listFragments(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+      conf: Configuration): List[Path] = {
     val it = fs.listFiles(dir, true)
-    val files = Iterator.continually(it)
+    Iterator.continually(it)
       .takeWhile(_.hasNext).map(_.next()).toList
       .filter { s =>
         val n = s.getPath.getName
         n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
       }
-      .sortBy(_.getPath.toString)
-    val footers = files.map { s =>
-      val meta = ParquetFileReader.readFooter(conf, s.getPath,
+      .map(_.getPath)
+      .sortBy(_.toString)
+  }
+
+  private def writeFooters(dir: Path, files: Seq[Path],
+      conf: Configuration): Int = {
+    val footers = files.map { p =>
+      val meta = ParquetFileReader.readFooter(conf, p,
         ParquetMetadataConverter.NO_FILTER)
-      new Footer(s.getPath, meta)
+      new Footer(p, meta)
     }
     if (footers.nonEmpty)
       ParquetFileWriter.writeMetadataFile(conf, dir, footers.asJava)

@@ -37,6 +37,15 @@ object TargetType extends Enumeration {
     case other => throw new IllegalArgumentException(s"unknown target type: $other")
   }
 
+  /** Canonical serialized name — MUST be accepted by [[parse]] so
+    * `fromJson(toJson(cfg))` round-trips for every type (`Str.toString
+    * .toLowerCase` would yield "str", which parse rejects).
+    */
+  def canonicalName(t: TargetType.Value): String = t match {
+    case Str   => "string"
+    case other => other.toString.toLowerCase
+  }
+
   def toSpark(t: TargetType.Value): org.apache.spark.sql.types.DataType = {
     import org.apache.spark.sql.types._
     t match {
@@ -92,7 +101,7 @@ object ExtractConfig {
   def toJson(c: ExtractConfig): String = {
     def mapping(m: ColumnMapping): JObject = {
       val fields = List(
-        Some(JField("type", JString(m.toType.toString.toLowerCase))),
+        Some(JField("type", JString(TargetType.canonicalName(m.toType)))),
         m.downscale.map(v => JField("downscale", JInt(v))),
         m.maxValue.map(v => JField("max_value", JInt(v))),
         m.default.map(v => JField("default", JInt(v))),

@@ -52,6 +52,18 @@ object Partitioner {
   def plan(minBlock: Long, maxBlock: Long, tierSizes: Seq[Long]): Vector[Partition] = {
     require(tierSizes.nonEmpty, "at least one partition tier size required")
     require(tierSizes.forall(_ > 0), s"tier sizes must be positive: $tierSizes")
+    // The contiguity invariant relies on each tier size dividing the next
+    // larger one (a smaller tier's aligned start then always lands exactly
+    // on the previous tier's coverage end). Non-dividing tiers — e.g.
+    // [10, 3] over [0, 25) — would start the smaller tier BEFORE the
+    // cursor and duplicate blocks across partitions, so reject them.
+    tierSizes.distinct.sorted(Ordering[Long].reverse).sliding(2).foreach {
+      case Seq(larger, smaller) =>
+        require(larger % smaller == 0,
+          s"tier size $smaller must divide the next larger tier $larger " +
+            s"(tiers: $tierSizes)")
+      case _ => ()
+    }
     val out = Vector.newBuilder[Partition]
     var cursor = minBlock
     tierSizes.distinct.sorted(Ordering[Long].reverse).foreach { size =>

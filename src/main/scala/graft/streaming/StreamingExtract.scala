@@ -85,7 +85,12 @@ object StreamingExtract {
         .withColumn("partition_size", col("partition_size").cast(LongType))
         .withColumn("start_partition", col("start_partition").cast(LongType))
         .withColumn("end_partition", col("end_partition").cast(LongType))
-        .where(col("start_partition").isin(touched.toIndexedSeq: _*))
+        // both keys: a batch-written LARGER tier can share a start value
+        // with this stream's tier — filtering on start alone would pull
+        // foreign-tier rows into the merge and rewrite (migrate) them
+        // into this tier's directories
+        .where(col("partition_size") === tierSize &&
+          col("start_partition").isin(touched.toIndexedSeq: _*))
         .select(tagged.columns.map(col).toIndexedSeq: _*))
     val merged = existing.fold(tagged)(tagged.unionByName(_))
       .dropDuplicates(dedupeKeys :+ Transforms.BlockColumn)
