@@ -55,26 +55,46 @@ object MetadataSink {
     writeFooters(dir, files, conf)
   }
 
-  /** Delete partition directories under `tableDir` that are NOT in the
-    * current plan — the stale smaller-tier partitions left behind when a
-    * grown block range re-covers them with a larger tier. Returns the
-    * deleted directories. Safe to run after a successful extract: plan
-    * content is deterministic and the watermark is committed later, so a
-    * crash between write and prune just re-prunes next run.
+  /** Delete partition directories under `tableDir` that are provably
+    * SUPERSEDED by the current plan: a directory `[start, end)` of tier
+    * `size` is stale only when some plan partition of a STRICTLY larger
+    * tier fully covers it (`p.size > size && p.start <= start &&
+    * end <= p.end`) — i.e. its rows are guaranteed to also exist inside a
+    * bigger fragment written by this plan. Everything else survives:
+    *  - partitions past the plan's aligned end (e.g. head partitions
+    *    written by [[graft.streaming.StreamingExtract]] sharing the same
+    *    table directory — their source rows are already consumed and
+    *    unrecoverable),
+    *  - tiers not present in the plan's `partitionSizes`,
+    *  - any directory whose segments don't parse as a partition,
+    *  - committed data when the catalog's block range regresses (reorg):
+    *    a shrunken plan covers nothing it didn't write.
+    * The reference never deletes files at all (cli.py:328); pruning here
+    * is purely the supersede cleanup, so it must never be lossy.
+    * Returns the deleted directories. Safe after a successful extract:
+    * plan content is deterministic and the watermark commits later, so a
+    * crash between write and prune just re-prunes next run (idempotent).
     */
   def pruneStalePartitions(tableDir: String, plan: Seq[Partition],
       conf: Configuration): Seq[String] = {
     val dir = new Path(tableDir)
     val fs = dir.getFileSystem(conf)
     if (!fs.exists(dir)) return Nil
-    val keep = plan.map(_.relativePath).toSet
+    val planSet = plan.map(_.relativePath).toSet
+    def seg(name: String, prefix: String): Option[Long] =
+      if (name.startsWith(prefix)) name.stripPrefix(prefix).toLongOption
+      else None
+    def superseded(size: Long, start: Long, end: Long): Boolean =
+      plan.exists(p => p.size > size && p.start <= start && end <= p.end)
     val stale = for {
-      sizeDir <- fs.listStatus(dir).toSeq if sizeDir.isDirectory &&
-        sizeDir.getPath.getName.startsWith("partition_size=")
+      sizeDir <- fs.listStatus(dir).toSeq if sizeDir.isDirectory
+      size <- seg(sizeDir.getPath.getName, "partition_size=").toSeq
       startDir <- fs.listStatus(sizeDir.getPath).toSeq if startDir.isDirectory
+      start <- seg(startDir.getPath.getName, "start_partition=").toSeq
       endDir <- fs.listStatus(startDir.getPath).toSeq if endDir.isDirectory
+      end <- seg(endDir.getPath.getName, "end_partition=").toSeq
       rel = s"${sizeDir.getPath.getName}/${startDir.getPath.getName}/${endDir.getPath.getName}"
-      if !keep.contains(rel)
+      if !planSet.contains(rel) && superseded(size, start, end)
     } yield endDir.getPath
     stale.foreach(fs.delete(_, true))
     // drop now-empty intermediate dirs so listings stay clean
