@@ -51,17 +51,35 @@ object Similarity {
        |       * list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[]))) * 1000000) AS BIGINT)"""
       .stripMargin.replace("\n", " ")
 
-  /** 8-bit sign-LSH bucket from 8 fixed coordinates (0,8,...,56). */
-  private val bucketSpark =
-    """aggregate(sequence(0, 7), 0, (acc, k) ->
-      |  acc + CASE WHEN element_at(embedding, 8*k+1) >= cast(0 as float)
-      |        THEN shiftleft(1, k) ELSE 0 END)"""
-      .stripMargin.replace("\n", " ")
+  /** Number of sign-LSH hyperplanes (= bucket bits). THE scale knob of
+    * the bucketed paths: expected bucket population is n / 2^planes and
+    * in-bucket pair work is quadratic in it, so the plane count must
+    * grow with the corpus — planes ≈ log2(n / targetBucketSize). At
+    * n = 10^11 docs (≈100 TB) and a 10k-row bucket target that is ~24
+    * planes, not 8; 8 is sized for the test corpus (500-60k rows).
+    * Production would also use random Gaussian hyperplanes instead of
+    * coordinate planes; the coordinate form here is deterministic so the
+    * DuckDB oracle can reproduce it exactly.
+    */
+  val DefaultNumPlanes = 8
 
-  private val bucketDuck =
-    """CAST(list_sum(list_transform(range(0, 8), k ->
-      |  CASE WHEN embedding[8*k+1] >= 0 THEN 1 << k ELSE 0 END)) AS INT)"""
+  private val Dims = 64 // embeddings.parquet vector width
+
+  /** Sign-LSH bucket from `numPlanes` evenly-strided coordinates. */
+  private def bucketSpark(numPlanes: Int = DefaultNumPlanes): String = {
+    val stride = Dims / numPlanes
+    s"""aggregate(sequence(0, ${numPlanes - 1}), 0, (acc, k) ->
+       |  acc + CASE WHEN element_at(embedding, $stride*k+1) >= cast(0 as float)
+       |        THEN shiftleft(1, k) ELSE 0 END)"""
       .stripMargin.replace("\n", " ")
+  }
+
+  private def bucketDuck(numPlanes: Int = DefaultNumPlanes): String = {
+    val stride = Dims / numPlanes
+    s"""CAST(list_sum(list_transform(range(0, $numPlanes), k ->
+       |  CASE WHEN embedding[$stride*k+1] >= 0 THEN 1 << k ELSE 0 END)) AS INT)"""
+      .stripMargin.replace("\n", " ")
+  }
 
   private val K = 5
   private val NumQueries = 5 // vec_id < 5 are the query vectors
@@ -96,9 +114,10 @@ object Similarity {
   /** LSH-bucketed top-k: same queries, but candidates limited to the
     * query's sign bucket — the approximate, corpus-scale path.
     */
-  def simTopkLsh(spark: SparkSession, d: String): DataFrame = {
+  def simTopkLsh(spark: SparkSession, d: String,
+      numPlanes: Int = DefaultNumPlanes): DataFrame = {
     val emb = Tables.embeddings(spark, d)
-      .withColumn("bucket", expr(bucketSpark))
+      .withColumn("bucket", expr(bucketSpark(numPlanes)))
     val queries = emb.where(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("bucket").as("q_bucket"))
@@ -114,7 +133,7 @@ object Similarity {
   }
 
   val simTopkLshSql: String =
-    s"""WITH e AS (SELECT vec_id, embedding, $bucketDuck AS bucket FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, embedding, ${bucketDuck()} AS bucket FROM embeddings),
        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket FROM e WHERE vec_id < $NumQueries),
        |c AS (SELECT q_id, e.vec_id, ${cosE6Duck("q_emb", "e.embedding")} AS cos_e6
        |      FROM e, q WHERE e.bucket = q.q_bucket AND e.vec_id <> q.q_id),
@@ -128,34 +147,43 @@ object Similarity {
     * to its nearest centroid (here: 8 deterministic "centroids" — the
     * vectors with vec_id 10..17 — standing in for k-means output, which
     * would be a separate training job); queries probe their 2 nearest
-    * centroids and search only those inverted lists. At corpus scale
-    * the assignment is one broadcast-centroids map pass, the inverted
-    * lists are the shuffle key, and probe fan-out bounds the search to
-    * nprobe/nlist of the corpus.
+    * centroids and search only those inverted lists.
+    *
+    * Scale shape: the centroid set is a model artifact — small by
+    * construction (nlist ≪ corpus) — so it travels as ONE broadcast row
+    * holding an array of (cent_id, cent_emb) structs. Assignment is then
+    * a pure map-side projection: each corpus row computes all centroid
+    * cosines in one pass and takes the array argmax — the corpus is
+    * never shuffled, never blown up nlist×, and never windowed (the
+    * previous form paid a full-corpus exchange for a
+    * `Window.partitionBy(vec_id)` whose only job was this argmax).
+    * The probe side is tiny and broadcast, so the candidate join streams
+    * the corpus too; only candidates (≈ nprobe/nlist of the corpus)
+    * reach the top-k shuffle.
     */
   def simTopkIvf(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{transform => arrTransform}
     val emb = Tables.embeddings(spark, d)
-    val cents = emb.where(col("vec_id") >= 10 && col("vec_id") < 18)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-    // nearest centroid per corpus vector (rank 1 of 8 — broadcast map side)
-    val assign = emb.join(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cent_id"),
-        cosE6("embedding", "cent_emb").as("cent_cos"))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("cent_cos").desc, col("cent_id"))))
-      .where(col("crank") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id"))
-    // queries probe their 2 nearest centroids
+    val centArr = emb.where(col("vec_id") >= 10 && col("vec_id") < 18)
+      .agg(collect_list(struct(col("vec_id").as("cent_id"),
+        col("embedding").as("cent_emb"))).as("cents"))
+    // (cos, -cent_id) structs: lexicographic max = best cosine, ties to
+    // the smallest cent_id — same order the previous window used
+    def scored: Column = arrTransform(col("cents"), c => struct(
+      graft.functions.GraftFunctions
+        .cosine_e6(col("embedding"), c.getField("cent_emb")).as("cos"),
+      (-c.getField("cent_id")).as("neg_id")))
+    val assign = emb.crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("embedding"), array_max(scored).as("best"))
+      .select(col("vec_id"), col("embedding"), (-col("best.neg_id")).as("cent_id"))
+    // queries probe their 2 nearest centroids — same map-side argmax,
+    // sorted descending and sliced instead of windowed
     val probes = emb.where(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .join(broadcast(cents))
-      .select(col("q_id"), col("q_emb"), col("cent_id"),
-        cosE6("q_emb", "cent_emb").as("cent_cos"))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("cent_cos").desc, col("cent_id"))))
-      .where(col("crank") <= 2)
-      .select(col("q_id"), col("q_emb"), col("cent_id"))
-    probes.join(assign, Seq("cent_id"))
+      .crossJoin(broadcast(centArr))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        explode(slice(reverse(array_sort(scored)), 1, 2)).as("probe"))
+      .select(col("q_id"), col("q_emb"), (-col("probe.neg_id")).as("cent_id"))
+    broadcast(probes).join(assign, Seq("cent_id"))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), cosE6("q_emb", "embedding").as("cos_e6"))
       .groupBy("q_id", "vec_id").agg(max("cos_e6").as("cos_e6")) // dedupe multi-probe hits
@@ -196,9 +224,10 @@ object Similarity {
     * semantic-dedup funnel (bucket → verify), with one shuffle on the
     * bucket key.
     */
-  def dedupEmbedding(spark: SparkSession, d: String): DataFrame = {
+  def dedupEmbedding(spark: SparkSession, d: String,
+      numPlanes: Int = DefaultNumPlanes): DataFrame = {
     val emb = Tables.embeddings(spark, d)
-      .withColumn("bucket", expr(bucketSpark))
+      .withColumn("bucket", expr(bucketSpark(numPlanes)))
       .select(col("vec_id"), col("embedding"), col("bucket"))
     emb.as("a").join(emb.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
@@ -215,7 +244,7 @@ object Similarity {
   }
 
   val dedupEmbeddingSql: String =
-    s"""WITH e AS (SELECT vec_id, embedding, $bucketDuck AS bucket FROM embeddings)
+    s"""WITH e AS (SELECT vec_id, embedding, ${bucketDuck()} AS bucket FROM embeddings)
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |  ${cosE6Duck("a.embedding", "b.embedding")} AS cos_e6
        |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -224,9 +253,9 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk_brute" -> (simTopkBrute _),
-    "q_sim_topk_lsh" -> (simTopkLsh _),
+    "q_sim_topk_lsh" -> ((s, d) => simTopkLsh(s, d)),
     "q_sim_topk_ivf" -> (simTopkIvf _),
-    "q_dedup_embedding" -> (dedupEmbedding _))
+    "q_dedup_embedding" -> ((s, d) => dedupEmbedding(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q_sim_topk_brute" -> simTopkBruteSql,
