@@ -398,17 +398,29 @@ object EventAnalytics {
       |FROM j WHERE k IS NOT NULL
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
-  /** HLL sketch distinct-count (approx_count_distinct). Engines'
-    * sketches differ, so there is no value oracle — the driver records
-    * a rows-only check; the exact-distinct twin is oracle-checked in
-    * eventsWindowedAgg/eventsUserStats.
+  /** HLL sketch distinct-count (approx_count_distinct). Engines' sketch
+    * values differ, so the approximate count itself can't be hash-compared
+    * cross-engine; instead the query emits the exact count plus a
+    * Spark-side accuracy assertion `|approx - exact| * 20 <= exact`
+    * (within 5% — approx_count_distinct's default rsd is 5%), and the
+    * oracle emits the same exact count with a literal `true`. The sketch
+    * is thereby oracle-checked: a broken HLL fails the boolean, a broken
+    * grouping fails the exact column.
     */
   def hllDistinct(spark: SparkSession, d: String): DataFrame =
     Tables.events(spark, d)
       .groupBy("event_type")
       .agg(approx_count_distinct("user_id").as("approx_users"),
         countDistinct("user_id").as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) * 20 <= col("exact_users"))
+          .as("within_5pct"))
       .orderBy("event_type")
+
+  val hllDistinctSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+      |  true AS within_5pct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q5_local_supplier" -> (q5LocalSupplier _),
@@ -431,7 +443,7 @@ object EventAnalytics {
     "q_window_frames" -> windowFramesSql,
     "q_join_range" -> joinRangeSql,
     "q_json_extract" -> jsonExtractSql,
-    // q_hll_distinct intentionally has no oracle (sketches differ)
+    "q_hll_distinct" -> hllDistinctSql,
     "q_events_windowed_agg" -> eventsWindowedAggSql,
     "q_events_sessionize" -> eventsSessionizeSql,
     "q_events_user_stats" -> eventsUserStatsSql,
