@@ -1,11 +1,13 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.{Uint256Encode, Uint256RoundTrip, Uint256ToDecimal}
+import graft.functions.{GraftFunctions, Uint256Encode, Uint256RoundTrip, Uint256ToDecimal}
 
 /** Session-extension entry point:
   *
@@ -14,12 +16,19 @@ import graft.functions.{Uint256Encode, Uint256RoundTrip, Uint256ToDecimal}
   * registers the engine's SQL functions and its optimizer rule, so a
   * plain `spark-sql` user gets `uint256_encode(...)`, `minhash_sig(...)`
   * etc. plus the algebraic simplifications below with no code changes.
+  * The function list is [[graft.functions.GraftFunctions.sqlBuilders]] —
+  * the same builders `registerAll` installs, so the extension and the
+  * library session expose an identical SQL surface.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => Uint256Simplification)
-    // function registration happens per-session in GraftFunctions
-    // (FunctionRegistry-based); the checkRule hook isn't needed.
+    GraftFunctions.sqlBuilders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder))
+    }
   }
 }
 

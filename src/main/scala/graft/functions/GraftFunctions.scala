@@ -53,19 +53,62 @@ object GraftFunctions {
   def cosine_e6(a: Column, b: Column): Column =
     toCol(CosineSimE6(toExpr(a), toExpr(b)))
 
+  /** Stopword list shared by the text-quality operators and the default
+    * SQL `text_stats(text)` form.
+    */
+  val DefaultStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "is", "to", "in")
+
+  /** SQL builder for every kernel — the single source of truth for the
+    * engine's SQL surface. Used by [[registerAll]] (library sessions) and
+    * [[graft.GraftExtensions]] (`--conf spark.sql.extensions` sessions),
+    * so the two paths can't drift.
+    */
+  val sqlBuilders: Seq[(String, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Hex, Literal}
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    def int(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, IntegerType) => v
+      case Literal(v: Long, LongType)   => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+    def str(e: Expression, what: String): String = e match {
+      case Literal(s, _) if s != null => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$what must be a string literal, got $other")
+    }
+    Seq(
+      "uint256_encode" -> (exprs => Uint256Encode(exprs.head)),
+      "uint256_to_decimal" -> (exprs => Uint256ToDecimal(exprs.head)),
+      // uint256_div(carrier, N) for a literal integer divisor (the
+      // compiled downscale path); uint256_div(carrier, carrier) otherwise
+      "uint256_div" -> (exprs => exprs(1) match {
+        case Literal(v: Int, IntegerType) => Uint256DivLong(exprs.head, v.toLong)
+        case Literal(v: Long, LongType)   => Uint256DivLong(exprs.head, v)
+        case other                        => Uint256Div(exprs.head, other)
+      }),
+      "uint256_hex" -> (exprs => Hex(exprs.head)),
+      "minhash_sig" -> (exprs =>
+        MinHashSig(exprs.head,
+          if (exprs.size > 1) int(exprs(1), "minhash_sig num_hashes") else 16)),
+      "simhash16" -> (exprs => SimHash16(exprs.head)),
+      "shingle_set" -> (exprs => ShingleSet(exprs.head)),
+      "text_fingerprint" -> (exprs => TextFingerprint(exprs.head)),
+      "content_hash" -> (exprs => ContentHash(exprs.head)),
+      // text_stats(text) with the default stopwords, or
+      // text_stats(text, 'stop1', 'stop2', ...) with an explicit list
+      "text_stats" -> (exprs =>
+        TextStats(exprs.head,
+          if (exprs.size > 1) exprs.tail.map(str(_, "text_stats stopword"))
+          else DefaultStopwords)),
+      "cosine_e6" -> (exprs => CosineSimE6(exprs.head, exprs(1))))
+  }
+
   def registerAll(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    registry.createOrReplaceTempFunction(
-      "uint256_encode", exprs => Uint256Encode(exprs.head), "built-in")
-    registry.createOrReplaceTempFunction(
-      "uint256_to_decimal", exprs => Uint256ToDecimal(exprs.head), "built-in")
-    registry.createOrReplaceTempFunction(
-      "minhash_sig", exprs => MinHashSig(exprs.head, 16), "built-in")
-    registry.createOrReplaceTempFunction(
-      "simhash16", exprs => SimHash16(exprs.head), "built-in")
-    registry.createOrReplaceTempFunction(
-      "shingle_set", exprs => ShingleSet(exprs.head), "built-in")
-    registry.createOrReplaceTempFunction(
-      "text_fingerprint", exprs => TextFingerprint(exprs.head), "built-in")
+    sqlBuilders.foreach { case (name, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }

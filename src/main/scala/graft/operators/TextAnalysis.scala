@@ -68,7 +68,7 @@ object TextAnalysis {
        |  CAST(list_sum(list_transform($tokensDuck, t -> length(t))) AS BIGINT) AS sum_token_chars
        |FROM documents ORDER BY doc_id""".stripMargin
 
-  private val Stopwords = Seq("the", "a", "of", "and", "is", "to", "in")
+  private val Stopwords = graft.functions.GraftFunctions.DefaultStopwords
   private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
 
   /** Quality scoring: length, mean token length, stopword ratio,

@@ -35,6 +35,55 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.sorted === Array("0", "10000000000000000000", "123").sorted)
   }
 
+  test("extension injects the full SQL function surface (no registerAll)") {
+    // the shared session is built via withExtensions(new GraftExtensions)
+    // and registerAll is never called — every kernel resolving in plain
+    // SQL proves ext.injectFunction carried it in
+    val row = spark.sql(
+      """SELECT
+        |  hex(uint256_encode(CAST(255 AS DECIMAL(38,0)))) AS enc,
+        |  CAST(uint256_to_decimal(uint256_encode(CAST(7 AS DECIMAL(38,0)))) AS STRING) AS rt,
+        |  CAST(uint256_div(uint256_encode(CAST(100 AS DECIMAL(38,0))), 3) AS STRING) IS NOT NULL AS div_lit,
+        |  CAST(uint256_div(uint256_encode(CAST(100 AS DECIMAL(38,0))),
+        |                   uint256_encode(CAST(3 AS DECIMAL(38,0)))) AS STRING) IS NOT NULL AS div_bin,
+        |  uint256_hex(uint256_encode(CAST(255 AS DECIMAL(38,0)))) AS hx,
+        |  size(minhash_sig('one two three four five')) AS mh,
+        |  size(minhash_sig('one two three four five', 8)) AS mh8,
+        |  simhash16('hello world hello') IS NOT NULL AS sh,
+        |  size(shingle_set('a b c d')) AS ss,
+        |  size(text_fingerprint('a b c d e')) AS fp,
+        |  content_hash('Hello,  World!') = content_hash('hello world') AS ch,
+        |  size(text_stats('the cat sat')) AS ts,
+        |  size(text_stats('the cat sat', 'cat')) AS ts2,
+        |  cosine_e6(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)),
+        |            array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))) AS cos
+        |""".stripMargin).head()
+    assert(row.getAs[String]("enc").endsWith("FF"))
+    assert(row.getAs[String]("rt") === "7")
+    assert(row.getAs[Boolean]("div_lit") && row.getAs[Boolean]("div_bin"))
+    assert(row.getAs[String]("hx").endsWith("FF"))
+    assert(row.getAs[Int]("mh") === 16 && row.getAs[Int]("mh8") === 8)
+    assert(row.getAs[Boolean]("sh"))
+    assert(row.getAs[Int]("ss") === 2)
+    assert(row.getAs[Int]("fp") === 3)
+    assert(row.getAs[Boolean]("ch"))
+    assert(row.getAs[Int]("ts") === 4 && row.getAs[Int]("ts2") === 4)
+    assert(row.getAs[Long]("cos") === 1000000L)
+  }
+
+  test("extension class is instantiable the way spark.sql.extensions needs") {
+    // the conf mechanism requires a public no-arg constructor yielding a
+    // SparkSessionExtensions => Unit; instantiate exactly that way
+    val f = Class.forName("graft.GraftExtensions").getDeclaredConstructor()
+      .newInstance().asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
+    f(new org.apache.spark.sql.SparkSessionExtensions) // must not throw
+  }
+
+  test("registerAll installs the same surface as temp functions") {
+    GraftFunctions.registerAll(spark)
+    assert(spark.sql("SELECT content_hash('x') AS h").head().getString(0).length === 64)
+  }
+
   test("rewrite preserves negative-rejection semantics") {
     import spark.implicits._
     val df = Seq("-5").toDF("s")
