@@ -31,10 +31,19 @@ object Dedup {
 
   import TextAnalysis.{tokensSpark, tokensDuck, shinglesSpark, shinglesDuck}
 
-  private val NumHashes = 16
-  private val NumBands = 4 // 4 rows per band
+  /** MinHash/LSH scale knobs. bands × rowsPerBand = numHashes; the LSH
+    * S-curve threshold is t ≈ (1/bands)^(1/rowsPerBand) — 4 bands of 4
+    * rows targets ~0.59 Jaccard for this corpus. At 100 TB the knobs
+    * trade candidate volume against recall: more bands (lower threshold)
+    * multiplies the (doc, band) rows shuffled AND the expected bucket
+    * collisions, so production near-dedup typically runs ~9-20 bands
+    * over 100+ hashes and relies on the same equi-join shape — the plan
+    * does not change with the knobs, only its fan-out.
+    */
+  val DefaultNumHashes = 16
+  val DefaultNumBands = 4
 
-  /** (doc_id, sig: array<long>[16]) — one row per doc with shingles.
+  /** (doc_id, sig: array<long>[numHashes]) — one row per doc with shingles.
     *
     * One sha256 per shingle, split into two 56-bit halves (h1, h2); the
     * 16 MinHash functions are the arithmetic family `h1 + j*h2`
@@ -45,13 +54,14 @@ object Dedup {
     * CollapseProject won't merge projections that would duplicate
     * non-cheap expressions, so every stage evaluates once.
     */
-  private def signatures(spark: SparkSession, d: String): DataFrame =
+  private def signatures(spark: SparkSession, d: String,
+      numHashes: Int = DefaultNumHashes): DataFrame =
     Tables.documents(spark, d)
       .select(col("doc_id"),
-        graft.functions.GraftFunctions.minhash_sig(col("text"), NumHashes).as("sig"))
+        graft.functions.GraftFunctions.minhash_sig(col("text"), numHashes).as("sig"))
       .where(col("sig").isNotNull)
 
-  private val signaturesDuckCte: String =
+  private def signaturesDuckCte(numHashes: Int = DefaultNumHashes): String =
     s"""t AS (SELECT doc_id, $tokensDuck AS toks FROM documents),
        |sh AS (SELECT doc_id, $shinglesDuck AS shingles FROM t),
        |hs0 AS (SELECT doc_id, list_transform(shingles, s2 -> substr(sha256(s2), 1, 28)) AS hs
@@ -61,31 +71,39 @@ object Dedup {
        |         list_transform(hs, h -> ('0x' || substr(h, 15, 14))::BIGINT) AS h2s
        |       FROM hs0),
        |g AS (SELECT doc_id,
-       |        list_transform(range(0, $NumHashes), j ->
+       |        list_transform(range(0, $numHashes), j ->
        |          list_aggregate(list_transform(range(1, len(h1s) + 1), i -> h1s[i] + j * h2s[i]), 'min')) AS sig
        |      FROM hv)""".stripMargin
 
-  /** (doc_id, band_id, band_val) — NumBands short rows per doc. */
-  private def bands(sigs: DataFrame): DataFrame =
-    sigs.select(
-      col("doc_id"),
-      posexplode(expr(
-        s"""transform(sequence(0, ${NumBands - 1}), b ->
-           |  concat_ws('-', cast(sig[4*b] as string), cast(sig[4*b+1] as string),
-           |                 cast(sig[4*b+2] as string), cast(sig[4*b+3] as string)))"""
-          .stripMargin.replace("\n", " "))).as(Seq("band_id", "band_val")))
+  /** (doc_id, band_id, band_val) — numBands short rows per doc. */
+  private def bands(sigs: DataFrame, numHashes: Int = DefaultNumHashes,
+      numBands: Int = DefaultNumBands): DataFrame = {
+    val rows = numHashes / numBands
+    val bandExprs = (0 until numBands).map { b =>
+      (0 until rows).map(j => s"cast(sig[${rows * b + j}] as string)")
+        .mkString("concat_ws('-', ", ", ", ")")
+    }.mkString("array(", ", ", ")")
+    sigs.select(col("doc_id"),
+      posexplode(expr(bandExprs)).as(Seq("band_id", "band_val")))
+  }
 
-  private val bandsDuckCte: String =
+  private def bandsDuckCte(numHashes: Int = DefaultNumHashes,
+      numBands: Int = DefaultNumBands): String = {
+    val rows = numHashes / numBands
+    val parts = (1 to rows).map(j => s"sig[$rows*b+$j]").mkString(", ")
     s"""bands AS (SELECT doc_id, b AS band_id,
-       |            concat_ws('-', sig[4*b+1], sig[4*b+2], sig[4*b+3], sig[4*b+4]) AS band_val
-       |          FROM g, generate_series(0, ${NumBands - 1}) bs(b))""".stripMargin
+       |            concat_ws('-', $parts) AS band_val
+       |          FROM g, generate_series(0, ${numBands - 1}) bs(b))""".stripMargin
+  }
 
   /** Distinct candidate pairs (doc_a < doc_b) sharing any LSH band.
     * `sigs` should be persisted by the caller — it feeds both join
     * branches and the later signature/shingle-set lookups.
     */
-  private def candidatePairs(sigs: DataFrame): DataFrame = {
-    val b = bands(sigs)
+  private def candidatePairs(sigs: DataFrame,
+      numHashes: Int = DefaultNumHashes,
+      numBands: Int = DefaultNumBands): DataFrame = {
+    val b = bands(sigs, numHashes, numBands)
     b.as("a").join(b.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_val") === col("b.band_val") &&
@@ -147,26 +165,30 @@ object Dedup {
   /** MinHash + LSH banding: candidate near-dup pairs with the estimated
     * Jaccard (fraction of agreeing minhashes, scaled 1e4).
     */
-  def dedupMinhashLsh(spark: SparkSession, d: String): DataFrame = {
-    val sigs = signatures(spark, d).persist()
-    candidatePairs(sigs)
+  def dedupMinhashLsh(spark: SparkSession, d: String,
+      numHashes: Int = DefaultNumHashes,
+      numBands: Int = DefaultNumBands): DataFrame = {
+    val sigs = signatures(spark, d, numHashes).persist()
+    candidatePairs(sigs, numHashes, numBands)
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .select(
         col("doc_a"), col("doc_b"),
-        expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) * 10000L div $NumHashes")
+        expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) * 10000L div $numHashes")
           .as("est_jaccard_e4"))
       .orderBy("doc_a", "doc_b")
   }
 
-  val dedupMinhashLshSql: String =
-    s"""WITH $signaturesDuckCte,
-       |$bandsDuckCte,
+  val dedupMinhashLshSql: String = {
+    val n = DefaultNumHashes
+    s"""WITH ${signaturesDuckCte()},
+       |${bandsDuckCte()},
        |$candidatePairsDuckCte
        |SELECT doc_a, doc_b,
-       |  CAST(len(list_filter(range(0, $NumHashes), j -> ga.sig[j+1] = gb.sig[j+1])) * 10000 AS BIGINT) // $NumHashes AS est_jaccard_e4
+       |  CAST(len(list_filter(range(0, $n), j -> ga.sig[j+1] = gb.sig[j+1])) * 10000 AS BIGINT) // $n AS est_jaccard_e4
        |FROM pairs JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   /** SimHash (16-bit here; 64-bit in production is the same shape):
     * per-token 16-bit hashes vote per bit position; the signature is the
@@ -201,13 +223,15 @@ object Dedup {
     * the candidate→verify funnel that makes near-dedup tractable at
     * scale (all-pairs Jaccard is quadratic; LSH candidates are ~linear).
     */
-  def dedupNgramJaccard(spark: SparkSession, d: String): DataFrame = {
+  def dedupNgramJaccard(spark: SparkSession, d: String,
+      numHashes: Int = DefaultNumHashes,
+      numBands: Int = DefaultNumBands): DataFrame = {
     val sets = Tables.documents(spark, d)
       .select(col("doc_id"),
         graft.functions.GraftFunctions.shingle_set(col("text")).as("sset"))
       .where(col("sset").isNotNull)
       .persist()
-    candidatePairs(signatures(spark, d).persist())
+    candidatePairs(signatures(spark, d, numHashes).persist(), numHashes, numBands)
       .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b")), "doc_b")
       .select(
@@ -218,8 +242,8 @@ object Dedup {
   }
 
   val dedupNgramJaccardSql: String =
-    s"""WITH $signaturesDuckCte,
-       |$bandsDuckCte,
+    s"""WITH ${signaturesDuckCte()},
+       |${bandsDuckCte()},
        |$candidatePairsDuckCte,
        |sets AS (SELECT doc_id, list_distinct(shingles) AS sset
        |         FROM sh WHERE len(shingles) > 0)
@@ -232,9 +256,9 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_keep_canonical" -> (dedupKeepCanonical _),
-    "q_dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "q_dedup_minhash_lsh" -> ((s, d) => dedupMinhashLsh(s, d)),
     "q_dedup_simhash" -> (dedupSimhash _),
-    "q_dedup_ngram_jaccard" -> (dedupNgramJaccard _))
+    "q_dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactSql,
