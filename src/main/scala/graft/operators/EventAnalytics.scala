@@ -31,7 +31,8 @@ object EventAnalytics {
         col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum((dec2(col("value")) * 100).cast(LongType)).as("sum_value_cents"),
+        sum((dec2(col("value")) * 100).cast(DecimalType(38, 0)))
+          .cast(LongType).as("sum_value_cents"),
         countDistinct("user_id").as("n_users"))
       .select(
         date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_s"),
@@ -95,7 +96,8 @@ object EventAnalytics {
       .groupBy("user_id")
       .agg(
         count(lit(1)).as("n_events"),
-        sum((dec2(col("value")) * 100).cast(LongType)).as("sum_value_cents"),
+        sum((dec2(col("value")) * 100).cast(DecimalType(38, 0)))
+          .cast(LongType).as("sum_value_cents"),
         countDistinct("event_type").as("n_types"))
       .withColumn("rank", row_number().over(
         Window.orderBy(col("n_events").desc, col("user_id"))))
@@ -162,7 +164,7 @@ object EventAnalytics {
     Tables.region(spark, d).createOrReplaceTempView("region_v")
     spark.sql(
       """SELECT /*+ BROADCAST(n), BROADCAST(r) */ r_name, n_name,
-        |  CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_acctbal_cents,
+        |  CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))) AS BIGINT) AS sum_acctbal_cents,
         |  count(*) AS n_customers,
         |  CAST(grouping(r_name) * 2 + grouping(n_name) AS BIGINT) AS grouping_level
         |FROM customer_v c
@@ -257,12 +259,13 @@ object EventAnalytics {
     Tables.events(spark, d)
       .select(col("user_id"),
         (col("event_id") % SaltBuckets).as("salt"),
-        (dec2(col("value")) * 100).cast(LongType).as("cents"))
+        (dec2(col("value")) * 100).cast(DecimalType(38, 0)).as("cents"))
       .groupBy("user_id", "salt")
       .agg(count(lit(1)).as("n_partial"), sum("cents").as("cents_partial"))
       .groupBy("user_id")
       .agg(sum("n_partial").as("n_events"),
-        sum("cents_partial").as("sum_value_cents"))
+        sum("cents_partial").cast(DecimalType(38, 0)).cast(LongType)
+          .as("sum_value_cents"))
       .orderBy("user_id")
   }
 
@@ -293,15 +296,19 @@ object EventAnalytics {
       .join(broadcast(Tables.region(spark, d)),
         col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
-      .agg(sum(expr("price_c * (100 - disc_pct)")).as("revenue_e4"),
+      // nation-level groups are unbounded at corpus scale and the addend
+      // is e4-scale, so accumulate + emit as Decimal(38,0)→string (same
+      // discipline as Q1's charge_e6)
+      .agg(sum(expr("cast(price_c * (100 - disc_pct) as decimal(38,0))"))
+          .cast(DecimalType(38, 0)).cast(StringType).as("revenue_e4"),
         count(lit(1)).as("n_lineitems"))
       .orderBy("r_name", "n_name")
   }
 
   val q5LocalSupplierSql: String =
     """SELECT r_name, n_name,
-      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-      |         * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS revenue_e4,
+      |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |         * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS DECIMAL(38,0)) AS VARCHAR) AS revenue_e4,
       |  count(*) AS n_lineitems
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -359,7 +366,8 @@ object EventAnalytics {
         col("cents") >= col("lo_cents") && col("cents") < col("hi_cents"))
       .groupBy("band")
       .agg(count(lit(1)).as("n_items"),
-        sum("cents").as("sum_cents"))
+        sum(col("cents").cast(DecimalType(38, 0))).cast(LongType)
+          .as("sum_cents"))
       .orderBy("band")
   }
 

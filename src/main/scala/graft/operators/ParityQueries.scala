@@ -203,24 +203,31 @@ object ParityQueries {
     val priceC = (dec2(col("l_extendedprice")) * 100).cast(LongType)
     val discPct = (dec2(col("l_discount")) * 100).cast(LongType)
     val taxPct = (dec2(col("l_tax")) * 100).cast(LongType)
+    // Overflow discipline for the 100 TB design point: Q1 groups the
+    // WHOLE corpus into 6 rows, so per-group row counts are unbounded.
+    // Every sum whose addend exceeds ~cents scale accumulates in
+    // Decimal(38,0) (Spark's non-ANSI sum(Long) would wrap silently);
+    // the e4/e6-scale sums also EXCEED int64 at scale, so they are
+    // emitted as strings — both engines render identical digits.
     li.select(
         col("l_returnflag"), col("l_linestatus"),
-        qtyC.as("qty_c"), priceC.as("price_c"),
-        (priceC * (lit(100L) - discPct)).as("disc_price_e4"),
+        qtyC.as("qty_c"), priceC.cast(DecimalType(38, 0)).as("price_c"),
+        (priceC * (lit(100L) - discPct))
+          .cast(DecimalType(38, 0)).as("disc_price_e4"),
         (priceC * (lit(100L) - discPct) * (lit(100L) + taxPct))
           .cast(DecimalType(38, 0)).as("charge_e6"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum("qty_c").as("sum_qty_cents"),
-        sum("price_c").as("sum_price_cents"),
-        sum("disc_price_e4").as("sum_disc_price_e4"),
-        // charge_e6 sums as DECIMAL(38,0) (exact past int64 at scale);
-        // emitted as a string so both engines render identical digits.
+        sum("price_c").cast(DecimalType(38, 0)).cast(LongType)
+          .as("sum_price_cents"),
+        sum("disc_price_e4").cast(DecimalType(38, 0)).cast(StringType)
+          .as("sum_disc_price_e4"),
         sum("charge_e6").cast(DecimalType(38, 0)).cast(StringType)
           .as("sum_charge_e6"),
         count(lit(1)).as("count_order"),
         expr("sum(qty_c) div count(1)").as("avg_qty_cents"),
-        expr("sum(price_c) div count(1)").as("avg_price_cents"))
+        expr("cast(sum(price_c) div count(1) as bigint)").as("avg_price_cents"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 
@@ -235,7 +242,7 @@ object ParityQueries {
       |SELECT l_returnflag, l_linestatus,
       |  CAST(sum(qty_c) AS BIGINT) AS sum_qty_cents,
       |  CAST(sum(price_c) AS BIGINT) AS sum_price_cents,
-      |  CAST(sum(price_c * (100 - disc_pct)) AS BIGINT) AS sum_disc_price_e4,
+      |  CAST(CAST(sum(price_c * (100 - disc_pct)) AS DECIMAL(38,0)) AS VARCHAR) AS sum_disc_price_e4,
       |  CAST(CAST(sum(price_c * (100 - disc_pct) * (100 + tax_pct)) AS DECIMAL(38,0)) AS VARCHAR) AS sum_charge_e6,
       |  count(*) AS count_order,
       |  CAST(sum(qty_c) AS BIGINT) // count(*) AS avg_qty_cents,
