@@ -177,6 +177,14 @@ object ExtractConfig {
               }.toMap
             case _ => Map.empty[String, Seq[ColumnMapping]]
           }
+          // fail at parse time, not mid-extract: a tier list whose sizes
+          // don't divide each other can never produce a valid plan
+          try graft.plans.Partitioner.validateTiers(sizes)
+          catch {
+            case e: IllegalArgumentException =>
+              throw new IllegalArgumentException(
+                s"table '$tname': invalid partition_sizes: ${e.getMessage}")
+          }
           tname -> TableConfig(sizes, cms)
         }.toMap
       case other => throw new IllegalArgumentException(s"tables: $other")

@@ -29,8 +29,16 @@ final case class Partition(size: Long, start: Long, end: Long) {
   * suite tests/test_partitioning.py):
   *   - contiguity: `plan(i).end == plan(i+1).start`
   *   - sizes are monotonically non-increasing across the plan
-  *   - totality: any `0 <= min <= max` and any valid tier list yields a
+  *   - totality: any `0 <= min <= max` and any VALID tier list yields a
   *     (possibly empty) plan without error
+  *
+  * Tier-list validity is a precondition, not part of totality: every
+  * size must be positive and divide the next larger size (the
+  * reference's own hypothesis generator only ever produces such lists,
+  * test_partitioning.py:7-14 — non-dividing tiers would duplicate
+  * blocks across partitions). [[validateTiers]] enforces it; configs are
+  * checked at parse time ([[graft.model.ExtractConfig.fromJson]]) so a
+  * bad tier list is an upfront config error, never a mid-extract crash.
   *
   * This is pure driver-side planning — partition counts are tiny (one per
   * output file), so no DataFrame is involved. At 100 TB scale the plan
@@ -49,14 +57,18 @@ object Partitioner {
     case _                    => Vector.empty
   }
 
-  def plan(minBlock: Long, maxBlock: Long, tierSizes: Seq[Long]): Vector[Partition] = {
+  /** Tier-list precondition: non-empty, positive, and each size divides
+    * the next larger one. The contiguity invariant relies on
+    * divisibility (a smaller tier's aligned start then always lands
+    * exactly on the previous tier's coverage end); non-dividing tiers —
+    * e.g. [10, 3] over [0, 25) — would start the smaller tier BEFORE the
+    * cursor and duplicate blocks across partitions. Called at
+    * config-parse time so invalid configs fail upfront, and again by
+    * [[plan]] as a guard for direct callers.
+    */
+  def validateTiers(tierSizes: Seq[Long]): Unit = {
     require(tierSizes.nonEmpty, "at least one partition tier size required")
     require(tierSizes.forall(_ > 0), s"tier sizes must be positive: $tierSizes")
-    // The contiguity invariant relies on each tier size dividing the next
-    // larger one (a smaller tier's aligned start then always lands exactly
-    // on the previous tier's coverage end). Non-dividing tiers — e.g.
-    // [10, 3] over [0, 25) — would start the smaller tier BEFORE the
-    // cursor and duplicate blocks across partitions, so reject them.
     tierSizes.distinct.sorted(Ordering[Long].reverse).sliding(2).foreach {
       case Seq(larger, smaller) =>
         require(larger % smaller == 0,
@@ -64,6 +76,10 @@ object Partitioner {
             s"(tiers: $tierSizes)")
       case _ => ()
     }
+  }
+
+  def plan(minBlock: Long, maxBlock: Long, tierSizes: Seq[Long]): Vector[Partition] = {
+    validateTiers(tierSizes)
     val out = Vector.newBuilder[Partition]
     var cursor = minBlock
     tierSizes.distinct.sorted(Ordering[Long].reverse).foreach { size =>

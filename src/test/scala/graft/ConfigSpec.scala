@@ -32,6 +32,19 @@ class ConfigSpec extends AnyFunSuite {
     assert(ExtractConfig.fromJson(json) == cfg)
   }
 
+  test("non-dividing partition tiers are rejected at parse time") {
+    // [10, 3]: 3 does not divide 10 — must fail on load, naming the
+    // table, not mid-extract
+    val bad = cfg.copy(tables = cfg.tables.map { case (t, tc) =>
+      t -> tc.copy(partitionSizes = Seq(10L, 3L))
+    })
+    val e = intercept[IllegalArgumentException] {
+      ExtractConfig.fromJson(ExtractConfig.toJson(bad))
+    }
+    assert(e.getMessage.contains("partition_sizes"))
+    assert(e.getMessage.contains("divide"))
+  }
+
   test("immutability check passes on identical config, fails on drift") {
     val json = ExtractConfig.toJson(cfg)
     ExtractConfig.requireUnchanged(json, cfg) // no throw
