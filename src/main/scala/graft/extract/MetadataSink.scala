@@ -137,6 +137,21 @@ object MetadataSink {
     footers.size
   }
 
+  /** Fragment file paths recorded in a `_metadata` file, resolved
+    * against `tableDir` — the reader-side half of the summary contract:
+    * a planner enumerates exactly the fragments the writer summarized,
+    * without listing the directory tree (reference readers build their
+    * dataset from `_metadata` the same way,
+    * tests/test_get_column_info.py:117-122).
+    */
+  def fragmentPaths(tableDir: String, conf: Configuration): Seq[String] = {
+    val dir = new Path(tableDir)
+    val p = new Path(dir, ParquetFileWriter.PARQUET_METADATA_FILE)
+    val meta = ParquetFileReader.readFooter(conf, p, ParquetMetadataConverter.NO_FILTER)
+    meta.getBlocks.asScala.map(_.getPath).distinct.toSeq
+      .map(rel => new Path(dir, rel).toString)
+  }
+
   /** Total row count recorded in a `_metadata` file — the cheap
     * "plan without opening fragments" read path.
     */

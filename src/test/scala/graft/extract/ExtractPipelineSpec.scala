@@ -100,6 +100,47 @@ class ExtractPipelineSpec extends AnyFunSuite with SparkTestBase {
       spark.sparkContext.hadoopConfiguration).contains(res.watermark))
   }
 
+  test("_metadata-driven read is frame-equal to the manual fragment list") {
+    // mirrors reference tests/test_get_column_info.py:133-162: the
+    // dataset reconstructed from the `_metadata` summary must equal the
+    // dataset built from a manually-constructed partition file list,
+    // row-for-row and column-for-column after sorting
+    val src = tmp(); val out = tmp()
+    val conf = spark.sparkContext.hadoopConfiguration
+    GraphNodeFixture.write(spark, src, FullLatest)
+    val res = ExtractPipeline.extract(spark, new ParquetEntitySource(src),
+      config(), out, 1L)
+
+    val viaMetadata = MetadataSink.fragmentPaths(tableDir(out), conf)
+    // manual list: walk the plan's partition dirs ourselves
+    val manual = res.tables.head.written.flatMap { p =>
+      val dir = new java.io.File(Partitioner.partitionDir(tableDir(out), p))
+      dir.listFiles().toSeq.map(_.toString)
+        .filter(f => f.endsWith(".parquet") && !f.contains("/_") && !f.contains("/."))
+    }
+    // `_metadata` rows come from merged row-group footers, so EMPTY
+    // fragments (zero row groups) don't appear — same as the reference's
+    // pyarrow `_metadata` dataset; every non-empty fragment must
+    val metaSet = viaMetadata.map(_.stripPrefix("file:")).toSet
+    assert(metaSet.subsetOf(manual.toSet))
+    manual.filterNot(metaSet).foreach { f =>
+      assert(spark.read.parquet(f).isEmpty, s"non-empty fragment missing from _metadata: $f")
+    }
+
+    def frame(paths: Seq[String]) = {
+      val df = spark.read.parquet(paths: _*)
+      df.select(df.schema.fieldNames.sorted.map { n =>
+        if (df.schema(n).dataType == BinaryType)
+          org.apache.spark.sql.functions.hex(df(n)).as(n)
+        else df(n)
+      }.toIndexedSeq: _*).orderBy("_block_number", "id").collect().map(_.toString)
+    }
+    val a = frame(viaMetadata)
+    val b = frame(manual)
+    assert(a.length === 6)
+    assert(a === b)
+  }
+
   test("incremental: partial head then advance appends only new partitions") {
     val src = tmp(); val out = tmp()
     GraphNodeFixture.write(spark, src, PartialLatest)

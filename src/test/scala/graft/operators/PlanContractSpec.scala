@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Plan-shape contracts the operators rely on implicitly. A global
+  * top-k over an unpartitioned Window WOULD be a single-partition
+  * bottleneck at scale — except Spark bounds the window's input first
+  * (TakeOrderedAndProject from the limit pushdown, or WindowGroupLimit).
+  * That reliance is load-bearing (the WindowExec warning in the logs is
+  * otherwise alarming), so pin it here: if a future Spark version or a
+  * query edit drops the bound, this fails instead of the cluster.
+  */
+class PlanContractSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def stripAqe(p: SparkPlan): SparkPlan = p match {
+    case a: AdaptiveSparkPlanExec => stripAqe(a.executedPlan)
+    case other                    => other
+  }
+
+  /** Shuffles reachable without crossing a broadcast boundary — i.e.
+    * shuffles OF the streamed data, not of tiny build sides.
+    */
+  private def streamedShuffles(p: SparkPlan): Seq[SparkPlan] = p match {
+    case _: BroadcastExchangeLike => Nil
+    case s: ShuffleExchangeLike   => s +: s.children.flatMap(streamedShuffles)
+    case other                    => other.children.flatMap(streamedShuffles)
+  }
+
+  test("q_events_user_stats global top-20 window input is bounded") {
+    val plan = stripAqe(
+      EventAnalytics.eventsUserStats(spark, sf).queryExecution.executedPlan)
+    val s = plan.toString
+    assert(s.contains("TakeOrderedAndProject") || s.contains("WindowGroupLimit"),
+      s"expected a bounded input (TakeOrderedAndProject/WindowGroupLimit) " +
+        s"before the global rank window in:\n$s")
+  }
+
+  test("q_sim_topk_ivf corpus is never shuffled before the probe join") {
+    val plan = stripAqe(
+      Similarity.simTopkIvf(spark, sf).queryExecution.executedPlan)
+    val probeJoin = plan.collectFirst { case j: BroadcastHashJoinExec => j }
+    assert(probeJoin.nonEmpty, s"expected a broadcast probe join in:\n$plan")
+    // streamed side = the full corpus with its map-side centroid argmax;
+    // the only exchanges allowed below it live inside broadcast build
+    // sides (the single-row centroid array). A shuffle of the streamed
+    // data itself would be the regression this test guards against.
+    val streamed = probeJoin.get.children.last
+    val shuffles = streamedShuffles(streamed)
+    assert(shuffles.isEmpty,
+      s"corpus side of the probe join must not shuffle:\n$streamed")
+  }
+}
