@@ -47,13 +47,24 @@ object ExtractPipeline {
     */
   val DefaultBulkThreshold = 16
 
+  /** Tables are independent datasets (disjoint directories, no shared
+    * state besides the read-only catalog), so their extract jobs can be
+    * submitted concurrently — Spark's scheduler interleaves the jobs'
+    * tasks across the cluster, which matters when many small tables
+    * would otherwise serialize driver-side planning and job setup (the
+    * reference is fully sequential, cli.py:296-328). Default 4 in
+    * flight; 1 reproduces the reference's sequential behavior exactly.
+    */
+  val DefaultTableParallelism = 4
+
   def extract(
       spark: SparkSession,
       source: EntitySource,
       config: ExtractConfig,
       outputLocation: String,
       nowMillis: Long = System.currentTimeMillis(),
-      bulkThreshold: Int = DefaultBulkThreshold): ExtractResult = {
+      bulkThreshold: Int = DefaultBulkThreshold,
+      tableParallelism: Int = DefaultTableParallelism): ExtractResult = {
     val conf = spark.sparkContext.hadoopConfiguration
     val cat = source.catalog(spark).getOrElse(config.subgraph,
       throw new IllegalArgumentException(
@@ -71,7 +82,7 @@ object ExtractPipeline {
     // K5: previous watermark bounds the already-extracted plan
     val prev = Watermark.read(root, conf)
 
-    val results = config.tables.toSeq.sortBy(_._1).map { case (table, tc) =>
+    def runTable(table: String, tc: TableConfig): TableResult = {
       val newPlan = Partitioner.plan(cat.earliestBlock, cat.latestBlock, tc.partitionSizes)
       val oldPlan = prev match {
         case Some(w) => Partitioner.plan(w.earliestBlock, w.latestBlock, tc.partitionSizes)
@@ -103,6 +114,24 @@ object ExtractPipeline {
       val fragments = MetadataSink.writeMetadata(tDir, newPlan, conf)
       TableResult(table, work, fragments)
     }
+
+    val tableSeq = config.tables.toSeq.sortBy(_._1)
+    val par = tableParallelism.min(tableSeq.size).max(1)
+    val results: Seq[TableResult] =
+      if (par <= 1) tableSeq.map { case (t, tc) => runTable(t, tc) }
+      else {
+        // bounded pool; Future.traverse preserves input (table-name)
+        // order in the result, and any table's failure propagates before
+        // the watermark commit below — crash consistency is unchanged
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try Await.result(
+          Future.traverse(tableSeq) { case (t, tc) => Future(runTable(t, tc)) },
+          Duration.Inf)
+        finally pool.shutdown()
+      }
 
     // K5 commit point — strictly after all tables succeeded.
     val wm = Watermark(config.subgraph, cat.deployment, nowMillis,

@@ -266,6 +266,31 @@ class ExtractPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(tableDir(out)).count() === 6)
   }
 
+  test("concurrent table extraction matches sequential output") {
+    val extra = Seq("table_b", "table_c")
+    val mk = (sizes: Seq[Long]) => ExtractConfig(
+      name = "my_extract_name", version = "0.0.1", subgraph = Subgraph,
+      tables = (Table +: extra).map(_ -> TableConfig(sizes)).toMap)
+    val src = tmp(); val outSeq = tmp(); val outPar = tmp()
+    GraphNodeFixture.write(spark, src, FullLatest, extraTables = extra)
+    val rSeq = ExtractPipeline.extract(spark, new ParquetEntitySource(src),
+      mk(Tiers), outSeq, 1L, tableParallelism = 1)
+    val rPar = ExtractPipeline.extract(spark, new ParquetEntitySource(src),
+      mk(Tiers), outPar, 1L, tableParallelism = 3)
+    // deterministic result order (table name) and identical plans
+    assert(rSeq.tables.map(_.table) === (Table +: extra).sorted)
+    assert(rPar.tables.map(_.table) === rSeq.tables.map(_.table))
+    assert(rPar.tables.map(t => t.table -> t.written) ===
+      rSeq.tables.map(t => t.table -> t.written))
+    assert(rPar.watermark === rSeq.watermark.copy(updatedEpochMillis =
+      rPar.watermark.updatedEpochMillis))
+    // every table dir readable with the full 6 rows
+    (Table +: extra).foreach { t =>
+      val dir = Partitioner.tableDir(s"$outPar/my_extract_name/0.0.1", Subgraph, t)
+      assert(spark.read.parquet(dir).count() === 6)
+    }
+  }
+
   test("config drift aborts (K4)") {
     val src = tmp(); val out = tmp()
     GraphNodeFixture.write(spark, src, FullLatest)

@@ -24,7 +24,11 @@ object GraphNodeFixture {
   val EntityBlocks: Seq[Long] =
     Seq(18460372L, 18500000L, 18888050L, 18888060L, 18888100L, 18888119L)
 
-  def write(spark: SparkSession, root: String, latestBlock: Long): Unit = {
+  /** `extraTables` clones the entity table under additional names (with
+    * matching information_schema rows) for multi-table pipeline tests.
+    */
+  def write(spark: SparkSession, root: String, latestBlock: Long,
+      extraTables: Seq[String] = Nil): Unit = {
     import spark.implicits._
     def p(rel: String) = s"$root/$rel"
 
@@ -41,13 +45,15 @@ object GraphNodeFixture {
       .toDF("deployment", "earliest_block_number", "latest_ethereum_block_number")
       .write.mode("overwrite").parquet(p("catalog/subgraph_deployment.parquet"))
 
-    val infoRows = Seq(
-      (Schema, Table, "id", "text"),
-      (Schema, Table, "ask_price", "numeric"),
-      (Schema, Table, "issuing_token", "text"),
-      (Schema, Table, "sku", "text"),
-      (Schema, Table, "block_range", "int4range"),
-      (Schema, Table, "vid", "bigint"),
+    val infoRows = (Table +: extraTables).flatMap { t =>
+      Seq(
+        (Schema, t, "id", "text"),
+        (Schema, t, "ask_price", "numeric"),
+        (Schema, t, "issuing_token", "text"),
+        (Schema, t, "sku", "text"),
+        (Schema, t, "block_range", "int4range"),
+        (Schema, t, "vid", "bigint"))
+    } ++ Seq(
       // not extractable: no block_range (S4 must exclude it)
       (Schema, "sample_table", "amount", "numeric"),
       (Schema, "sample_table", "from_address", "text"))
@@ -68,8 +74,10 @@ object GraphNodeFixture {
         "0x26F2319Fbb44772e0ED58fB7c99cf8da59e2b5BE",
         f"0x0197460800000000000000000000000000000000000000000000000000abc$i%03d")
     }
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), schema)
-      .write.mode("overwrite").parquet(p(s"$Schema/$Table.parquet"))
+    val entityDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    (Table +: extraTables).foreach { t =>
+      entityDf.write.mode("overwrite").parquet(p(s"$Schema/$t.parquet"))
+    }
   }
 }
