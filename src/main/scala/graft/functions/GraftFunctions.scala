@@ -53,11 +53,26 @@ object GraftFunctions {
   def cosine_e6(a: Column, b: Column): Column =
     toCol(CosineSimE6(toExpr(a), toExpr(b)))
 
+  /** text → array<long> marker-hit counts, one per word group. */
+  def lang_scores(c: Column, markerGroups: Seq[Seq[String]]): Column =
+    toCol(LangScores(toExpr(c), markerGroups))
+
   /** Stopword list shared by the text-quality operators and the default
     * SQL `text_stats(text)` form.
     */
   val DefaultStopwords: Seq[String] =
     Seq("the", "a", "of", "and", "is", "to", "in")
+
+  /** Language-ID marker sets (alphabetical language order — ties resolve
+    * to the first), shared by the langid operator and the default SQL
+    * `lang_scores(text)` form.
+    */
+  val DefaultLangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "is", "to"),
+    "es" -> Seq("el", "los", "de", "y", "es", "que"),
+    "fr" -> Seq("le", "les", "de", "et", "est", "que"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2", "you3"))
 
   /** SQL builder for every kernel — the single source of truth for the
     * engine's SQL surface. Used by [[registerAll]] (library sessions) and
@@ -102,7 +117,11 @@ object GraftFunctions {
         TextStats(exprs.head,
           if (exprs.size > 1) exprs.tail.map(str(_, "text_stats stopword"))
           else DefaultStopwords)),
-      "cosine_e6" -> (exprs => CosineSimE6(exprs.head, exprs(1))))
+      "cosine_e6" -> (exprs => CosineSimE6(exprs.head, exprs(1))),
+      // lang_scores(text): hit counts for the default marker sets, in
+      // DefaultLangMarkers order
+      "lang_scores" -> (exprs =>
+        LangScores(exprs.head, DefaultLangMarkers.map(_._2))))
   }
 
   def registerAll(spark: SparkSession): Unit = {

@@ -140,6 +140,27 @@ object TextHash {
       distinct.size.toLong))
   }
 
+  /** Marker-hit counts per word group in ONE tokenization pass:
+    * out(g) = number of tokens (with multiplicity) contained in group g.
+    * Semantics equal `size(filter(toks, t -> t IN (group_g)))` per
+    * group, without re-tokenizing or an interpreted lambda per group.
+    */
+  def langScores(text: UTF8String, sets: Array[java.util.HashSet[String]]): ArrayData = {
+    val toks = tokens(text.toString)
+    val out = new Array[Long](sets.length)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      var g = 0
+      while (g < sets.length) {
+        if (sets(g).contains(t)) out(g) += 1
+        g += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Canonical content hash: sha256 over the single-space token join —
     * whitespace/punctuation-insensitive exact-dedup key.
     */
@@ -249,6 +270,32 @@ case class TextStats(child: Expression, stopwords: Seq[String])
     defineCodeGen(ctx, ev, c => s"$helperName.textStats($c, $ref)")
   }
   override protected def withNewChildInternal(newChild: Expression): TextStats =
+    copy(child = newChild)
+}
+
+/** text → array<long> of marker-hit counts, one per word group (the
+  * language-ID scoring kernel; group order is the caller's).
+  */
+case class LangScores(child: Expression, markerGroups: Seq[Seq[String]])
+    extends UnaryExpression with TextStringInput {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lang_scores"
+
+  @transient private lazy val sets: Array[java.util.HashSet[String]] =
+    markerGroups.map { ws =>
+      val s = new java.util.HashSet[String]()
+      ws.foreach(s.add)
+      s
+    }.toArray
+
+  override def nullSafeEval(v: Any): Any =
+    TextHash.langScores(v.asInstanceOf[UTF8String], sets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("langSets", sets, "java.util.HashSet[]")
+    defineCodeGen(ctx, ev, c => s"$helperName.langScores($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): LangScores =
     copy(child = newChild)
 }
 

@@ -161,7 +161,8 @@ object Similarity {
     * the corpus too; only candidates (≈ nprobe/nlist of the corpus)
     * reach the top-k shuffle.
     */
-  def simTopkIvf(spark: SparkSession, d: String): DataFrame = {
+  def simTopkIvf(spark: SparkSession, d: String,
+      nprobe: Int = 2): DataFrame = {
     import org.apache.spark.sql.functions.{transform => arrTransform}
     val emb = Tables.embeddings(spark, d)
     val centArr = emb.where(col("vec_id") >= 10 && col("vec_id") < 18)
@@ -181,7 +182,7 @@ object Similarity {
     val probes = emb.where(col("vec_id") < NumQueries)
       .crossJoin(broadcast(centArr))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        explode(slice(reverse(array_sort(scored)), 1, 2)).as("probe"))
+        explode(slice(reverse(array_sort(scored)), 1, nprobe)).as("probe"))
       .select(col("q_id"), col("q_emb"), (-col("probe.neg_id")).as("cent_id"))
     broadcast(probes).join(assign, Seq("cent_id"))
       .where(col("vec_id") =!= col("q_id"))
@@ -225,7 +226,8 @@ object Similarity {
     * bucket key.
     */
   def dedupEmbedding(spark: SparkSession, d: String,
-      numPlanes: Int = DefaultNumPlanes): DataFrame = {
+      numPlanes: Int = DefaultNumPlanes,
+      minCosE6: Long = 300000L): DataFrame = {
     val emb = Tables.embeddings(spark, d)
       .withColumn("bucket", expr(bucketSpark(numPlanes)))
       .select(col("vec_id"), col("embedding"), col("bucket"))
@@ -238,7 +240,7 @@ object Similarity {
         // the threshold filter through the alias and the cosine is
         // evaluated twice (once in Filter, once in Project)
         monotonically_increasing_id().as("_mid"))
-      .where(col("cos_e6") >= 300000L)
+      .where(col("cos_e6") >= minCosE6)
       .drop("_mid")
       .orderBy("vec_a", "vec_b")
   }
@@ -254,7 +256,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk_brute" -> (simTopkBrute _),
     "q_sim_topk_lsh" -> ((s, d) => simTopkLsh(s, d)),
-    "q_sim_topk_ivf" -> (simTopkIvf _),
+    "q_sim_topk_ivf" -> ((s, d) => simTopkIvf(s, d)),
     "q_dedup_embedding" -> ((s, d) => dedupEmbedding(s, d)))
 
   val oracles: Map[String, String] = Map(

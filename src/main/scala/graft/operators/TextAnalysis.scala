@@ -102,27 +102,26 @@ object TextAnalysis {
        |FROM u ORDER BY doc_id""".stripMargin
 
   /** Language-ID heuristic marker sets (alphabetical language order —
-    * ties resolve to the first).
+    * ties resolve to the first). Shared with the SQL surface default.
     */
-  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
-    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
-    "en" -> Seq("the", "a", "of", "and", "is", "to"),
-    "es" -> Seq("el", "los", "de", "y", "es", "que"),
-    "fr" -> Seq("le", "les", "de", "et", "est", "que"),
-    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2", "you3"))
+  private val LangMarkers: Seq[(String, Seq[String])] =
+    graft.functions.GraftFunctions.DefaultLangMarkers
 
   /** Language-ID: function-word hit counts per language, argmax with
     * alphabetical tie-break, 'und' when nothing matches. (Real systems
     * use char n-gram models; the shape — per-doc scores then argmax —
-    * is identical and equally shuffle-free.)
+    * is identical and equally shuffle-free.) All five score sets come
+    * from ONE compiled tokenization pass ([[graft.functions.LangScores]]
+    * — the declarative form re-tokenized per language and paid an
+    * interpreted lambda frame per token per language).
     */
   def textLangId(spark: SparkSession, d: String): DataFrame = {
-    val scored = LangMarkers.foldLeft(
-      Tables.documents(spark, d).withColumn("toks", expr(tokensSpark))) {
-      case (df, (lang, words)) =>
-        df.withColumn(s"score_$lang",
-          expr(s"size(filter(toks, t -> t IN (${inList(words)})))").cast(LongType))
-    }
+    val scored = Tables.documents(spark, d)
+      .withColumn("ls", graft.functions.GraftFunctions.lang_scores(
+        col("text"), LangMarkers.map(_._2)))
+      .select(col("*") +: LangMarkers.zipWithIndex.map {
+        case ((lang, _), i) => col("ls").getItem(i).as(s"score_$lang")
+      }: _*)
     val maxScore = LangMarkers.map(m => col(s"score_${m._1}")).reduce(greatest(_, _))
     val predicted = LangMarkers.reverse.foldLeft(lit("und")) {
       case (acc, (lang, _)) =>

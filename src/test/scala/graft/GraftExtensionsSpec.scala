@@ -56,7 +56,8 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
         |  size(text_stats('the cat sat')) AS ts,
         |  size(text_stats('the cat sat', 'cat')) AS ts2,
         |  cosine_e6(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)),
-        |            array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))) AS cos
+        |            array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))) AS cos,
+        |  lang_scores('der hund und die katze') AS ls
         |""".stripMargin).head()
     assert(row.getAs[String]("enc").endsWith("FF"))
     assert(row.getAs[String]("rt") === "7")
@@ -69,6 +70,8 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     assert(row.getAs[Boolean]("ch"))
     assert(row.getAs[Int]("ts") === 4 && row.getAs[Int]("ts2") === 4)
     assert(row.getAs[Long]("cos") === 1000000L)
+    // de markers: der, und, die → 3 hits; en 'a' etc absent → 0
+    assert(row.getAs[Seq[Long]]("ls") === Seq(3L, 0L, 0L, 0L, 0L))
   }
 
   test("extension class is instantiable the way spark.sql.extensions needs") {

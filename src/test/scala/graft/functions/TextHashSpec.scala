@@ -95,6 +95,23 @@ class TextHashSpec extends AnyFunSuite with SparkTestBase {
     assert(compiled.map(_.toString) === declarative.map(_.toString))
   }
 
+  test("LangScores equals the declarative per-group filter counts") {
+    val groups = GraftFunctions.DefaultLangMarkers.map(_._2)
+    val declarative = docs
+      .withColumn("toks", expr(TextAnalysis.tokensSpark))
+      .select(col("doc_id") +: groups.zipWithIndex.map { case (ws, i) =>
+        expr(s"size(filter(toks, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")})))")
+          .cast("long").as(s"g$i")
+      }: _*)
+      .orderBy("doc_id").collect()
+    val compiled = docs
+      .withColumn("ls", GraftFunctions.lang_scores(col("text"), groups))
+      .select(col("doc_id") +: groups.indices.map(i =>
+        col("ls").getItem(i).as(s"g$i")): _*)
+      .orderBy("doc_id").collect()
+    assert(compiled.map(_.toString) === declarative.map(_.toString))
+  }
+
   test("SimHash16 equals the declarative bit-vote pipeline") {
     val declarative = docs
       .withColumn("toks", expr(TextAnalysis.tokensSpark))
