@@ -18,15 +18,27 @@ import org.apache.spark.sql.functions._
   * behavioral contract by ParquetEntitySource's integration tests
   * against the same trait.
   */
-final class JdbcEntitySource(url: String, props: java.util.Properties)
+/** @param scanPartitions parallel JDBC connections per range scan
+  *   (default 1 = the reference's single-connection behavior). With
+  *   N > 1 Spark stripes `[start, end)` on `_block_number` and each
+  *   executor task pulls its own stripe — the knob that makes initial
+  *   backfill of a large table scale out instead of serializing on one
+  *   connection. Within-stripe order is preserved by the pushed
+  *   `ORDER BY`; the pipeline re-sorts per output partition anyway
+  *   (ExtractPipeline O1), so cross-stripe order is irrelevant.
+  */
+final class JdbcEntitySource(url: String, props: java.util.Properties,
+    scanPartitions: Int = 1)
     extends EntitySource {
 
-  private def jdbc(spark: SparkSession, subquery: String): DataFrame =
+  private def jdbc(spark: SparkSession, subquery: String,
+      extra: Map[String, String] = Map.empty): DataFrame =
     spark.read.format("jdbc")
       .option("url", url)
       .option("dbtable", s"($subquery) AS t")
       .options(scala.jdk.CollectionConverters.PropertiesHasAsScala(props)
         .asScala.map { case (k, v) => k.toString -> v.toString }.toMap)
+      .options(extra)
       .load()
 
   override def catalog(spark: SparkSession): Map[String, CatalogEntry] =
@@ -48,7 +60,8 @@ final class JdbcEntitySource(url: String, props: java.util.Properties)
 
   override def scanRange(spark: SparkSession, schema: String, table: String,
       start: Long, end: Long): DataFrame =
-    jdbc(spark, JdbcEntitySource.scanRangeSql(schema, table, start, end))
+    jdbc(spark, JdbcEntitySource.scanRangeSql(schema, table, start, end),
+        JdbcEntitySource.scanPartitionOptions(start, end, scanPartitions))
       .drop("vid", "block_range")
 }
 
@@ -83,6 +96,19 @@ object JdbcEntitySource {
     s"""SELECT column_name, data_type FROM information_schema.columns
        |WHERE table_schema = '${schema.replace("'", "''")}'
        |  AND table_name = '${table.replace("'", "''")}'""".stripMargin
+
+  /** Spark JDBC striping options for a `[start, end)` scan: the source
+    * adds per-task `_block_number` bounds around the pushed subquery, so
+    * N connections each pull `(end-start)/N` blocks. Empty (single
+    * connection) when `n <= 1` or the range can't be striped.
+    */
+  def scanPartitionOptions(start: Long, end: Long, n: Int): Map[String, String] =
+    if (n <= 1 || end - start < n) Map.empty
+    else Map(
+      "partitionColumn" -> "_block_number",
+      "lowerBound" -> start.toString,
+      "upperBound" -> end.toString,
+      "numPartitions" -> n.toString)
 
   /** cli.py:24-53 — the S1 range scan with lower(block_range) pushed
     * into Postgres (half-open interval, deterministic order).

@@ -38,4 +38,14 @@ class JdbcEntitySourceSpec extends AnyFunSuite {
     assert(sql.contains("table_schema = 'sgd1'"))
     assert(sql.contains("ORDER BY table_name"))
   }
+
+  test("scan striping options: N connections over [start, end)") {
+    assert(JdbcEntitySource.scanPartitionOptions(0L, 1024L, 1) === Map.empty)
+    assert(JdbcEntitySource.scanPartitionOptions(0L, 4L, 8) === Map.empty)
+    assert(JdbcEntitySource.scanPartitionOptions(1000L, 9000L, 8) === Map(
+      "partitionColumn" -> "_block_number",
+      "lowerBound" -> "1000",
+      "upperBound" -> "9000",
+      "numPartitions" -> "8"))
+  }
 }
