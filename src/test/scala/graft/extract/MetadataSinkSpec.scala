@@ -112,6 +112,57 @@ class MetadataSinkSpec extends AnyFunSuite with SparkTestBase {
     assert(exists(t, plan.head))
   }
 
+  test("property: prune never deletes an interval the plan doesn't re-cover") {
+    // randomized supersede safety: whatever mix of plan dirs, stale
+    // smaller tiers, head partitions, and foreign tiers is on disk,
+    // every deleted dir's [start, end) must be fully inside a surviving
+    // strictly-larger plan partition — no block interval is ever lost
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val tierGen: Gen[List[Long]] = for {
+      first   <- Gen.oneOf(1L, 2L, 4L)
+      factors <- Gen.listOfN(2, Gen.oneOf(2L, 4L, 8L))
+    } yield factors.scanLeft(first)(_ * _)
+    val caseGen: Gen[(Long, Long, List[Long], List[(Long, Long)])] = for {
+      lo    <- Gen.choose(0L, 64L)
+      span  <- Gen.choose(0L, 192L)
+      sizes <- tierGen
+      nDirs <- Gen.choose(0, 6)
+      dirs  <- Gen.listOfN(nDirs, for {
+        sz <- Gen.oneOf(1L, 2L, 3L, 4L, 8L, 16L, 32L) // incl. foreign tiers
+        st <- Gen.choose(0L, 16L)
+      } yield (sz, st * sz))
+    } yield (lo, lo + span, sizes, dirs)
+
+    var seed = Seed(7L)
+    var i = 0
+    while (i < 40) {
+      caseGen.apply(Gen.Parameters.default, seed).foreach {
+        case (lo, hi, sizes, dirs) =>
+          val t = tmp()
+          val plan = graft.plans.Partitioner.plan(lo, hi, sizes)
+          val onDisk = (plan ++ dirs.map { case (sz, st) => Partition(sz, st, st + sz) }).distinct
+          onDisk.foreach(mkPartition(t, _))
+          val deleted = MetadataSink.pruneStalePartitions(t, plan, conf).toSet
+          onDisk.foreach { p =>
+            val wasDeleted = deleted.exists(_.endsWith(p.relativePath))
+            val covered = plan.exists(q =>
+              q.size > p.size && q.start <= p.start && p.end <= q.end)
+            if (wasDeleted) {
+              assert(covered, s"deleted uncovered $p (plan=$plan)")
+              assert(!plan.contains(p), s"deleted a plan partition $p")
+            } else {
+              assert(exists(t, p) === true, s"$p neither on disk nor deleted")
+            }
+          }
+          // plan partitions always survive
+          plan.foreach(p => assert(exists(t, p)))
+      }
+      seed = seed.next
+      i += 1
+    }
+  }
+
   test("grown range supersedes small tiers through the full pipeline") {
     import graft.model.{ExtractConfig, TableConfig}
     import graft.plans.Partitioner
