@@ -100,6 +100,50 @@ object Multimodal {
       |WHERE n_chars >= 200
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  case class MediaFeat(doc_id: Long, feats: Array[Int])
+
+  /** Feature extraction over the payload: the decoder emits a fixed-width
+    * feature vector per media item (here: 8 deterministic byte features
+    * from the payload digest, standing in for a real CNN/CLIP embedding
+    * head), plus its L2 norm. Same per-partition batch shape as
+    * [[multimodalDecode]] — one "model" per partition, streamed rows, the
+    * vector lands as a typed array column ready for the similarity
+    * operators. No shuffle.
+    */
+  def multimodalFeatures(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.sources.Tables.documents(spark, d)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("blob"))
+      .as[MediaBlob]
+      .mapPartitions { it =>
+        val md = MessageDigest.getInstance("SHA-256") // one instance per partition
+        it.map { b =>
+          md.reset()
+          val h = md.digest(b.blob)
+          MediaFeat(b.doc_id, Array.tabulate(8)(k => h(k) & 0xff))
+        }
+      }
+      .toDF()
+      .select(
+        col("doc_id") +:
+          (0 until 8).map(k => col("feats").getItem(k).as(s"f$k")) :+
+          expr("cast(floor(sqrt(cast(aggregate(feats, 0L, (a, x) -> a + x * x) as double)) * 1000) as bigint)")
+            .as("l2_e3"): _*)
+      .orderBy("doc_id")
+  }
+
+  val multimodalFeaturesSql: String = {
+    val fcols = (0 until 8)
+      .map(k => s"CAST(('0x' || substr(hx, ${2 * k + 1}, 2))::INT AS INT) AS f$k")
+      .mkString(", ")
+    val sq = (0 until 8).map(k => s"f$k * f$k").mkString(" + ")
+    s"""WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents),
+       |f AS (SELECT doc_id, $fcols FROM h)
+       |SELECT doc_id, ${(0 until 8).map(k => s"f$k").mkString(", ")},
+       |  CAST(floor(sqrt(CAST($sq AS DOUBLE)) * 1000) AS BIGINT) AS l2_e3
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   /** Resize step over the decoded metadata: fit into a 224x224 box
     * preserving aspect ratio (integer math — floor, consistent with the
     * oracle). The decode runs in the same mapPartitions pass shape as
@@ -136,10 +180,12 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_decode" -> (multimodalDecode _),
     "q_multimodal_frames" -> (multimodalFrames _),
+    "q_multimodal_features" -> (multimodalFeatures _),
     "q_multimodal_resize" -> (multimodalResize _))
 
   val oracles: Map[String, String] = Map(
     "q_multimodal_decode" -> multimodalDecodeSql,
     "q_multimodal_frames" -> multimodalFramesSql,
+    "q_multimodal_features" -> multimodalFeaturesSql,
     "q_multimodal_resize" -> multimodalResizeSql)
 }
