@@ -43,6 +43,22 @@ class PlanContractSpec extends AnyFunSuite with SparkTestBase {
         s"before the global rank window in:\n$s")
   }
 
+  test("q_s1_range_scan pushes the range predicate and prunes columns") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val plan = stripAqe(
+      ParityQueries.s1RangeScan(spark, sf).queryExecution.executedPlan)
+    val scan = plan.collectFirst { case s: FileSourceScanExec => s }
+    assert(scan.nonEmpty, s"expected a parquet scan in:\n$plan")
+    val pushed = scan.get.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThanOrEqual(event_id,200)") &&
+      pushed.contains("LessThan(event_id,800)"),
+      s"half-open range not pushed to the scan: $pushed")
+    // dropped columns must not be read: a scan that fetches `props` for a
+    // projection that discards it reads the widest column for nothing
+    val read = scan.get.requiredSchema.fieldNames.toSet
+    assert(!read.contains("props"), s"pruned column still read: $read")
+  }
+
   test("q_sim_topk_ivf corpus is never shuffled before the probe join") {
     val plan = stripAqe(
       Similarity.simTopkIvf(spark, sf).queryExecution.executedPlan)
