@@ -47,11 +47,59 @@ object ConfigGen {
       tables = tables)
   }
 
+  /** Interactive flow mirroring the reference generator
+    * (cli.py:383-487): pick a subgraph from the catalog, multi-select
+    * its extractable tables (with optional LIMIT-10 preview, S5), and
+    * emit the config with default tiers + uint64 mappings. Input/output
+    * are injected so tests drive it with scripted answers; the real CLI
+    * passes stdin/stdout.
+    */
+  def interactive(spark: SparkSession, source: EntitySource,
+      in: java.io.BufferedReader, out: java.io.PrintStream): ExtractConfig = {
+    def ask(prompt: String): String = {
+      out.print(prompt); out.flush()
+      Option(in.readLine()).getOrElse("").trim
+    }
+    val cat = source.catalog(spark)
+    val names = cat.keys.toSeq.sorted
+    out.println("Subgraphs:")
+    names.zipWithIndex.foreach { case (n, i) =>
+      out.println(s"  [$i] $n (${cat(n).network}, blocks ${cat(n).earliestBlock}..${cat(n).latestBlock})")
+    }
+    val subgraph = names(ask(s"Pick subgraph [0-${names.size - 1}]: ").toInt)
+
+    val all = source.tableNames(spark, cat(subgraph).schemaName)
+    out.println(s"Extractable tables in ${cat(subgraph).schemaName}:")
+    all.zipWithIndex.foreach { case (t, i) => out.println(s"  [$i] $t") }
+    val sel = ask("Tables (comma-separated indexes, or 'all'): ") match {
+      case "" | "all" => all
+      case csv        => csv.split(",").map(_.trim.toInt).toSeq.distinct.map(all)
+    }
+
+    if (ask("Preview tables? [y/N]: ").equalsIgnoreCase("y"))
+      sel.foreach { t =>
+        out.println(s"-- $t (first 10 rows)")
+        source.scanRange(spark, cat(subgraph).schemaName, t, 0L, Long.MaxValue)
+          .limit(10).collect().foreach(r => out.println("   " + r.toString))
+      }
+
+    val full = generate(spark, source, subgraph)
+    full.copy(tables = full.tables.view.filterKeys(sel.contains).toMap)
+  }
+
   def main(args: Array[String]): Unit = {
-    val Array(sourceRoot, subgraphName, outPath) = args
     val spark = Sessions.local("graft-configgen")
     try {
-      val cfg = generate(spark, new ParquetEntitySource(sourceRoot), subgraphName)
+      val (cfg, outPath) = args match {
+        case Array(sourceRoot, "--interactive", path) =>
+          (interactive(spark, new ParquetEntitySource(sourceRoot),
+            new java.io.BufferedReader(new java.io.InputStreamReader(System.in)),
+            System.out), path)
+        case Array(sourceRoot, subgraphName, path) =>
+          (generate(spark, new ParquetEntitySource(sourceRoot), subgraphName), path)
+        case other => throw new IllegalArgumentException(
+          s"usage: ConfigGen <sourceRoot> (<subgraph>|--interactive) <outPath>; got ${other.mkString(" ")}")
+      }
       Fs.writeString(outPath, ExtractConfig.toJson(cfg),
         spark.sparkContext.hadoopConfiguration)
       println(s"wrote $outPath")
