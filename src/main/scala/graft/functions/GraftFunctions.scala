@@ -57,6 +57,10 @@ object GraftFunctions {
   def lang_scores(c: Column, markerGroups: Seq[Seq[String]]): Column =
     toCol(LangScores(toExpr(c), markerGroups))
 
+  /** text → sorted winnowing fingerprints over a rolling 3-gram hash. */
+  def winnow_fps(c: Column, window: Int = 4): Column =
+    toCol(WinnowFps(toExpr(c), window))
+
   /** Stopword list shared by the text-quality operators and the default
     * SQL `text_stats(text)` form.
     */
@@ -121,7 +125,11 @@ object GraftFunctions {
       // lang_scores(text): hit counts for the default marker sets, in
       // DefaultLangMarkers order
       "lang_scores" -> (exprs =>
-        LangScores(exprs.head, DefaultLangMarkers.map(_._2))))
+        LangScores(exprs.head, DefaultLangMarkers.map(_._2))),
+      // winnow_fps(text[, window]): winnowing fingerprints, default w=4
+      "winnow_fps" -> (exprs =>
+        WinnowFps(exprs.head,
+          if (exprs.size > 1) int(exprs(1), "winnow_fps window") else 4)))
   }
 
   def registerAll(spark: SparkSession): Unit = {

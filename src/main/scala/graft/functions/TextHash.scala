@@ -140,6 +140,55 @@ object TextHash {
       distinct.size.toLong))
   }
 
+  /** Winnowing fingerprints (MOSS-style) over a polynomial ROLLING hash
+    * of token 3-grams: token value t = first 32 sha-hex bits mod M,
+    * shingle hash h_i = ((t_i*B + t_{i+1}) mod M * B + t_{i+2}) mod M,
+    * fingerprints = distinct minima of every w-window of consecutive
+    * shingle hashes (all-of-them min when there are fewer than w),
+    * sorted ascending. Integer-exact and reproducible in plain SQL, so
+    * the DuckDB oracle matches bit-for-bit. Null when no shingles.
+    */
+  def winnowFps(text: UTF8String, w: Int): ArrayData = {
+    val M = 1000000007L
+    val B = 131L
+    val toks = tokens(text.toString)
+    if (toks.length < 3) return null
+    val tv = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      tv(i) = java.lang.Long.parseLong(sha256Hex(toks(i)).substring(0, 8), 16) % M
+      i += 1
+    }
+    val n = toks.length - 2
+    val rh = new Array[Long](n)
+    i = 0
+    while (i < n) {
+      rh(i) = ((tv(i) * B + tv(i + 1)) % M * B + tv(i + 2)) % M
+      i += 1
+    }
+    val fps = new java.util.TreeSet[java.lang.Long]()
+    if (n <= w) {
+      var mn = rh(0)
+      i = 1
+      while (i < n) { if (rh(i) < mn) mn = rh(i); i += 1 }
+      fps.add(mn)
+    } else {
+      i = 0
+      while (i <= n - w) {
+        var mn = rh(i)
+        var j = i + 1
+        while (j < i + w) { if (rh(j) < mn) mn = rh(j); j += 1 }
+        fps.add(mn)
+        i += 1
+      }
+    }
+    val out = new Array[Any](fps.size)
+    val it = fps.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Marker-hit counts per word group in ONE tokenization pass:
     * out(g) = number of tokens (with multiplicity) contained in group g.
     * Semantics equal `size(filter(toks, t -> t IN (group_g)))` per
@@ -270,6 +319,25 @@ case class TextStats(child: Expression, stopwords: Seq[String])
     defineCodeGen(ctx, ev, c => s"$helperName.textStats($c, $ref)")
   }
   override protected def withNewChildInternal(newChild: Expression): TextStats =
+    copy(child = newChild)
+}
+
+/** text → sorted array<long> of winnowing fingerprints over a rolling
+  * 3-gram hash (null when no shingles).
+  */
+case class WinnowFps(child: Expression, window: Int)
+    extends UnaryExpression with TextStringInput {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "winnow_fps"
+  override def nullSafeEval(v: Any): Any =
+    TextHash.winnowFps(v.asInstanceOf[UTF8String], window)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""${ev.value} = $helperName.winnowFps($c, $window);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): WinnowFps =
     copy(child = newChild)
 }
 
