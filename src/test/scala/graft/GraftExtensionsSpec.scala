@@ -57,7 +57,9 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
         |  size(text_stats('the cat sat', 'cat')) AS ts2,
         |  cosine_e6(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)),
         |            array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))) AS cos,
-        |  lang_scores('der hund und die katze') AS ls
+        |  lang_scores('der hund und die katze') AS ls,
+        |  size(winnow_fps('a b c d e f g h')) AS wf,
+        |  size(winnow_fps('a b c d e f g h', 2)) AS wf2
         |""".stripMargin).head()
     assert(row.getAs[String]("enc").endsWith("FF"))
     assert(row.getAs[String]("rt") === "7")
@@ -72,6 +74,10 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     assert(row.getAs[Long]("cos") === 1000000L)
     // de markers: der, und, die → 3 hits; en 'a' etc absent → 0
     assert(row.getAs[Seq[Long]]("ls") === Seq(3L, 0L, 0L, 0L, 0L))
+    // 8 tokens -> 6 shingle hashes; w=4 -> 3 windows (<=3 distinct mins),
+    // w=2 -> 5 windows; both at least 1
+    assert(row.getAs[Int]("wf") >= 1 && row.getAs[Int]("wf") <= 3)
+    assert(row.getAs[Int]("wf2") >= 1 && row.getAs[Int]("wf2") <= 5)
   }
 
   test("extension class is instantiable the way spark.sql.extensions needs") {
