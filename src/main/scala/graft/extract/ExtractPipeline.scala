@@ -111,7 +111,9 @@ object ExtractPipeline {
       // CURRENT plan's partitions only, matching the reference
       // (cli.py:328 writes it from the run's partition list).
       MetadataSink.pruneStalePartitions(tDir, newPlan, conf)
-      val fragments = MetadataSink.writeMetadata(tDir, newPlan, conf)
+      // incremental: only this run's fragments get their footers read;
+      // unchanged partitions' row groups come from the previous _metadata
+      val fragments = MetadataSink.writeMetadata(tDir, newPlan, work, conf)
       TableResult(table, work, fragments)
     }
 

@@ -137,6 +137,60 @@ object MetadataSink {
     footers.size
   }
 
+  /** Incremental `_metadata` update: footers of fragments under
+    * `written` partitions are read fresh; every other plan partition's
+    * row-group metadata is lifted out of the EXISTING `_metadata` file
+    * instead of re-opening its fragments. An incremental run therefore
+    * does O(|new fragments|) footer reads, not O(|all fragments|) — the
+    * difference between a constant-cost head append and a full remote
+    * directory sweep once a table holds thousands of fragments.
+    * Falls back to the full plan-scoped rebuild when no `_metadata`
+    * exists yet. Output is byte-equivalent to a full rebuild (covered by
+    * ExtractPipelineSpec).
+    */
+  def writeMetadata(tableDir: String, plan: Seq[Partition],
+      written: Seq[Partition], conf: Configuration): Int = {
+    val dir = new Path(tableDir)
+    val fs = dir.getFileSystem(conf)
+    val metaPath = new Path(dir, ParquetFileWriter.PARQUET_METADATA_FILE)
+    if (!fs.exists(metaPath)) return writeMetadata(tableDir, plan, conf)
+
+    val old = ParquetFileReader.readFooter(conf, metaPath,
+      ParquetMetadataConverter.NO_FILTER)
+    val writtenPrefixes = written.map(_.relativePath)
+    val keepPrefixes = plan.map(_.relativePath)
+      .filterNot(writtenPrefixes.contains)
+    // old blocks, grouped per fragment file, for plan partitions that
+    // were NOT rewritten this run
+    val kept = old.getBlocks.asScala.toSeq
+      .filter { b =>
+        val p = b.getPath
+        // segment-safe prefix: "end_partition=10" must not match
+        // "end_partition=100/..."
+        keepPrefixes.exists(pre => p.startsWith(pre + "/"))
+      }
+      .groupBy(_.getPath)
+      .toSeq
+      .map { case (rel, blocks) =>
+        // qualify so kept and freshly-listed paths sort/relativize alike
+        new Footer(fs.makeQualified(new Path(dir, rel)),
+          new org.apache.parquet.hadoop.metadata.ParquetMetadata(
+            old.getFileMetaData, blocks.asJava))
+      }
+    // fresh footers only for this run's partitions
+    val fresh = written.map(p => new Path(dir, p.relativePath))
+      .filter(fs.exists)
+      .flatMap(pd => listFragments(fs, pd, conf))
+      .map { p =>
+        new Footer(p, ParquetFileReader.readFooter(conf, p,
+          ParquetMetadataConverter.NO_FILTER))
+      }
+    val footers = (kept ++ fresh).sortBy(_.getFile.toString)
+    if (footers.nonEmpty)
+      ParquetFileWriter.writeMetadataFile(conf, dir, footers.asJava)
+    footers.size
+  }
+
   /** Fragment file paths recorded in a `_metadata` file, resolved
     * against `tableDir` — the reader-side half of the summary contract:
     * a planner enumerates exactly the fragments the writer summarized,

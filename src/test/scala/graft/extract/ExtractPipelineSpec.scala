@@ -266,6 +266,26 @@ class ExtractPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(tableDir(out)).count() === 6)
   }
 
+  test("incremental _metadata equals a full rebuild") {
+    val src = tmp(); val out = tmp()
+    val conf = spark.sparkContext.hadoopConfiguration
+    GraphNodeFixture.write(spark, src, PartialLatest)
+    ExtractPipeline.extract(spark, new ParquetEntitySource(src), config(), out, 1L)
+    GraphNodeFixture.write(spark, src, FullLatest)
+    // second run goes through the incremental path (old _metadata exists)
+    val r2 = ExtractPipeline.extract(spark, new ParquetEntitySource(src),
+      config(), out, 2L)
+    assert(r2.tables.head.written.nonEmpty)
+    val incrPaths = MetadataSink.fragmentPaths(tableDir(out), conf)
+    val incrRows = MetadataSink.rowCountFromMetadata(tableDir(out), conf)
+    // rebuild from scratch over the same plan and compare
+    val fullPlan = Partitioner.plan(GraphNodeFixture.EarliestBlock, FullLatest, Tiers)
+    MetadataSink.writeMetadata(tableDir(out), fullPlan, conf)
+    assert(MetadataSink.fragmentPaths(tableDir(out), conf) === incrPaths)
+    assert(MetadataSink.rowCountFromMetadata(tableDir(out), conf) === incrRows)
+    assert(incrRows === 6)
+  }
+
   test("concurrent table extraction matches sequential output") {
     val extra = Seq("table_b", "table_c")
     val mk = (sizes: Seq[Long]) => ExtractConfig(
