@@ -26,21 +26,30 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
     val failures = scala.collection.mutable.LinkedHashSet[String]()
-    def timeOnce(name: String, fn: (SparkSession, String) => DataFrame): Double = {
+    // a failed rep yields None: its (tiny) fast-fail duration must never
+    // enter the median or the total — a broken query would otherwise make
+    // the bench look FASTER
+    def timeOnce(name: String, fn: (SparkSession, String) => DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable => failures += s"$name:${e.getClass.getSimpleName}" }
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            failures += s"$name:${e.getClass.getSimpleName}"
+            false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      dt
+      if (ok) Some(dt) else None
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = Seq.fill(reps)(timeOnce(name, fn)).sorted
-      name -> times(times.size / 2)
+      val times = Seq.fill(reps)(timeOnce(name, fn)).flatten.sorted
+      name -> (if (times.isEmpty) -1.0 else times(times.size / 2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // total covers successful queries only (failed ones report -1)
+    val total = results.values.filter(_ >= 0).sum
     val failed = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"failed":$failed}""")
     spark.stop()

@@ -132,6 +132,16 @@ object ExtractPipeline {
         try Await.result(
           Future.traverse(tableSeq) { case (t, tc) => Future(runTable(t, tc)) },
           Duration.Inf)
+        catch {
+          case t: Throwable =>
+            // a table failed: don't leave sibling extracts running as
+            // orphans after extract() has thrown — a same-JVM retry
+            // would race them on the table directories. Drop queued
+            // work, then block until in-flight tables drain.
+            pool.shutdownNow()
+            pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)
+            throw t
+        }
         finally pool.shutdown()
       }
 

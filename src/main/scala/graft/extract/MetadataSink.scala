@@ -201,6 +201,9 @@ object MetadataSink {
   def fragmentPaths(tableDir: String, conf: Configuration): Seq[String] = {
     val dir = new Path(tableDir)
     val p = new Path(dir, ParquetFileWriter.PARQUET_METADATA_FILE)
+    // zero-fragment tables legitimately have no _metadata (the writer
+    // skips empty footer lists) — that's "no fragments", not an error
+    if (!dir.getFileSystem(conf).exists(p)) return Nil
     val meta = ParquetFileReader.readFooter(conf, p, ParquetMetadataConverter.NO_FILTER)
     meta.getBlocks.asScala.map(_.getPath).distinct.toSeq
       .map(rel => new Path(dir, rel).toString)
@@ -211,6 +214,7 @@ object MetadataSink {
     */
   def rowCountFromMetadata(tableDir: String, conf: Configuration): Long = {
     val p = new Path(tableDir, ParquetFileWriter.PARQUET_METADATA_FILE)
+    if (!p.getFileSystem(conf).exists(p)) return 0L
     val meta = ParquetFileReader.readFooter(conf, p, ParquetMetadataConverter.NO_FILTER)
     meta.getBlocks.asScala.map(_.getRowCount).sum
   }

@@ -97,37 +97,48 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"$what must be a string literal, got $other")
     }
+    // wrong arity must be a clear error, never a silently-ignored
+    // argument or a bare IndexOutOfBoundsException from exprs(i)
+    def arity(name: String, min: Int, max: Int)(
+        b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+      exprs => {
+        if (exprs.size < min || exprs.size > max)
+          throw new IllegalArgumentException(
+            s"$name expects $min${if (max != min) s"..$max" else ""} " +
+              s"argument(s), got ${exprs.size}")
+        b(exprs)
+      }
     Seq(
-      "uint256_encode" -> (exprs => Uint256Encode(exprs.head)),
-      "uint256_to_decimal" -> (exprs => Uint256ToDecimal(exprs.head)),
+      "uint256_encode" -> arity("uint256_encode", 1, 1)(exprs => Uint256Encode(exprs.head)),
+      "uint256_to_decimal" -> arity("uint256_to_decimal", 1, 1)(exprs => Uint256ToDecimal(exprs.head)),
       // uint256_div(carrier, N) for a literal integer divisor (the
       // compiled downscale path); uint256_div(carrier, carrier) otherwise
-      "uint256_div" -> (exprs => exprs(1) match {
+      "uint256_div" -> arity("uint256_div", 2, 2)(exprs => exprs(1) match {
         case Literal(v: Int, IntegerType) => Uint256DivLong(exprs.head, v.toLong)
         case Literal(v: Long, LongType)   => Uint256DivLong(exprs.head, v)
         case other                        => Uint256Div(exprs.head, other)
       }),
-      "uint256_hex" -> (exprs => Hex(exprs.head)),
-      "minhash_sig" -> (exprs =>
+      "uint256_hex" -> arity("uint256_hex", 1, 1)(exprs => Hex(exprs.head)),
+      "minhash_sig" -> arity("minhash_sig", 1, 2)(exprs =>
         MinHashSig(exprs.head,
           if (exprs.size > 1) int(exprs(1), "minhash_sig num_hashes") else 16)),
-      "simhash16" -> (exprs => SimHash16(exprs.head)),
-      "shingle_set" -> (exprs => ShingleSet(exprs.head)),
-      "text_fingerprint" -> (exprs => TextFingerprint(exprs.head)),
-      "content_hash" -> (exprs => ContentHash(exprs.head)),
+      "simhash16" -> arity("simhash16", 1, 1)(exprs => SimHash16(exprs.head)),
+      "shingle_set" -> arity("shingle_set", 1, 1)(exprs => ShingleSet(exprs.head)),
+      "text_fingerprint" -> arity("text_fingerprint", 1, 1)(exprs => TextFingerprint(exprs.head)),
+      "content_hash" -> arity("content_hash", 1, 1)(exprs => ContentHash(exprs.head)),
       // text_stats(text) with the default stopwords, or
       // text_stats(text, 'stop1', 'stop2', ...) with an explicit list
-      "text_stats" -> (exprs =>
+      "text_stats" -> arity("text_stats", 1, 64)(exprs =>
         TextStats(exprs.head,
           if (exprs.size > 1) exprs.tail.map(str(_, "text_stats stopword"))
           else DefaultStopwords)),
-      "cosine_e6" -> (exprs => CosineSimE6(exprs.head, exprs(1))),
+      "cosine_e6" -> arity("cosine_e6", 2, 2)(exprs => CosineSimE6(exprs.head, exprs(1))),
       // lang_scores(text): hit counts for the default marker sets, in
       // DefaultLangMarkers order
-      "lang_scores" -> (exprs =>
+      "lang_scores" -> arity("lang_scores", 1, 1)(exprs =>
         LangScores(exprs.head, DefaultLangMarkers.map(_._2))),
       // winnow_fps(text[, window]): winnowing fingerprints, default w=4
-      "winnow_fps" -> (exprs =>
+      "winnow_fps" -> arity("winnow_fps", 1, 2)(exprs =>
         WinnowFps(exprs.head,
           if (exprs.size > 1) int(exprs(1), "winnow_fps window") else 4)))
   }

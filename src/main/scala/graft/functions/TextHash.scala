@@ -149,6 +149,7 @@ object TextHash {
     * the DuckDB oracle matches bit-for-bit. Null when no shingles.
     */
   def winnowFps(text: UTF8String, w: Int): ArrayData = {
+    require(w >= 1, s"winnow window must be >= 1, got $w")
     val M = 1000000007L
     val B = 131L
     val toks = tokens(text.toString)
@@ -272,6 +273,7 @@ private[functions] trait TextStringInput extends UnaryExpression {
 /** text → array<long> MinHash signature (null when no shingles). */
 case class MinHashSig(child: Expression, numHashes: Int)
     extends UnaryExpression with TextStringInput {
+  require(numHashes >= 1, s"minhash_sig num_hashes must be >= 1, got $numHashes")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "minhash_sig"
@@ -327,6 +329,7 @@ case class TextStats(child: Expression, stopwords: Seq[String])
   */
 case class WinnowFps(child: Expression, window: Int)
     extends UnaryExpression with TextStringInput {
+  require(window >= 1, s"winnow_fps window must be >= 1, got $window")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "winnow_fps"

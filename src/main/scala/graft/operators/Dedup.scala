@@ -78,6 +78,9 @@ object Dedup {
   /** (doc_id, band_id, band_val) — numBands short rows per doc. */
   private def bands(sigs: DataFrame, numHashes: Int = DefaultNumHashes,
       numBands: Int = DefaultNumBands): DataFrame = {
+    require(numBands >= 1 && numBands <= numHashes && numHashes % numBands == 0,
+      s"numBands ($numBands) must divide numHashes ($numHashes) — " +
+        "bands x rowsPerBand = numHashes is the LSH S-curve contract")
     val rows = numHashes / numBands
     val bandExprs = (0 until numBands).map { b =>
       (0 until rows).map(j => s"cast(sig[${rows * b + j}] as string)")

@@ -264,8 +264,7 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_partial"), sum("cents").as("cents_partial"))
       .groupBy("user_id")
       .agg(sum("n_partial").as("n_events"),
-        sum("cents_partial").cast(DecimalType(38, 0)).cast(LongType)
-          .as("sum_value_cents"))
+        sum("cents_partial").cast(LongType).as("sum_value_cents"))
       .orderBy("user_id")
   }
 

@@ -219,8 +219,7 @@ object ParityQueries {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum("qty_c").as("sum_qty_cents"),
-        sum("price_c").cast(DecimalType(38, 0)).cast(LongType)
-          .as("sum_price_cents"),
+        sum("price_c").cast(LongType).as("sum_price_cents"),
         sum("disc_price_e4").cast(DecimalType(38, 0)).cast(StringType)
           .as("sum_disc_price_e4"),
         sum("charge_e6").cast(DecimalType(38, 0)).cast(StringType)

@@ -65,8 +65,14 @@ object Similarity {
 
   private val Dims = 64 // embeddings.parquet vector width
 
+  private def requirePlanes(numPlanes: Int): Unit =
+    require(numPlanes >= 1 && numPlanes <= Dims && Dims % numPlanes == 0,
+      s"numPlanes ($numPlanes) must be in [1, $Dims] and divide $Dims — " +
+        "a zero stride would collapse every plane onto one coordinate")
+
   /** Sign-LSH bucket from `numPlanes` evenly-strided coordinates. */
   private def bucketSpark(numPlanes: Int = DefaultNumPlanes): String = {
+    requirePlanes(numPlanes)
     val stride = Dims / numPlanes
     s"""aggregate(sequence(0, ${numPlanes - 1}), 0, (acc, k) ->
        |  acc + CASE WHEN element_at(embedding, $stride*k+1) >= cast(0 as float)
@@ -75,6 +81,7 @@ object Similarity {
   }
 
   private def bucketDuck(numPlanes: Int = DefaultNumPlanes): String = {
+    requirePlanes(numPlanes)
     val stride = Dims / numPlanes
     s"""CAST(list_sum(list_transform(range(0, $numPlanes), k ->
        |  CASE WHEN embedding[$stride*k+1] >= 0 THEN 1 << k ELSE 0 END)) AS INT)"""

@@ -60,21 +60,38 @@ object ConfigGen {
       out.print(prompt); out.flush()
       Option(in.readLine()).getOrElse("").trim
     }
+    // reprompt on invalid input (reference TUI behavior) — but give up
+    // after a few attempts so a scripted/closed stdin can't loop forever
+    @annotation.tailrec
+    def askValid[A](prompt: String, parse: String => A, attempts: Int = 3): A = {
+      val raw = ask(prompt)
+      scala.util.Try(parse(raw)) match {
+        case scala.util.Success(v) => v
+        case scala.util.Failure(e) =>
+          if (attempts <= 1) throw new IllegalArgumentException(
+            s"invalid input '$raw': ${e.getMessage}")
+          out.println(s"  invalid input '$raw', try again")
+          askValid(prompt, parse, attempts - 1)
+      }
+    }
     val cat = source.catalog(spark)
     val names = cat.keys.toSeq.sorted
     out.println("Subgraphs:")
     names.zipWithIndex.foreach { case (n, i) =>
       out.println(s"  [$i] $n (${cat(n).network}, blocks ${cat(n).earliestBlock}..${cat(n).latestBlock})")
     }
-    val subgraph = names(ask(s"Pick subgraph [0-${names.size - 1}]: ").toInt)
+    val subgraph = askValid(s"Pick subgraph [0-${names.size - 1}]: ",
+      s => names(s.toInt))
 
     val all = source.tableNames(spark, cat(subgraph).schemaName)
     out.println(s"Extractable tables in ${cat(subgraph).schemaName}:")
     all.zipWithIndex.foreach { case (t, i) => out.println(s"  [$i] $t") }
-    val sel = ask("Tables (comma-separated indexes, or 'all'): ") match {
+    val sel = askValid("Tables (comma-separated indexes, or 'all'): ", {
       case "" | "all" => all
-      case csv        => csv.split(",").map(_.trim.toInt).toSeq.distinct.map(all)
-    }
+      case csv =>
+        csv.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt)
+          .toSeq.distinct.map(all)
+    })
 
     if (ask("Preview tables? [y/N]: ").equalsIgnoreCase("y"))
       sel.foreach { t =>
