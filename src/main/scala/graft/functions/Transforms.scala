@@ -53,16 +53,25 @@ object Transforms {
     lit(new JBigDecimal(v.bigInteger)).cast(DecimalType(38, 0))
   }
 
-  /** Exact integer floor division for non-negative decimals.
-    * `floor(a / b)` is NOT safe here: Spark decimal division rounds to
-    * scale 6 (HALF_UP), which can round a .999999… quotient up across the
-    * floor boundary. `(a - a % b) / b` divides exactly, so the rounding
-    * never fires.
+  /** Exact integer floor division for non-negative decimals, at FULL
+    * Decimal(38) range. Spark's own decimal division is unusable here
+    * twice over: `floor(a / b)` rounds the scale-6 quotient HALF_UP
+    * across the floor boundary, and even the exact `(a - a%b)/b` form
+    * promotes to Decimal(38,6) — so any quotient >= 10^32 overflows the
+    * result type (error under ANSI, silent null otherwise). The engine's
+    * uint256 carrier division is BigInteger floor division with codegen,
+    * exact for every representable value; the encode/decode pair stays a
+    * single projection (and the round-trip eliminator keeps the
+    * non-divided path carrier-free).
     */
   private def floorDiv(c: Column, d: BigInt): Column = {
+    require(d > 0, s"downscale factor must be positive: $d")
     val dec = c.cast(DecimalType(38, 0))
-    val div = bigIntLit(d)
-    ((dec - (dec % div)) / div).cast(DecimalType(38, 0))
+    if (d == BigInt(1)) dec
+    else GraftFunctions.uint256_to_decimal(
+      GraftFunctions.uint256_div(
+        GraftFunctions.uint256_encode(dec),
+        GraftFunctions.uint256_encode(bigIntLit(d))))
   }
 
   /** Derived columns for one source column (E1-E4), in mapping order.
