@@ -273,7 +273,10 @@ private[functions] trait TextStringInput extends UnaryExpression {
 /** text → array<long> MinHash signature (null when no shingles). */
 case class MinHashSig(child: Expression, numHashes: Int)
     extends UnaryExpression with TextStringInput {
-  require(numHashes >= 1, s"minhash_sig num_hashes must be >= 1, got $numHashes")
+  // upper bound is the overflow proof: h1, h2 < 2^56, so
+  // h1 + j*h2 < (j+1)*2^56 stays below 2^63 only for j <= 126
+  require(numHashes >= 1 && numHashes <= 127,
+    s"minhash_sig num_hashes must be in [1, 127], got $numHashes")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "minhash_sig"
