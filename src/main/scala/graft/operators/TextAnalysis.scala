@@ -50,15 +50,19 @@ object TextAnalysis {
     */
   def textTokens(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
-      .withColumn("toks", expr(tokensSpark))
+      // token count + summed token chars come from the compiled
+      // single-pass TextStats kernel (st[0], st[1]) — the declarative
+      // aggregate(transform(...)) form paid an interpreted lambda frame
+      // per token
+      .withColumn("st",
+        graft.functions.GraftFunctions.text_stats(col("text"), Nil))
       .select(
         col("doc_id"),
         col("n_chars"),
-        size(col("toks")).cast(LongType).as("n_word_tokens"),
+        col("st").getItem(0).as("n_word_tokens"),
         expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0))")
           .cast(LongType).as("n_bpeish_tokens"),
-        expr("aggregate(transform(toks, t -> length(t)), 0L, (a, x) -> a + x)")
-          .as("sum_token_chars"))
+        col("st").getItem(1).as("sum_token_chars"))
       .orderBy("doc_id")
 
   val textTokensSql: String =
