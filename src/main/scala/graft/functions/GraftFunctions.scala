@@ -57,6 +57,10 @@ object GraftFunctions {
   def lang_scores(c: Column, markerGroups: Seq[Seq[String]]): Column =
     toCol(LangScores(toExpr(c), markerGroups))
 
+  /** carrier → carrier sum (null on empty group; throws past 2^256). */
+  def uint256_sum(c: Column): Column =
+    toCol(Uint256Sum(toExpr(c)).toAggregateExpression())
+
   /** text → sorted winnowing fingerprints over a rolling 3-gram hash. */
   def winnow_fps(c: Column, window: Int = 4): Column =
     toCol(WinnowFps(toExpr(c), window))
@@ -119,6 +123,8 @@ object GraftFunctions {
         case other                        => Uint256Div(exprs.head, other)
       }),
       "uint256_hex" -> arity("uint256_hex", 1, 1)(exprs => Hex(exprs.head)),
+      "uint256_sum" -> arity("uint256_sum", 1, 1)(exprs =>
+        Uint256Sum(exprs.head).toAggregateExpression()),
       "minhash_sig" -> arity("minhash_sig", 1, 2)(exprs =>
         MinHashSig(exprs.head,
           if (exprs.size > 1) int(exprs(1), "minhash_sig num_hashes") else 16)),

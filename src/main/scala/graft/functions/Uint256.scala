@@ -228,3 +228,64 @@ case class Uint256DivLong(child: Expression, divisor: Long) extends UnaryExpress
   override protected def withNewChildInternal(newChild: Expression): Uint256DivLong =
     copy(child = newChild)
 }
+
+/** Sum aggregate over the uint256 carrier — the UDAF member of the
+  * family (SURVEY.md §2.11 notes none is needed for parity; summing
+  * on-chain token amounts is the first thing a real user does beyond
+  * it). State is a single BigInteger, merged associatively, so partial
+  * (map-side) aggregation applies as usual and only 32-byte-ish buffers
+  * cross the shuffle. Null inputs are ignored; an all-null/empty group
+  * yields null (SQL SUM semantics); a total exceeding 2^256 throws
+  * loudly rather than wrapping — the output remains a valid carrier.
+  */
+case class Uint256Sum(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[BigInteger] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "uint256_sum"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other      => TypeCheckResult.TypeCheckFailure(s"expected binary carrier, got $other")
+  }
+
+  // null buffer = "no input seen yet" → SQL SUM's null on empty groups
+  override def createAggregationBuffer(): BigInteger = null
+
+  override def update(buffer: BigInteger, input: org.apache.spark.sql.catalyst.InternalRow): BigInteger = {
+    val v = child.eval(input)
+    if (v == null) buffer
+    else {
+      val x = Uint256.decode(v.asInstanceOf[Array[Byte]])
+      if (buffer == null) x else buffer.add(x)
+    }
+  }
+
+  override def merge(buffer: BigInteger, other: BigInteger): BigInteger =
+    if (buffer == null) other
+    else if (other == null) buffer
+    else buffer.add(other)
+
+  override def eval(buffer: BigInteger): Any =
+    if (buffer == null) null else Uint256.encode(buffer)
+
+  override def serialize(buffer: BigInteger): Array[Byte] =
+    if (buffer == null) Array.emptyByteArray else buffer.toByteArray
+
+  override def deserialize(storageFormat: Array[Byte]): BigInteger =
+    if (storageFormat.isEmpty) null else new BigInteger(storageFormat)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): Uint256Sum =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): Uint256Sum =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Uint256Sum =
+    copy(child = newChildren.head)
+}

@@ -192,6 +192,32 @@ object ParityQueries {
       |  CAST(substr(o_orderpriority, 1, 1) AS INT) AS priority_code
       |FROM orders ORDER BY total_cents DESC, o_orderkey""".stripMargin
 
+  /** uint256-carrier SUM (the custom UDAF): amounts encoded as 32-byte
+    * carriers are summed at arbitrary precision with map-side partial
+    * aggregation (one BigInteger per group per partition crosses the
+    * shuffle), then narrowed to a decimal string. The oracle sums the
+    * same cents exactly — totals here fit Decimal(38), which is what
+    * makes the cross-engine check possible; past 38 digits only the
+    * carrier side could represent the result.
+    */
+  def uint256Sum(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .select(col("l_returnflag"),
+        GraftFunctions.uint256_encode(
+          (dec2(col("l_extendedprice")) * 100).cast(DecimalType(18, 0)))
+          .as("cents_u"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        GraftFunctions.uint256_to_decimal(
+          GraftFunctions.uint256_sum(col("cents_u"))).cast(StringType)
+          .as("sum_cents_s"))
+      .orderBy("l_returnflag")
+
+  val uint256SumSql: String =
+    """SELECT l_returnflag, count(*) AS n_items,
+      |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS sum_cents_s
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Flagship aggregation (TPC-H Q1 shape): hash aggregate with partial
     * (map-side) combine on exact scaled integers; averages as integer
     * floor divisions so the result is engine-independent. One shuffle on
@@ -258,6 +284,7 @@ object ParityQueries {
     "q_e2_clamp_validity" -> (e2ClampValidity _),
     "q_e5_uint256" -> (e5Uint256 _),
     "q_o1_sorted_projection" -> (o1SortedProjection _),
+    "q_uint256_sum" -> (uint256Sum _),
     "q1_agg" -> (q1Agg _))
 
   val oracles: Map[String, String] = Map(
@@ -269,5 +296,6 @@ object ParityQueries {
     "q_e2_clamp_validity" -> e2ClampValiditySql,
     "q_e5_uint256" -> e5Uint256Sql,
     "q_o1_sorted_projection" -> o1SortedProjectionSql,
+    "q_uint256_sum" -> uint256SumSql,
     "q1_agg" -> q1AggSql)
 }
