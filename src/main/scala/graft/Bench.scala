@@ -32,7 +32,10 @@ object Bench {
     def timeOnce(name: String, fn: (SparkSession, String) => DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        // noop DSv2 sink: materializes EVERY output column and keeps the
+        // final sort — count() would let Catalyst prune the projections
+        // and eliminate the orderBy, timing a fraction of the query
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch {
           case e: Throwable =>
             failures += s"$name:${e.getClass.getSimpleName}"

@@ -88,6 +88,11 @@ final class ParquetEntitySource(root: String) extends EntitySource {
       .join(broadcast(sg), col("current_version") === col("sv_id"), "left")
       .join(broadcast(sd), col("sd_deployment") === col("ds_subgraph"), "left")
       .where(col("active") && col("current_version").isNotNull)
+      // LEFT JOIN admits deployments with no subgraph_deployment row;
+      // without a registered block range nothing is extractable (and
+      // Row.getLong would NPE on the nulls) — skip them
+      .where(col("earliest_block_number").isNotNull &&
+        col("latest_ethereum_block_number").isNotNull)
       .select(col("subgraph_name"), col("ds_subgraph"), col("schema_name"),
         col("network"),
         col("earliest_block_number").cast("long").as("earliest"),

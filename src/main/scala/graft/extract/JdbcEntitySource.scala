@@ -82,7 +82,9 @@ object JdbcEntitySource {
       |LEFT JOIN subgraphs.subgraph_version sv ON ds.subgraph = sv.deployment
       |LEFT JOIN subgraphs.subgraph s ON s.current_version = sv.id
       |LEFT JOIN subgraphs.subgraph_deployment sd ON sd.deployment = ds.subgraph
-      |WHERE ds.active AND s.current_version IS NOT NULL""".stripMargin
+      |WHERE ds.active AND s.current_version IS NOT NULL
+      |  AND sd.earliest_block_number IS NOT NULL
+      |  AND sd.latest_ethereum_block_number IS NOT NULL""".stripMargin
 
   /** cli.py:366-380 — extractable-table listing. */
   def tableNamesSql(schema: String): String =

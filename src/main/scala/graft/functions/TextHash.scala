@@ -30,7 +30,11 @@ object TextHash {
   private val TokenRe = Pattern.compile("[a-z0-9]+")
 
   def tokens(text: String): Array[String] = {
-    val m = TokenRe.matcher(text.toLowerCase)
+    // Locale.ROOT: default-locale lowercasing breaks parity under
+    // Turkish-family locales ("I" -> dotless U+0131, dropped by the
+    // token regex) — Spark's lower() and DuckDB's lower() are both
+    // locale-independent
+    val m = TokenRe.matcher(text.toLowerCase(java.util.Locale.ROOT))
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     while (m.find()) out += m.group()
     out.toArray

@@ -21,7 +21,7 @@ object TargetType extends Enumeration {
   val UInt32, UInt64, Bytes, Bool, Str, Numeric38, Int8, Int16, Int32, Int64,
       Float32, Float64 = Value
 
-  def parse(s: String): TargetType.Value = s.toLowerCase match {
+  def parse(s: String): TargetType.Value = s.toLowerCase(java.util.Locale.ROOT) match {
     case "uint32"            => UInt32
     case "uint64"            => UInt64
     case "bytes"             => Bytes
@@ -43,7 +43,7 @@ object TargetType extends Enumeration {
     */
   def canonicalName(t: TargetType.Value): String = t match {
     case Str   => "string"
-    case other => other.toString.toLowerCase
+    case other => other.toString.toLowerCase(java.util.Locale.ROOT)
   }
 
   def toSpark(t: TargetType.Value): org.apache.spark.sql.types.DataType = {

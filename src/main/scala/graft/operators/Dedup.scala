@@ -23,9 +23,10 @@ import graft.sources.Tables
   *  - n-gram Jaccard verification runs only on LSH candidate pairs
   *    (the classic candidate→verify funnel), never all-pairs.
   *
-  * Hash parity with DuckDB: H16(s) = substr(sha256(s),1,16); minhash_j =
-  * lexicographic MIN of H16(j ++ ':' ++ shingle) — fixed-width lowercase
-  * hex makes lexicographic MIN equal numeric MIN in both engines.
+  * Hash parity with DuckDB: each shingle is sha256-hashed once and split
+  * into two 56-bit halves (h1, h2); minhash_j = numeric MIN over shingles
+  * of h1 + j*h2 (the arithmetic hash family — see `signatures` and
+  * `signaturesDuckCte`, which ARE the cross-engine contract).
   */
 object Dedup {
 

@@ -127,7 +127,10 @@ object EventAnalytics {
         col("event_id"), col("event_type"))
     // kind 0 = click (right side) sorts before kind 1 = purchase (left
     // side) at equal t_us, making the match inclusive (click at the same
-    // instant is visible to the purchase).
+    // instant is visible to the purchase). Ties of clicks at the SAME
+    // t_us resolve to the max click_id (running last over click_id
+    // order); the oracle collapses such ties identically, since DuckDB's
+    // ASOF JOIN is otherwise free to pick any tied row.
     val clicks = ev.where(col("event_type") === "click")
       .select(col("user_id"), col("t_us"), lit(0).as("kind"),
         col("event_id").as("click_id"), lit(null).cast(LongType).as("purchase_id"))
@@ -146,8 +149,10 @@ object EventAnalytics {
   }
 
   val joinAsofSql: String =
-    """WITH c AS (SELECT user_id, epoch_ns(ts) // 1000 AS t_us, event_id
-      |           FROM events WHERE event_type = 'click'),
+    """WITH c0 AS (SELECT user_id, epoch_ns(ts) // 1000 AS t_us, event_id
+      |            FROM events WHERE event_type = 'click'),
+      |c AS (SELECT user_id, t_us, max(event_id) AS event_id
+      |      FROM c0 GROUP BY user_id, t_us),
       |p AS (SELECT user_id, epoch_ns(ts) // 1000 AS t_us, event_id
       |      FROM events WHERE event_type = 'purchase')
       |SELECT p.event_id AS purchase_id, p.user_id, p.t_us AS purchase_us,
@@ -408,8 +413,9 @@ object EventAnalytics {
   /** HLL sketch distinct-count (approx_count_distinct). Engines' sketch
     * values differ, so the approximate count itself can't be hash-compared
     * cross-engine; instead the query emits the exact count plus a
-    * Spark-side accuracy assertion `|approx - exact| * 20 <= exact`
-    * (within 5% — approx_count_distinct's default rsd is 5%), and the
+    * Spark-side accuracy assertion `|approx - exact| * 100 <= exact * 15`
+    * (within 15%: the default 5% rsd is a standard deviation, not a
+    * bound — at sf0.1 one group's sketch sits past 5%), and the
     * oracle emits the same exact count with a literal `true`. The sketch
     * is thereby oracle-checked: a broken HLL fails the boolean, a broken
     * grouping fails the exact column.
