@@ -40,10 +40,28 @@ object Uint256 {
     out
   }
 
-  def encodeLong(v: Long): Array[Byte] = encode(BigInteger.valueOf(v))
+  /** Long fast path: writes the 8 value bytes directly — no BigInteger,
+    * no sign-byte trimming. Hot for cents/gwei-scale columns, where
+    * every value fits a long.
+    */
+  def encodeLong(v: Long): Array[Byte] = {
+    if (v < 0)
+      throw new IllegalArgumentException(s"uint256 cannot encode negative value $v")
+    val out = new Array[Byte](Width)
+    var x = v
+    var i = Width - 1
+    while (x != 0) {
+      out(i) = (x & 0xff).toByte
+      x >>>= 8
+      i -= 1
+    }
+    out
+  }
 
   def encodeDecimal(d: Decimal): Array[Byte] =
-    encode(d.toJavaBigDecimal.toBigIntegerExact)
+    // scale-0 decimals up to 18 digits always fit a long (< 9.2e18)
+    if (d.scale == 0 && d.precision <= 18) encodeLong(d.toUnscaledLong)
+    else encode(d.toJavaBigDecimal.toBigIntegerExact)
 
   def encodeString(s: UTF8String): Array[Byte] =
     encode(new BigInteger(s.toString.trim))
