@@ -80,6 +80,20 @@ object EventStream {
       }
   }
 
+  /** Streaming replay-dedup: an at-least-once upstream (file re-drops,
+    * producer retries) delivers the same event more than once; this
+    * keeps the first arrival per `event_id` and drops replays. State is
+    * kept only within the event-time watermark, so the state store is
+    * bounded by the lateness window — NOT the whole stream history,
+    * which is what plain dropDuplicates would require and what makes it
+    * a non-starter at 100 TB. The batch dedup family (operators.Dedup)
+    * handles content-level duplicates; this handles delivery-level ones.
+    */
+  def dedupReplays(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Run a streaming DataFrame to an in-memory table until all
     * currently-available input is processed (catch-up semantics — the
     * streaming analog of the reference's incremental batch run).

@@ -68,4 +68,22 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.map(_.toString) === batch.map(_.toString))
     assert(streamed.nonEmpty)
   }
+
+  test("replay dedup: duplicated input files collapse to distinct events") {
+    val dir = Files.createTempDirectory("graft-stream")
+    // the same events parquet dropped TWICE under different names — the
+    // file source reads both, simulating an at-least-once upstream
+    Files.copy(Paths.get(s"$SfDir/events.parquet"),
+      dir.resolve("events-000.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(s"$SfDir/events.parquet"),
+      dir.resolve("events-001.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val stream = EventStream.readEventStream(spark, dir.toString)
+    EventStream.runAvailableNow(EventStream.dedupReplays(stream),
+      "dedup_sink", ckpt, OutputMode.Append())
+    val total = Tables.events(spark, SfDir).count()
+    val streamed = spark.table("dedup_sink")
+    assert(streamed.select("event_id").distinct().count() === total)
+    assert(streamed.count() === total) // each replayed event kept exactly once
+  }
 }
