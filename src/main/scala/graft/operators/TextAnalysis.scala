@@ -263,10 +263,41 @@ object TextAnalysis {
        |FROM (SELECT doc_id, unnest($tokensDuck) AS token FROM documents)
        |GROUP BY token ORDER BY coll_freq DESC, token LIMIT 50""".stripMargin
 
+  /** Within-document repetition (the Gopher/MassiveText-style quality
+    * rule): fraction of duplicated 3-gram shingles, as a scaled integer.
+    * High repetition flags boilerplate/spam for corpus filtering. Both
+    * counts come from existing compiled kernels, so the scan stays
+    * codegen-bound and shuffle-free.
+    */
+  def textRepetition(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.text_fingerprint(col("text")).as("fp"),
+        graft.functions.GraftFunctions.shingle_set(col("text")).as("sset"))
+      .where(col("fp").isNotNull)
+      .select(col("doc_id"),
+        col("fp").getItem(2).cast(LongType).as("n_shingles"),
+        size(col("sset")).cast(LongType).as("n_distinct"))
+      .withColumn("rep_ratio_e4",
+        expr("(n_shingles - n_distinct) * 10000L div n_shingles"))
+      .orderBy("doc_id")
+
+  val textRepetitionSql: String =
+    s"""WITH t AS (SELECT doc_id, $tokensDuck AS toks FROM documents),
+       |sh AS (SELECT doc_id, $shinglesDuck AS shingles FROM t),
+       |c AS (SELECT doc_id,
+       |        CAST(len(shingles) AS BIGINT) AS n_shingles,
+       |        CAST(len(list_distinct(shingles)) AS BIGINT) AS n_distinct
+       |      FROM sh WHERE len(shingles) > 0)
+       |SELECT doc_id, n_shingles, n_distinct,
+       |  (n_shingles - n_distinct) * 10000 // n_shingles AS rep_ratio_e4
+       |FROM c ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_vocab" -> (textVocab _),
     "q_text_vocab_hll" -> (textVocabHll _),
     "q_text_winnow" -> (textWinnow _),
+    "q_text_repetition" -> (textRepetition _),
     "q_text_tokens" -> (textTokens _),
     "q_text_quality" -> (textQuality _),
     "q_text_langid" -> (textLangId _),
@@ -276,6 +307,7 @@ object TextAnalysis {
     "q_text_vocab" -> textVocabSql,
     "q_text_vocab_hll" -> textVocabHllSql,
     "q_text_winnow" -> textWinnowSql,
+    "q_text_repetition" -> textRepetitionSql,
     "q_text_tokens" -> textTokensSql,
     "q_text_quality" -> textQualitySql,
     "q_text_langid" -> textLangIdSql,
