@@ -53,6 +53,10 @@ object GraftFunctions {
   def cosine_e6(a: Column, b: Column): Column =
     toCol(CosineSimE6(toExpr(a), toExpr(b)))
 
+  /** (array<string>, array<string>) → exact set-Jaccard scaled 1e4. */
+  def jaccard_e4(a: Column, b: Column): Column =
+    toCol(JaccardE4(toExpr(a), toExpr(b)))
+
   /** text → array<long> marker-hit counts, one per word group. */
   def lang_scores(c: Column, markerGroups: Seq[Seq[String]]): Column =
     toCol(LangScores(toExpr(c), markerGroups))
@@ -139,6 +143,7 @@ object GraftFunctions {
           if (exprs.size > 1) exprs.tail.map(str(_, "text_stats stopword"))
           else DefaultStopwords)),
       "cosine_e6" -> arity("cosine_e6", 2, 2)(exprs => CosineSimE6(exprs.head, exprs(1))),
+      "jaccard_e4" -> arity("jaccard_e4", 2, 2)(exprs => JaccardE4(exprs.head, exprs(1))),
       // lang_scores(text): hit counts for the default marker sets, in
       // DefaultLangMarkers order
       "lang_scores" -> arity("lang_scores", 1, 1)(exprs =>

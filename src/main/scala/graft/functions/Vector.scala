@@ -17,6 +17,28 @@ import org.apache.spark.sql.types._
   */
 object VectorOps {
 
+  /** floor(|A∩B| * 10000 / |A∪B|) over string arrays treated as sets;
+    * null when the union is empty. Codegen target for [[JaccardE4]].
+    */
+  def jaccardE4(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val setA = new java.util.HashSet[Any]()
+    var i = 0
+    while (i < a.numElements()) { setA.add(a.getUTF8String(i)); i += 1 }
+    val seenB = new java.util.HashSet[Any]()
+    var inter = 0L
+    var onlyB = 0L
+    i = 0
+    while (i < b.numElements()) {
+      val v = b.getUTF8String(i)
+      if (seenB.add(v)) {
+        if (setA.contains(v)) inter += 1 else onlyB += 1
+      }
+      i += 1
+    }
+    val union = setA.size.toLong + onlyB
+    if (union == 0L) null else java.lang.Long.valueOf(inter * 10000L / union)
+  }
+
   /** floor(1e6 * cosine) over two float arrays; null on length
     * mismatch or zero norm (same as the declarative NaN/零 guard-free
     * behavior: division by zero yields NaN → floor → overflow; we
@@ -41,6 +63,45 @@ object VectorOps {
     if (denom == 0.0) return null
     math.floor(dot / denom * 1000000).toLong
   }
+}
+
+/** Exact Jaccard over two string arrays (distinct-element sets),
+  * scaled 1e4: |A∩B| * 10000 div |A∪B| — one hash-set pass instead of
+  * array_intersect + array_union (two O(n) allocations per pair, and
+  * the hot inner loop of the LSH candidate→verify funnel). Null if
+  * either side is null; null on two empty sets (0/0).
+  */
+case class JaccardE4(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "jaccard_e4"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"expected two array<string>, got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val r = VectorOps.jaccardE4(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (r == null) null else r.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = VectorOps.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""java.lang.Long r = $helper.jaccardE4($a, $b);
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.longValue(); }"""
+        .stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardE4 =
+    copy(left = newLeft, right = newRight)
 }
 
 /** (array<float>, array<float>) → floor(cosine * 1e6) as long. */

@@ -240,7 +240,7 @@ object Dedup {
       .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b")), "doc_b")
       .select(
         col("doc_a"), col("doc_b"),
-        expr("size(array_intersect(set_a, set_b)) * 10000L div size(array_union(set_a, set_b))")
+        graft.functions.GraftFunctions.jaccard_e4(col("set_a"), col("set_b"))
           .as("jaccard_e4"))
       .orderBy("doc_a", "doc_b")
   }

@@ -38,4 +38,21 @@ class VectorOpsSpec extends AnyFunSuite with SparkTestBase {
       .select(GraftFunctions.cosine_e6(col("a"), col("b")).as("c"))
     assert(df.collect().forall(_.isNullAt(0)))
   }
+
+  test("JaccardE4 equals the declarative intersect/union form") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq("a b c", "b c d", "c d e"), Seq("b c d", "x y z")),
+      (Seq("a b c"), Seq("a b c")),
+      (Seq("a b c", "a b c"), Seq("a b c")), // dup elements = set semantics
+      (Seq("q"), Seq("r")),
+      (Seq.empty[String], Seq("r")))
+      .toDF("sa", "sb")
+    val declarative = df.select(
+      expr("size(array_intersect(sa, sb)) * 10000L div size(array_union(sa, sb))"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getLong(0))
+    val compiled = df.select(GraftFunctions.jaccard_e4(col("sa"), col("sb")))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getLong(0))
+    assert(compiled.toSeq === declarative.toSeq)
+  }
 }
