@@ -68,8 +68,26 @@ object Uint256 {
 
   def decode(b: Array[Byte]): BigInteger = new BigInteger(1, b)
 
+  /** >= 0 when the carrier value fits a non-negative long (top 25 bytes
+    * clear of the sign bit), returning that long; -1 otherwise. The
+    * common case for cents/gwei-scale columns — lets div/decode skip
+    * BigInteger entirely.
+    */
+  private def asLongOrNeg(b: Array[Byte]): Long = {
+    if (b.length != Width) return -1L // non-canonical input → slow path
+    var i = 0
+    while (i < Width - 8 && b(i) == 0) i += 1
+    if (i < Width - 8 || (b(Width - 8) & 0x80) != 0) return -1L
+    var v = 0L
+    var j = Width - 8
+    while (j < Width) { v = (v << 8) | (b(j) & 0xffL); j += 1 }
+    v
+  }
+
   /** Narrow to Decimal(38,0); throws if the value needs > 38 digits. */
   def decodeDecimal(b: Array[Byte]): Decimal = {
+    val fast = asLongOrNeg(b)
+    if (fast >= 0) return Decimal(java.math.BigDecimal.valueOf(fast), 38, 0)
     val bi = decode(b)
     if (bi.toString.length > 38)
       throw new ArithmeticException(s"uint256 value does not fit Decimal(38,0): $bi")
@@ -79,8 +97,11 @@ object Uint256 {
   /** Integer floor division on the carrier (reference downscale semantics,
     * cli.py:115-119 — documented-lossy wei→gwei style rescaling).
     */
-  def divideLong(b: Array[Byte], divisor: Long): Array[Byte] =
-    encode(decode(b).divide(BigInteger.valueOf(divisor)))
+  def divideLong(b: Array[Byte], divisor: Long): Array[Byte] = {
+    val fast = asLongOrNeg(b)
+    if (fast >= 0) encodeLong(fast / divisor)
+    else encode(decode(b).divide(BigInteger.valueOf(divisor)))
+  }
 
   /** Validates like encode (non-negative, fits uint256) and rescales to
     * (38,0) like decodeDecimal, without materializing the carrier.
