@@ -417,12 +417,14 @@ case class SimHash16(child: Expression)
     val r = TextHash.simHash16(v.asInstanceOf[UTF8String])
     if (r == null) null else r.longValue()
   }
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.freshName("sh16")
     nullSafeCodeGen(ctx, ev, c => {
-      s"""java.lang.Long r = $helperName.simHash16($c);
-         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.longValue(); }"""
+      s"""java.lang.Long $r = $helperName.simHash16($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }"""
         .stripMargin
     })
+  }
   override protected def withNewChildInternal(newChild: Expression): SimHash16 =
     copy(child = newChild)
 }

@@ -92,9 +92,13 @@ case class JaccardE4(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val helper = VectorOps.getClass.getName.stripSuffix("$")
+    // freshName: with non-nullable children nullSafeCodeGen inlines this
+    // block unbraced, so a fixed local name would collide across
+    // instances in one codegen scope (janino error → interpreted fallback)
+    val r = ctx.freshName("jac")
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      s"""java.lang.Long r = $helper.jaccardE4($a, $b);
-         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.longValue(); }"""
+      s"""java.lang.Long $r = $helper.jaccardE4($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }"""
         .stripMargin
     })
   }
@@ -126,9 +130,10 @@ case class CosineSimE6(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val helper = VectorOps.getClass.getName.stripSuffix("$")
+    val r = ctx.freshName("cos")
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      s"""java.lang.Long r = $helper.cosineE6($a, $b);
-         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.longValue(); }"""
+      s"""java.lang.Long $r = $helper.cosineE6($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }"""
         .stripMargin
     })
   }

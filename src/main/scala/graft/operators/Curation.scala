@@ -102,7 +102,7 @@ object Curation {
     s"""WITH t AS (SELECT doc_id, $tokensDuck AS toks FROM documents),
        |sh AS (SELECT doc_id, list_distinct($shinglesDuck) AS sset
        |       FROM t WHERE len($shinglesDuck) > 0),
-       |bench AS (SELECT list_distinct(flatten(list(sset))) AS b
+       |bench AS (SELECT coalesce(list_distinct(flatten(list(sset))), []) AS b
        |          FROM sh WHERE doc_id < 5)
        |SELECT doc_id,
        |  CAST(len(list_intersect(sset, b)) AS BIGINT) AS n_overlap,

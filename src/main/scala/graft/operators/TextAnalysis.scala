@@ -272,11 +272,14 @@ object TextAnalysis {
   def textRepetition(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
       .select(col("doc_id"),
-        graft.functions.GraftFunctions.text_fingerprint(col("text")).as("fp"),
+        // n_shingles = n_tokens - 2, hash-free from the stats kernel —
+        // the fingerprint kernel would pay a sha256 per shingle just to
+        // be read for its count
+        graft.functions.GraftFunctions.text_stats(col("text"), Nil).as("st"),
         graft.functions.GraftFunctions.shingle_set(col("text")).as("sset"))
-      .where(col("fp").isNotNull)
+      .where(col("sset").isNotNull)
       .select(col("doc_id"),
-        col("fp").getItem(2).cast(LongType).as("n_shingles"),
+        (col("st").getItem(0) - 2).as("n_shingles"),
         size(col("sset")).cast(LongType).as("n_distinct"))
       .withColumn("rep_ratio_e4",
         expr("(n_shingles - n_distinct) * 10000L div n_shingles"))
