@@ -59,6 +59,19 @@ class PlanContractSpec extends AnyFunSuite with SparkTestBase {
     assert(!read.contains("props"), s"pruned column still read: $read")
   }
 
+  test("q_decontaminate streams the corpus past a broadcast benchmark set") {
+    val plan = stripAqe(
+      Curation.decontaminate(spark, sf).queryExecution.executedPlan)
+    // the only shuffle allowed outside broadcast build sides is the
+    // final presentation sort — the corpus itself must not shuffle to
+    // meet the benchmark array
+    val shuffles = streamedShuffles(plan)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    assert(shuffles.forall(_.asInstanceOf[ShuffleExchangeLike]
+        .outputPartitioning.toString.contains("rangepartitioning")),
+      s"unexpected non-sort corpus shuffle:\n$plan")
+  }
+
   test("q_sim_topk_ivf corpus is never shuffled before the probe join") {
     val plan = stripAqe(
       Similarity.simTopkIvf(spark, sf).queryExecution.executedPlan)
