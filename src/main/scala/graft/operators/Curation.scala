@@ -73,26 +73,35 @@ object Curation {
 
   /** Benchmark decontamination: documents sharing any 3-gram shingle
     * with the "benchmark" set (here: doc_id < 5, standing in for an eval
-    * suite) are flagged. The benchmark shingle set is aggregated to ONE
-    * broadcast row — the corpus streams past it with an arrays_overlap
-    * probe, no shuffle and no pair join (the same broadcast-membership
-    * shape as the IVF centroid argmax). At production scale the
-    * benchmark side stays small by construction (eval suites are a few
-    * thousand documents) and the probe cost is one set-intersection per
-    * corpus row.
+    * suite) are flagged.
+    *
+    * Scale shape: corpus shingles are exploded ONCE and probed against a
+    * broadcast hash table of the distinct benchmark shingles (LEFT OUTER
+    * so zero-overlap docs survive), then hits are re-aggregated per doc.
+    * Per-row probe cost is O(1) hash lookups — O(|sset|) per document —
+    * independent of the benchmark size; the earlier `array_intersect`
+    * against one giant broadcast array rebuilt the benchmark hash set
+    * per corpus row (O(|bench|) per row — a scan-killer once the eval
+    * suite reaches 10^6-10^7 shingles). The only corpus shuffle is the
+    * per-doc hit count, which map-side partial aggregation reduces to
+    * ~one short row per (doc, map partition) before the exchange.
     */
   def decontaminate(spark: SparkSession, d: String): DataFrame = {
     val sets = Tables.documents(spark, d)
       .select(col("doc_id"),
         graft.functions.GraftFunctions.shingle_set(col("text")).as("sset"))
       .where(col("sset").isNotNull)
-    val benchArr = sets.where(col("doc_id") < 5)
-      .agg(array_distinct(flatten(collect_list(col("sset")))).as("bench"))
+    val benchShingles = sets.where(col("doc_id") < 5)
+      .select(explode(col("sset")).as("shingle"))
+      .distinct()
+      .withColumn("hit", lit(1L))
     sets.where(col("doc_id") >= 5)
-      .crossJoin(broadcast(benchArr))
-      .select(col("doc_id"),
-        size(array_intersect(col("sset"), col("bench"))).cast(LongType)
-          .as("n_overlap"))
+      .select(col("doc_id"), explode(col("sset")).as("shingle"))
+      .join(broadcast(benchShingles), Seq("shingle"), "left")
+      .groupBy("doc_id")
+      // ssets are distinct per doc and the bench side is distinct, so the
+      // hit count IS the distinct-set intersection size the oracle takes
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
       .withColumn("contaminated", col("n_overlap") > 0)
       .orderBy("doc_id")
   }
@@ -111,13 +120,96 @@ object Curation {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Keep/drop curation verdict: the boolean decision a pipeline
+    * actually materializes, composed from the existing quality signals —
+    * length band, minimum token count, stopword ratio, within-document
+    * repetition, and language-ID agreement — with one reason flag per
+    * rule (so dropped docs are auditable by rule, the Gopher/C4-style
+    * report). All inputs come from the compiled kernels (TextStats,
+    * LangScores, ShingleSet) in ONE map-side projection; no shuffle
+    * except the presentation sort, so at 100 TB this runs at scan speed.
+    */
+  def curationVerdict(spark: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions
+    val markers = GraftFunctions.DefaultLangMarkers
+    val df = Tables.documents(spark, d)
+      .withColumn("st", GraftFunctions.text_stats(col("text"),
+        GraftFunctions.DefaultStopwords))
+      .withColumn("ls", GraftFunctions.lang_scores(col("text"), markers.map(_._2)))
+      .withColumn("sset", GraftFunctions.shingle_set(col("text")))
+      .withColumn("n_toks", col("st").getItem(0))
+    // argmax with alphabetical tie-break, 'und' when nothing matches —
+    // the exact q_text_langid decision, re-derived from the same kernel
+    val maxScore = markers.indices.map(i => col("ls").getItem(i)).reduce(greatest(_, _))
+    val predicted = markers.zipWithIndex.reverse.foldLeft(lit("und")) {
+      case (acc, ((lang, _), i)) =>
+        when(maxScore > 0 && col("ls").getItem(i) === maxScore, lit(lang)).otherwise(acc)
+    }
+    df.select(col("doc_id"), col("n_chars"), col("lang"), col("n_toks"),
+        col("st"), col("sset"), predicted.as("predicted_lang"))
+      .withColumn("stop_ratio_e4",
+        expr("CASE WHEN n_toks > 0 THEN st[2] * 10000L div n_toks ELSE 0L END"))
+      .withColumn("rep_ratio_e4",
+        expr("CASE WHEN n_toks >= 3 THEN (n_toks - 2 - size(sset)) * 10000L div (n_toks - 2) ELSE 0L END"))
+      .select(
+        col("doc_id"),
+        (col("n_chars") >= 100 && col("n_chars") <= 20000).as("len_ok"),
+        (col("n_toks") >= 20).as("tok_ok"),
+        (col("n_toks") > 0 && col("stop_ratio_e4") >= 200).as("stop_ok"),
+        (col("n_toks") >= 3 && col("rep_ratio_e4") <= 2000).as("rep_ok"),
+        (col("predicted_lang") === col("lang")).as("lang_ok"))
+      .withColumn("keep", col("len_ok") && col("tok_ok") && col("stop_ok") &&
+        col("rep_ok") && col("lang_ok"))
+      .orderBy("doc_id")
+  }
+
+  val curationVerdictSql: String = {
+    import TextAnalysis.{tokensDuck, shinglesDuck}
+    val markers = graft.functions.GraftFunctions.DefaultLangMarkers
+    val stops = graft.functions.GraftFunctions.DefaultStopwords
+      .map(w => s"'$w'").mkString(", ")
+    val scoreCols = markers.map { case (l, ws) =>
+      val in = ws.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(toks, tk -> tk IN ($in))) AS BIGINT) AS score_$l"
+    }.mkString(", ")
+    val maxExpr = "greatest(" + markers.map(m => s"score_${m._1}").mkString(", ") + ")"
+    val caseArms = markers.map { case (l, _) =>
+      s"WHEN score_$l = $maxExpr THEN '$l'"
+    }.mkString(" ")
+    val predicted = s"CASE WHEN $maxExpr = 0 THEN 'und' $caseArms ELSE 'und' END"
+    s"""WITH t AS (SELECT doc_id, lang, n_chars, $tokensDuck AS toks FROM documents),
+       |s AS (SELECT doc_id, lang, n_chars, toks,
+       |        CAST(len(toks) AS BIGINT) AS n_toks,
+       |        CAST(len(list_filter(toks, tk -> tk IN ($stops))) AS BIGINT) AS stop_hits,
+       |        CAST(len(list_distinct($shinglesDuck)) AS BIGINT) AS n_distinct_sh,
+       |        $scoreCols
+       |      FROM t),
+       |v AS (SELECT doc_id, lang, n_chars, n_toks,
+       |        CASE WHEN n_toks > 0 THEN stop_hits * 10000 // n_toks ELSE 0 END AS stop_ratio_e4,
+       |        CASE WHEN n_toks >= 3 THEN (n_toks - 2 - n_distinct_sh) * 10000 // (n_toks - 2) ELSE 0 END AS rep_ratio_e4,
+       |        $predicted AS predicted_lang
+       |      FROM s),
+       |f AS (SELECT doc_id,
+       |        (n_chars >= 100 AND n_chars <= 20000) AS len_ok,
+       |        n_toks >= 20 AS tok_ok,
+       |        (n_toks > 0 AND stop_ratio_e4 >= 200) AS stop_ok,
+       |        (n_toks >= 3 AND rep_ratio_e4 <= 2000) AS rep_ok,
+       |        predicted_lang = lang AS lang_ok
+       |      FROM v)
+       |SELECT doc_id, len_ok, tok_ok, stop_ok, rep_ok, lang_ok,
+       |  (len_ok AND tok_ok AND stop_ok AND rep_ok AND lang_ok) AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_hash" -> (sampleHash _),
     "q_split_assign" -> (splitAssign _),
-    "q_decontaminate" -> (decontaminate _))
+    "q_decontaminate" -> (decontaminate _),
+    "q_curation_verdict" -> (curationVerdict _))
 
   val oracles: Map[String, String] = Map(
     "q_sample_hash" -> sampleHashSql,
     "q_split_assign" -> splitAssignSql,
-    "q_decontaminate" -> decontaminateSql)
+    "q_decontaminate" -> decontaminateSql,
+    "q_curation_verdict" -> curationVerdictSql)
 }

@@ -59,17 +59,25 @@ class PlanContractSpec extends AnyFunSuite with SparkTestBase {
     assert(!read.contains("props"), s"pruned column still read: $read")
   }
 
-  test("q_decontaminate streams the corpus past a broadcast benchmark set") {
+  test("q_decontaminate probes a broadcast shingle table, no per-row set rebuild") {
     val plan = stripAqe(
       Curation.decontaminate(spark, sf).queryExecution.executedPlan)
-    // the only shuffle allowed outside broadcast build sides is the
-    // final presentation sort — the corpus itself must not shuffle to
-    // meet the benchmark array
+    // the scale contract: the benchmark side is a broadcast HASH TABLE
+    // probed per exploded shingle — NOT a giant array whose hash set
+    // array_intersect would rebuild per corpus row (O(|bench|)/row)
+    assert(!plan.toString.contains("array_intersect"),
+      s"per-row benchmark-set rebuild (array_intersect) crept back in:\n$plan")
+    assert(plan.collectFirst { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"expected a broadcast probe join against the benchmark shingles:\n$plan")
+    // corpus shuffles allowed: the per-doc hit count (hashpartitioning,
+    // fed by map-side partial aggregation) and the presentation sort —
+    // nothing may shuffle the exploded shingles themselves
     val shuffles = streamedShuffles(plan)
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    assert(shuffles.forall(_.asInstanceOf[ShuffleExchangeLike]
-        .outputPartitioning.toString.contains("rangepartitioning")),
-      s"unexpected non-sort corpus shuffle:\n$plan")
+    assert(shuffles.forall { s =>
+      val p = s.asInstanceOf[ShuffleExchangeLike].outputPartitioning.toString
+      p.contains("rangepartitioning") || p.contains("doc_id")
+    }, s"unexpected corpus shuffle (not the doc_id agg or the sort):\n$plan")
   }
 
   test("q_sim_topk_ivf corpus is never shuffled before the probe join") {
