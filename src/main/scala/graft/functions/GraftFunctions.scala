@@ -26,6 +26,10 @@ object GraftFunctions {
   def uint256_div(c: Column, divisor: Column): Column =
     toCol(Uint256Div(toExpr(c), toExpr(divisor)))
 
+  /** carrier × carrier (throws past 2^256 — never wraps). */
+  def uint256_mul(a: Column, b: Column): Column =
+    toCol(Uint256Mul(toExpr(a), toExpr(b)))
+
   /** carrier → 64-char uppercase hex (composes built-ins; stays codegen'd). */
   def uint256_hex(c: Column): Column = hex(c)
 
@@ -126,6 +130,8 @@ object GraftFunctions {
         case Literal(v: Long, LongType)   => Uint256DivLong(exprs.head, v)
         case other                        => Uint256Div(exprs.head, other)
       }),
+      "uint256_mul" -> arity("uint256_mul", 2, 2)(exprs =>
+        Uint256Mul(exprs.head, exprs(1))),
       "uint256_hex" -> arity("uint256_hex", 1, 1)(exprs => Hex(exprs.head)),
       "uint256_sum" -> arity("uint256_sum", 1, 1)(exprs =>
         Uint256Sum(exprs.head).toAggregateExpression()),

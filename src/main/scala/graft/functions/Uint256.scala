@@ -116,6 +116,23 @@ object Uint256 {
   def divide(b: Array[Byte], divisor: Array[Byte]): Array[Byte] =
     encode(decode(b).divide(decode(divisor)))
 
+  /** Carrier × carrier. On-chain math multiplies amounts (price × qty,
+    * wei × rate) before dividing; a product past 2²⁵⁶-1 throws loudly
+    * (encode's range check) rather than wrapping — same discipline as
+    * [[Uint256Sum]]. Long fast path: an n-bit × m-bit product has at
+    * most n+m bits, so nlz(a)+nlz(b) ≥ 65 ⇒ ≤ 63 bits ⇒ the primitive
+    * multiply cannot overflow.
+    */
+  def multiply(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val fa = asLongOrNeg(a)
+    val fb = asLongOrNeg(b)
+    if (fa >= 0 && fb >= 0 &&
+        java.lang.Long.numberOfLeadingZeros(fa) +
+          java.lang.Long.numberOfLeadingZeros(fb) >= 65)
+      encodeLong(fa * fb)
+    else encode(decode(a).multiply(decode(b)))
+  }
+
   /** Codegen target for [[Uint256Div]]: null (not ArithmeticException)
     * on zero divisor.
     */
@@ -242,6 +259,31 @@ case class Uint256Div(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Uint256Div =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Multiply two carriers (throws past 2^256 — never wraps). */
+case class Uint256Mul(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "uint256_mul"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(s"expected (binary, binary), got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Uint256.multiply(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = Uint256.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, (a, b) => s"$helper.multiply($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Uint256Mul =
     copy(left = newLeft, right = newRight)
 }
 

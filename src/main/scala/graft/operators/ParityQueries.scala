@@ -218,6 +218,40 @@ object ParityQueries {
       |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS sum_cents_s
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** uint256-carrier MULTIPLY: the on-chain amount shape (price × qty,
+    * wei × rate — multiplication comes BEFORE division in fixed-point
+    * token math, so the carrier family needs mul, not just div/sum).
+    * Pure map-side codegen'd projection; a product past 2²⁵⁶ throws
+    * rather than wrapping. Products here fit int64 so the oracle can
+    * reproduce them; the BigInteger slow path and the overflow throw are
+    * property-tested against BigInteger in Uint256Spec.
+    */
+  def uint256Mul(spark: SparkSession, d: String): DataFrame = {
+    val cents = (dec2(col("l_extendedprice")) * 100).cast(DecimalType(18, 0))
+    val qty = dec2(col("l_quantity")).cast(DecimalType(18, 0))
+    Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        GraftFunctions.uint256_encode(cents).as("cents_u"),
+        GraftFunctions.uint256_encode(qty).as("qty_u"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        hex(GraftFunctions.uint256_mul(col("cents_u"), col("qty_u")))
+          .as("total_u256_hex"),
+        GraftFunctions.uint256_to_decimal(
+          GraftFunctions.uint256_mul(col("cents_u"), col("qty_u")))
+          .cast(StringType).as("total_s"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val uint256MulSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  lpad(to_hex(cents * qty), 64, '0') AS total_u256_hex,
+      |  CAST(cents * qty AS VARCHAR) AS total_s
+      |FROM (SELECT l_orderkey, l_linenumber,
+      |        CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |        CAST(l_quantity AS BIGINT) AS qty
+      |      FROM lineitem)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   /** Flagship aggregation (TPC-H Q1 shape): hash aggregate with partial
     * (map-side) combine on exact scaled integers; averages as integer
     * floor divisions so the result is engine-independent. One shuffle on
@@ -285,6 +319,7 @@ object ParityQueries {
     "q_e5_uint256" -> (e5Uint256 _),
     "q_o1_sorted_projection" -> (o1SortedProjection _),
     "q_uint256_sum" -> (uint256Sum _),
+    "q_uint256_mul" -> (uint256Mul _),
     "q1_agg" -> (q1Agg _))
 
   val oracles: Map[String, String] = Map(
@@ -297,5 +332,6 @@ object ParityQueries {
     "q_e5_uint256" -> e5Uint256Sql,
     "q_o1_sorted_projection" -> o1SortedProjectionSql,
     "q_uint256_sum" -> uint256SumSql,
+    "q_uint256_mul" -> uint256MulSql,
     "q1_agg" -> q1AggSql)
 }

@@ -61,7 +61,10 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
         |  size(winnow_fps('a b c d e f g h')) AS wf,
         |  jaccard_e4(array('x', 'y'), array('y', 'z')) AS jac,
         |  hex(uint256_sum(uint256_encode(CAST(3 AS DECIMAL(38,0))))) AS us,
-        |  size(winnow_fps('a b c d e f g h', 2)) AS wf2
+        |  size(winnow_fps('a b c d e f g h', 2)) AS wf2,
+        |  CAST(uint256_to_decimal(uint256_mul(
+        |    uint256_encode(CAST(6 AS DECIMAL(38,0))),
+        |    uint256_encode(CAST(7 AS DECIMAL(38,0))))) AS STRING) AS mul
         |""".stripMargin).head()
     assert(row.getAs[String]("enc").endsWith("FF"))
     assert(row.getAs[String]("rt") === "7")
@@ -82,6 +85,7 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     assert(row.getAs[Long]("jac") === 3333L) // |{y}| / |{x,y,z}|
     assert(BigInt(row.getAs[String]("us"), 16) === BigInt(3))
     assert(row.getAs[Int]("wf2") >= 1 && row.getAs[Int]("wf2") <= 5)
+    assert(row.getAs[String]("mul") === "42")
   }
 
   test("extension class is instantiable the way spark.sql.extensions needs") {

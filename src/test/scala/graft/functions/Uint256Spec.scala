@@ -78,6 +78,32 @@ class Uint256Spec extends AnyFunSuite {
       Uint256.encode(BigInteger.ZERO)) === null)
   }
 
+  test("multiplication matches BigInteger; overflow past 2^256 throws") {
+    val max = BigInteger.ONE.shiftLeft(256).subtract(BigInteger.ONE)
+    forAll(genUint256, genUint256) { (x, y) =>
+      val prod = x.multiply(y)
+      if (prod.compareTo(max) > 0)
+        assertThrows[IllegalArgumentException](
+          Uint256.multiply(Uint256.encode(x), Uint256.encode(y)))
+      else
+        assert(Uint256.decode(
+          Uint256.multiply(Uint256.encode(x), Uint256.encode(y))) === prod)
+    }
+  }
+
+  test("multiplication long fast-path boundary is exact") {
+    // nlz(a)+nlz(b) = 65 is the largest product the fast path may take;
+    // straddle the boundary with 31-bit × 32-bit and 32-bit × 32-bit
+    val a31 = BigInteger.ONE.shiftLeft(31).subtract(BigInteger.ONE)
+    val b32 = BigInteger.ONE.shiftLeft(32).subtract(BigInteger.ONE)
+    for ((x, y) <- Seq((a31, b32), (b32, b32), (a31, a31),
+        (BigInteger.ZERO, b32), (BigInteger.ONE, b32))) {
+      assert(Uint256.decode(
+        Uint256.multiply(Uint256.encode(x), Uint256.encode(y))) ===
+        x.multiply(y))
+    }
+  }
+
   test("negative and oversized values are rejected") {
     assertThrows[IllegalArgumentException](Uint256.encode(BigInteger.valueOf(-1)))
     assertThrows[IllegalArgumentException](
