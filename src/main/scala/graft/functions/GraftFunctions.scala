@@ -43,6 +43,9 @@ object GraftFunctions {
   /** text → 16-bit SimHash (null when no tokens). */
   def simhash16(c: Column): Column = toCol(SimHash16(toExpr(c)))
 
+  /** text → 64-bit SimHash as 4×16-bit band values (null when no tokens). */
+  def simhash64_bands(c: Column): Column = toCol(SimHash64Bands(toExpr(c)))
+
   /** text → distinct 3-gram shingles (null when none). */
   def shingle_set(c: Column): Column = toCol(ShingleSet(toExpr(c)))
 
@@ -139,6 +142,7 @@ object GraftFunctions {
         MinHashSig(exprs.head,
           if (exprs.size > 1) int(exprs(1), "minhash_sig num_hashes") else 16)),
       "simhash16" -> arity("simhash16", 1, 1)(exprs => SimHash16(exprs.head)),
+      "simhash64_bands" -> arity("simhash64_bands", 1, 1)(exprs => SimHash64Bands(exprs.head)),
       "shingle_set" -> arity("shingle_set", 1, 1)(exprs => ShingleSet(exprs.head)),
       "text_fingerprint" -> arity("text_fingerprint", 1, 1)(exprs => TextFingerprint(exprs.head)),
       "content_hash" -> arity("content_hash", 1, 1)(exprs => ContentHash(exprs.head)),

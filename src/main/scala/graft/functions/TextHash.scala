@@ -237,6 +237,45 @@ object TextHash {
     new GenericArrayData(out)
   }
 
+  /** 64-bit SimHash as FOUR 16-bit band values (Manku et al., WWW'07 —
+    * the production near-dup form): per-token value = first 64 bits of
+    * sha256; bit b of the signature is the sign of the vote sum over
+    * tokens; band j packs signature bits [16j, 16j+16). Emitting bands
+    * instead of one packed long keeps every value positive-16-bit, so
+    * the DuckDB oracle never touches the sign bit, and the banded
+    * candidate join (equality on any band ⇒ Hamming ≤ 3 candidates by
+    * pigeonhole) needs no bit surgery downstream. Null when no tokens.
+    */
+  def simHash64Bands(text: UTF8String): ArrayData = {
+    val toks = tokens(text.toString)
+    if (toks.isEmpty) return null
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val hex = sha256Hex(toks(i))
+      val v = java.lang.Long.parseUnsignedLong(hex.substring(0, 16), 16)
+      var b = 0
+      while (b < 64) {
+        votes(b) += (if (((v >>> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    val bands = new Array[Long](4)
+    var j = 0
+    while (j < 4) {
+      var w = 0L
+      var k = 0
+      while (k < 16) {
+        if (votes(16 * j + k) >= 0) w |= (1L << k)
+        k += 1
+      }
+      bands(j) = w
+      j += 1
+    }
+    new GenericArrayData(bands)
+  }
+
   /** 16-bit SimHash over token multiset; per-token value = first 16
     * bits of sha256. Null when the document has no tokens.
     */
@@ -404,6 +443,25 @@ case class ShingleSet(child: Expression)
          |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin
     })
   override protected def withNewChildInternal(newChild: Expression): ShingleSet =
+    copy(child = newChild)
+}
+
+/** text → array<long>[4] of 16-bit SimHash64 band values (null when no
+  * tokens). Band j holds signature bits [16j, 16j+16).
+  */
+case class SimHash64Bands(child: Expression)
+    extends UnaryExpression with TextStringInput {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash64_bands"
+  override def nullSafeEval(v: Any): Any =
+    TextHash.simHash64Bands(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""${ev.value} = $helperName.simHash64Bands($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Bands =
     copy(child = newChild)
 }
 

@@ -223,6 +223,79 @@ object Dedup {
        |SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash) AS n_same_simhash
        |FROM s ORDER BY doc_id""".stripMargin
 
+  /** 64-bit SimHash near-dup pairs with Hamming banding (Manku et al.,
+    * WWW'07 — the production form; the 16-bit query above is its
+    * exact-signature toy sibling). Candidates = pairs agreeing on ANY of
+    * the 4×16-bit bands (by pigeonhole, every pair within Hamming
+    * distance 3 shares at least one band — banding has perfect recall
+    * for d ≤ 3); verify = exact Hamming distance over the full
+    * signature, bit_count(xor) per band summed.
+    *
+    * Scale shape: signatures are one map-side projection; only 4 short
+    * (doc, band_id, band_val) rows per doc shuffle into the band
+    * equi-self-join (same funnel as MinHash-LSH); the Hamming verify
+    * runs on candidates only. Bit arithmetic is engine-exact, and band
+    * values are 16-bit so no sign-bit handling is ever needed.
+    */
+  def dedupSimhash64(spark: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
+    val sigs = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.simhash64_bands(col("text")).as("sbands"))
+      .where(col("sbands").isNotNull)
+      .persist()
+    val bands = sigs.select(col("doc_id"),
+      posexplode(col("sbands")).as(Seq("band_id", "band_val")))
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val hamming = (0 until 4)
+      .map(j => bit_count(col("sbands_a").getItem(j)
+        .bitwiseXOR(col("sbands_b").getItem(j))))
+      .reduce(_ + _).cast(LongType)
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sbands").as("sbands_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sbands").as("sbands_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
+      .withColumn("within_3", col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupSimhash64Sql: String =
+    s"""WITH t AS (SELECT doc_id, $tokensDuck AS toks FROM documents),
+       |v AS (SELECT doc_id,
+       |        list_transform(toks, tk -> ('0x' || substr(sha256(tk), 1, 8))::BIGINT) AS his,
+       |        list_transform(toks, tk -> ('0x' || substr(sha256(tk), 9, 8))::BIGINT) AS los
+       |      FROM t WHERE len(toks) > 0),
+       |bits AS (SELECT doc_id,
+       |        list_transform(range(0, 64), b ->
+       |          CASE WHEN list_sum(list_transform(range(1, len(his) + 1), i ->
+       |                 CASE WHEN (CASE WHEN b < 32 THEN los[i] >> b
+       |                            ELSE his[i] >> (b - 32) END) & 1 = 1
+       |                 THEN 1 ELSE -1 END)) >= 0
+       |          THEN 1 ELSE 0 END) AS sb
+       |      FROM v),
+       |sig AS (SELECT doc_id,
+       |        list_transform(range(0, 4), j ->
+       |          CAST(list_sum(list_transform(range(0, 16), k ->
+       |            sb[16*j + k + 1] * (1 << k))) AS BIGINT)) AS sbands
+       |      FROM bits),
+       |bands AS (SELECT doc_id, j AS band_id, sbands[j + 1] AS band_val
+       |          FROM sig, generate_series(0, 3) g(j)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM bands a JOIN bands b
+       |            ON a.band_id = b.band_id AND a.band_val = b.band_val
+       |           AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(list_sum(list_transform(range(1, 5), j ->
+       |    bit_count(xor(sa.sbands[j], sb2.sbands[j])))) AS BIGINT) AS hamming,
+       |  CAST(list_sum(list_transform(range(1, 5), j ->
+       |    bit_count(xor(sa.sbands[j], sb2.sbands[j])))) AS BIGINT) <= 3 AS within_3
+       |FROM pairs JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb2 ON sb2.doc_id = doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Exact n-gram Jaccard, verified only on the LSH candidate pairs —
     * the candidate→verify funnel that makes near-dedup tractable at
     * scale (all-pairs Jaccard is quadratic; LSH candidates are ~linear).
@@ -262,6 +335,7 @@ object Dedup {
     "q_dedup_keep_canonical" -> (dedupKeepCanonical _),
     "q_dedup_minhash_lsh" -> ((s, d) => dedupMinhashLsh(s, d)),
     "q_dedup_simhash" -> (dedupSimhash _),
+    "q_dedup_simhash64" -> ((s, d) => dedupSimhash64(s, d)),
     "q_dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(s, d)))
 
   val oracles: Map[String, String] = Map(
@@ -269,5 +343,6 @@ object Dedup {
     "q_dedup_keep_canonical" -> dedupKeepCanonicalSql,
     "q_dedup_minhash_lsh" -> dedupMinhashLshSql,
     "q_dedup_simhash" -> dedupSimhashSql,
+    "q_dedup_simhash64" -> dedupSimhash64Sql,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql)
 }

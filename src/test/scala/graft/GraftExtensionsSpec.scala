@@ -50,6 +50,7 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
         |  size(minhash_sig('one two three four five')) AS mh,
         |  size(minhash_sig('one two three four five', 8)) AS mh8,
         |  simhash16('hello world hello') IS NOT NULL AS sh,
+        |  size(simhash64_bands('hello world hello')) AS sh64,
         |  size(shingle_set('a b c d')) AS ss,
         |  size(text_fingerprint('a b c d e')) AS fp,
         |  content_hash('Hello,  World!') = content_hash('hello world') AS ch,
@@ -72,6 +73,7 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     assert(row.getAs[String]("hx").endsWith("FF"))
     assert(row.getAs[Int]("mh") === 16 && row.getAs[Int]("mh8") === 8)
     assert(row.getAs[Boolean]("sh"))
+    assert(row.getAs[Int]("sh64") === 4)
     assert(row.getAs[Int]("ss") === 2)
     assert(row.getAs[Int]("fp") === 3)
     assert(row.getAs[Boolean]("ch"))

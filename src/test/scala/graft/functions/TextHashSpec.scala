@@ -112,6 +112,35 @@ class TextHashSpec extends AnyFunSuite with SparkTestBase {
     assert(compiled.map(_.toString) === declarative.map(_.toString))
   }
 
+  test("SimHash64Bands equals the declarative hi/lo-half bit-vote pipeline") {
+    // the declarative twin deliberately splits each token hash into two
+    // 32-bit halves, exactly like the DuckDB oracle — so this checks the
+    // kernel's single 64-bit parse against the halved bit indexing
+    val declarative = docs
+      .withColumn("toks", expr(TextAnalysis.tokensSpark))
+      .where(size(col("toks")) > 0)
+      .withColumn("his",
+        expr("transform(toks, t -> cast(conv(substring(sha2(t, 256), 1, 8), 16, 10) as long))"))
+      .withColumn("los",
+        expr("transform(toks, t -> cast(conv(substring(sha2(t, 256), 9, 8), 16, 10) as long))"))
+      .select(col("doc_id"),
+        expr("""transform(sequence(0, 3), j ->
+                 aggregate(sequence(0, 15), 0L, (acc, k) ->
+                   acc + CASE WHEN aggregate(zip_with(his, los, (h, l) ->
+                       CASE WHEN (CASE WHEN 16*j+k < 32 THEN shiftright(l, 16*j+k)
+                                  ELSE shiftright(h, 16*j+k-32) END) % 2 = 1
+                       THEN 1L ELSE -1L END), 0L, (a2, v) -> a2 + v) >= 0
+                     THEN shiftleft(1L, k) ELSE 0L END))""").as("sbands"))
+      .orderBy("doc_id").collect()
+    val compiled = docs
+      .select(col("doc_id"), GraftFunctions.simhash64_bands(col("text")).as("sbands"))
+      .where(col("sbands").isNotNull)
+      .orderBy("doc_id").collect()
+    assert(compiled.map(_.toString) === declarative.map(_.toString))
+    assert(compiled.length === 5) // doc 4 has no tokens
+    compiled.foreach(_.getSeq[Long](1).foreach(b => assert(b >= 0L && b < 65536L)))
+  }
+
   test("SimHash16 equals the declarative bit-vote pipeline") {
     val declarative = docs
       .withColumn("toks", expr(TextAnalysis.tokensSpark))
