@@ -330,13 +330,97 @@ object Dedup {
        |FROM pairs JOIN sets sa ON sa.doc_id = doc_a JOIN sets sb ON sb.doc_id = doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Duplicate CLUSTERS: transitive closure over the verified near-dup
+    * pairs (A~B, B~C ⇒ {A,B,C} is one cluster), emitting each doc's
+    * canonical representative (the cluster's min doc_id) — the missing
+    * step between pair emission and actually dropping duplicates, since
+    * keeping "one of each pair" over-deletes chained groups.
+    *
+    * Algorithm: min-label propagation to fixpoint. Every doc starts
+    * labeled with itself; each round, labels flow across edges (both
+    * directions) and each doc keeps the min label seen. Rounds are one
+    * edge-join shuffle + one min-groupBy shuffle over (id, label) pairs
+    * ONLY — never the documents — and converge after D rounds (D = max
+    * cluster diameter; near-dup clusters are shallow, so 2-4 in
+    * practice). At 10^11 docs the same loop holds (the label frame is
+    * two longs per doc); if adversarial long chains are expected,
+    * alternate large-star/small-star instead for O(log n) rounds — the
+    * per-round plan shape is identical. The fixpoint check is one
+    * driver-side `isEmpty` on the changed-labels frame per round, not a
+    * data collect.
+    *
+    * Edges = LSH candidates verified at exact Jaccard ≥ 0.5 (the same
+    * funnel as q_dedup_ngram_jaccard; 0.5 sits at the 16-hash/4-band
+    * S-curve's steep section). Docs without shingles have no edges and
+    * stay singletons labeled by themselves.
+    */
+  def dedupClusters(spark: SparkSession, d: String,
+      minJaccardE4: Long = 5000L,
+      numHashes: Int = DefaultNumHashes,
+      numBands: Int = DefaultNumBands,
+      maxIters: Int = 50): DataFrame = {
+    val sets = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.shingle_set(col("text")).as("sset"))
+      .where(col("sset").isNotNull)
+      .persist()
+    val verified = candidatePairs(signatures(spark, d, numHashes).persist(),
+        numHashes, numBands)
+      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b")), "doc_b")
+      .where(graft.functions.GraftFunctions.jaccard_e4(col("set_a"), col("set_b"))
+        >= minJaccardE4)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = verified.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(verified.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = sets.select(col("doc_id"), col("doc_id").as("label")).persist()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val msgs = edges.join(labels, col("src") === col("doc_id"))
+        .select(col("dst").as("doc_id"), col("label"))
+      val next = labels.unionByName(msgs)
+        .groupBy("doc_id").agg(min("label").as("label"))
+        .persist()
+      converged = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
+        .where(col("label") =!= col("prev")).isEmpty
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    require(converged, s"label propagation did not converge in $maxIters rounds")
+    labels.withColumnRenamed("label", "cluster_rep").orderBy("doc_id")
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE ${signaturesDuckCte()},
+       |${bandsDuckCte()},
+       |$candidatePairsDuckCte,
+       |sets AS (SELECT doc_id, list_distinct(shingles) AS sset
+       |         FROM sh WHERE len(shingles) > 0),
+       |verified AS (SELECT doc_a, doc_b
+       |             FROM pairs JOIN sets sa ON sa.doc_id = doc_a
+       |                        JOIN sets sb ON sb.doc_id = doc_b
+       |             WHERE CAST(len(list_intersect(sa.sset, sb.sset)) * 10000 AS BIGINT)
+       |               // len(list_distinct(list_concat(sa.sset, sb.sset))) >= 5000),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM verified
+       |          UNION ALL SELECT doc_b, doc_a FROM verified),
+       |walk(doc_id, lab) AS (
+       |  SELECT doc_id, doc_id FROM sets
+       |  UNION
+       |  SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.doc_id)
+       |SELECT doc_id, min(lab) AS cluster_rep
+       |FROM walk GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_keep_canonical" -> (dedupKeepCanonical _),
     "q_dedup_minhash_lsh" -> ((s, d) => dedupMinhashLsh(s, d)),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_simhash64" -> ((s, d) => dedupSimhash64(s, d)),
-    "q_dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(s, d)))
+    "q_dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(s, d)),
+    "q_dedup_clusters" -> ((s, d) => dedupClusters(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactSql,
@@ -344,5 +428,6 @@ object Dedup {
     "q_dedup_minhash_lsh" -> dedupMinhashLshSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_simhash64" -> dedupSimhash64Sql,
-    "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql)
+    "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "q_dedup_clusters" -> dedupClustersSql)
 }

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Structural invariants of the connected-components operator that the
+  * hash-oracle can't articulate: labels are genuine component
+  * representatives (idempotent, minimal, edge-consistent). Run on the
+  * real sf0.001 corpus so the edge graph is the production funnel's.
+  */
+class DedupClustersSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val clusters = Dedup.dedupClusters(spark, sf).collect()
+    .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private lazy val verifiedPairs =
+    Dedup.dedupNgramJaccard(spark, sf).where(col("jaccard_e4") >= 5000)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+
+  test("every doc with shingles gets a label; reps are minimal and idempotent") {
+    assert(clusters.nonEmpty)
+    clusters.foreach { case (doc, rep) =>
+      assert(rep <= doc, s"rep $rep exceeds member $doc")
+      assert(clusters(rep) === rep, s"rep $rep of $doc is not its own rep")
+    }
+  }
+
+  test("both endpoints of every verified near-dup pair share a cluster") {
+    assert(verifiedPairs.nonEmpty, "fixture should produce near-dup pairs")
+    verifiedPairs.foreach { case (a, b) =>
+      assert(clusters(a) === clusters(b),
+        s"edge ($a, $b) split across clusters ${clusters(a)} / ${clusters(b)}")
+    }
+  }
+
+  test("labels are exactly the transitive closure (driver union-find twin)") {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    clusters.keys.foreach(k => parent(k) = k)
+    verifiedPairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // path-compress to the minimum label like the operator does
+    val expected = clusters.keys.map(k => k -> find(k)).toMap
+    assert(clusters === expected)
+  }
+}
