@@ -150,46 +150,201 @@ object Similarity {
        |SELECT q_id, vec_id, cos_e6, rank FROM r WHERE rank <= $K
        |ORDER BY q_id, rank""".stripMargin
 
-  /** IVF (inverted-file) top-k: a coarse quantizer assigns every vector
-    * to its nearest centroid (here: 8 deterministic "centroids" — the
-    * vectors with vec_id 10..17 — standing in for k-means output, which
-    * would be a separate training job); queries probe their 2 nearest
-    * centroids and search only those inverted lists.
+  /** IVF coarse-quantizer training: deterministic spherical k-means
+    * (Lloyd's), the separate model-fit job that produces the centroids
+    * the IVF queries probe.
+    *
+    * Determinism (the cross-engine contract):
+    *  - init: the k vectors with the smallest sha256(vec_id) hex prefix
+    *    (hash-seeded, reproducible on any engine/partitioning — the same
+    *    key-pure principle as the curation splits);
+    *  - a FIXED iteration count (no data-dependent stopping), so the
+    *    oracle can unroll the same iterations in SQL;
+    *  - centroids live as e6-scaled BIGINT coordinates: members'
+    *    coordinates are floored to e6 integers, summed exactly, and
+    *    integer-divided by the member count (both engines truncate
+    *    toward zero), so every centroid is integer-exact — the only
+    *    float math anywhere is the cosine assignment itself, which both
+    *    engines run in double over identical float inputs;
+    *  - assignment argmax ties resolve to the smallest cent_id; empty
+    *    clusters keep their previous centroid.
+    *
+    * Scale shape: per iteration, ONE broadcast of the centroid row out,
+    * map-side argmax over the streamed corpus, and one 8-group shuffle
+    * of partial (count, 64 coordinate sums) aggregates back — the
+    * centroids collected per round are a model artifact (k×64 longs),
+    * exactly the driver-sized metadata a fit step legitimately holds.
+    */
+  def fitIvfCentroids(spark: SparkSession, d: String, k: Int = IvfK,
+      iters: Int = IvfIters): Seq[(Long, Seq[Long])] = {
+    require(k >= 1 && iters >= 0, s"need k >= 1 and iters >= 0, got ($k, $iters)")
+    val emb = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"), expr(Ve6Expr).as("ve6"))
+      .persist()
+    try {
+      val seeds = emb
+        .select(col("ve6"),
+          substring(sha2(col("vec_id").cast(StringType), 256), 1, 16).as("h"),
+          col("vec_id"))
+        .orderBy("h", "vec_id").limit(k)
+        .collect()
+      var cents: Seq[(Long, Seq[Long])] = seeds.toSeq.zipWithIndex.map {
+        case (r, i) => (i.toLong, r.getSeq[Long](0))
+      }
+      for (_ <- 0 until iters) {
+        val assigned = emb.crossJoin(broadcast(centroidRow(spark, cents)))
+          .select(col("ve6"), bestCentId(col("embedding")).as("cent_id"))
+        val aggCols = count(lit(1)).as("n") +: (0 until Dims).map(i =>
+          sum(element_at(col("ve6"), i + 1)).as(s"s$i"))
+        val upd = assigned.groupBy("cent_id")
+          .agg(aggCols.head, aggCols.tail: _*)
+          .collect().map { r =>
+            val n = r.getLong(1)
+            r.getLong(0) -> (0 until Dims).map(i => r.getLong(i + 2) / n)
+          }.toMap
+        cents = cents.map { case (cid, old) => (cid, upd.getOrElse(cid, old)) }
+      }
+      cents
+    } finally emb.unpersist()
+  }
+
+  /** e6-integer coordinates of a float embedding (exact in both engines). */
+  private val Ve6Expr =
+    "transform(embedding, x -> cast(floor(cast(x as double) * 1000000) as bigint))"
+
+  /** Trained centroids as ONE broadcastable row of (cent_id, cent_emb)
+    * structs; coordinates rendered back to float the same way the oracle
+    * does (BIGINT → /1e6 in double → round-to-nearest float).
+    */
+  private def centroidRow(spark: SparkSession,
+      cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    import spark.implicits._
+    cents.map { case (cid, ce6) =>
+      (cid, ce6.map(v => (v.toDouble / 1e6).toFloat))
+    }.toDF("cent_id", "cent_emb")
+      .agg(collect_list(struct(col("cent_id"), col("cent_emb"))).as("cents"))
+  }
+
+  /** (cos, -cent_id) structs over the broadcast `cents` array:
+    * lexicographic max = best cosine, ties to the smallest cent_id.
+    */
+  private def centScored(embCol: Column): Column = {
+    import org.apache.spark.sql.functions.{transform => arrTransform}
+    arrTransform(col("cents"), c => struct(
+      graft.functions.GraftFunctions
+        .cosine_e6(embCol, c.getField("cent_emb")).as("cos"),
+      (-c.getField("cent_id")).as("neg_id")))
+  }
+
+  private def bestCentId(embCol: Column): Column =
+    -array_max(centScored(embCol)).getField("neg_id")
+
+  /** Unrolled deterministic-k-means CTE chain ending in centroid table
+    * `c$iters(cent_id, ce6)` — the oracle twin of [[fitIvfCentroids]].
+    */
+  private def kmeansDuckCtes(k: Int = IvfK, iters: Int = IvfIters): String = {
+    val e =
+      """e AS (SELECT vec_id, embedding,
+        |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS ve6
+        |  FROM embeddings)""".stripMargin
+    val init =
+      s"""c0 AS (SELECT cent_id, ce6 FROM (
+         |  SELECT CAST(row_number() OVER (ORDER BY substr(sha256(CAST(vec_id AS VARCHAR)), 1, 16), vec_id) - 1 AS BIGINT) AS cent_id,
+         |    ve6 AS ce6 FROM e) WHERE cent_id < $k)""".stripMargin
+    val steps = (0 until iters).map { t =>
+      s"""f$t AS (SELECT cent_id, list_transform(ce6, v -> CAST(v / 1000000.0 AS FLOAT)) AS cf FROM c$t),
+         |a$t AS (SELECT vec_id, ve6, cent_id FROM (
+         |  SELECT e.vec_id, e.ve6, f.cent_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosE6Duck("e.embedding", "f.cf")} DESC, f.cent_id) AS rn
+         |  FROM e, f$t f) WHERE rn = 1),
+         |s$t AS (SELECT a.cent_id, g.d, CAST(sum(a.ve6[g.d]) AS BIGINT) AS sv, count(*) AS n
+         |  FROM a$t a, generate_series(1, $Dims) g(d) GROUP BY a.cent_id, g.d),
+         |u$t AS (SELECT cent_id, list(sv // n ORDER BY d) AS ce6 FROM s$t GROUP BY cent_id),
+         |c${t + 1} AS (SELECT p.cent_id, coalesce(u.ce6, p.ce6) AS ce6
+         |  FROM c$t p LEFT JOIN u$t u USING (cent_id))""".stripMargin
+    }
+    (e +: init +: steps).mkString(",\n")
+  }
+
+  /** IVF training knobs. k=8 / 2 Lloyd's iterations are sized for the
+    * test corpus; at 10^11 vectors production runs nlist ≈ sqrt(n) (a
+    * few hundred thousand) centroids trained on a corpus SAMPLE, and the
+    * per-iteration plan here (broadcast out, argmax map-side, k-group
+    * partial-agg back) is exactly the shape that scales to it.
+    */
+  val IvfK = 8
+  val IvfIters = 2
+
+  /** Trained-centroid audit query: final centroids (integer-exact e6
+    * coordinates digested to a weighted checksum + min/max) and the
+    * member count each attracts under the final assignment — the
+    * "emit + check the model" half of the IVF contract; the DuckDB twin
+    * re-derives the identical iterations in unrolled SQL.
+    */
+  def ivfCentroids(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val cents = fitIvfCentroids(spark, d)
+    val assigned = Tables.embeddings(spark, d)
+      .crossJoin(broadcast(centroidRow(spark, cents)))
+      .select(col("vec_id"), bestCentId(col("embedding")).as("cent_id"))
+      .groupBy("cent_id").agg(count(lit(1)).as("n_assigned"))
+    cents.toDF("cent_id", "ce6")
+      .join(assigned, Seq("cent_id"), "left")
+      .select(col("cent_id"),
+        coalesce(col("n_assigned"), lit(0L)).as("n_assigned"),
+        expr("aggregate(zip_with(ce6, sequence(1, 64), (v, i) -> v * i), 0L, (a, x) -> a + x)")
+          .as("c_checksum"),
+        expr("array_min(ce6)").as("c_min"),
+        expr("array_max(ce6)").as("c_max"))
+      .orderBy("cent_id")
+  }
+
+  val ivfCentroidsSql: String =
+    s"""WITH ${kmeansDuckCtes()},
+       |ff AS (SELECT cent_id, list_transform(ce6, v -> CAST(v / 1000000.0 AS FLOAT)) AS cf FROM c$IvfIters),
+       |af AS (SELECT vec_id, cent_id FROM (
+       |  SELECT e.vec_id, f.cent_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosE6Duck("e.embedding", "f.cf")} DESC, f.cent_id) AS rn
+       |  FROM e, ff f) WHERE rn = 1),
+       |cnt AS (SELECT cent_id, count(*) AS n_assigned FROM af GROUP BY cent_id)
+       |SELECT c.cent_id,
+       |  coalesce(cnt.n_assigned, 0) AS n_assigned,
+       |  CAST(list_sum(list_transform(range(1, ${Dims + 1}), i -> ce6[i] * i)) AS BIGINT) AS c_checksum,
+       |  CAST(list_aggregate(ce6, 'min') AS BIGINT) AS c_min,
+       |  CAST(list_aggregate(ce6, 'max') AS BIGINT) AS c_max
+       |FROM c$IvfIters c LEFT JOIN cnt USING (cent_id) ORDER BY cent_id""".stripMargin
+
+  /** IVF (inverted-file) top-k: the coarse quantizer — k-means centroids
+    * TRAINED by [[fitIvfCentroids]] — assigns every vector to its
+    * nearest centroid; queries probe their 2 nearest centroids and
+    * search only those inverted lists.
     *
     * Scale shape: the centroid set is a model artifact — small by
     * construction (nlist ≪ corpus) — so it travels as ONE broadcast row
     * holding an array of (cent_id, cent_emb) structs. Assignment is then
     * a pure map-side projection: each corpus row computes all centroid
     * cosines in one pass and takes the array argmax — the corpus is
-    * never shuffled, never blown up nlist×, and never windowed (the
-    * previous form paid a full-corpus exchange for a
-    * `Window.partitionBy(vec_id)` whose only job was this argmax).
-    * The probe side is tiny and broadcast, so the candidate join streams
-    * the corpus too; only candidates (≈ nprobe/nlist of the corpus)
-    * reach the top-k shuffle.
+    * never shuffled, never blown up nlist×, and never windowed. The
+    * probe side is tiny and broadcast, so the candidate join streams the
+    * corpus too; only candidates (≈ nprobe/nlist of the corpus) reach
+    * the top-k shuffle.
     */
   def simTopkIvf(spark: SparkSession, d: String,
       nprobe: Int = 2): DataFrame = {
-    import org.apache.spark.sql.functions.{transform => arrTransform}
     val emb = Tables.embeddings(spark, d)
-    val centArr = emb.where(col("vec_id") >= 10 && col("vec_id") < 18)
-      .agg(collect_list(struct(col("vec_id").as("cent_id"),
-        col("embedding").as("cent_emb"))).as("cents"))
-    // (cos, -cent_id) structs: lexicographic max = best cosine, ties to
-    // the smallest cent_id — same order the previous window used
-    def scored: Column = arrTransform(col("cents"), c => struct(
-      graft.functions.GraftFunctions
-        .cosine_e6(col("embedding"), c.getField("cent_emb")).as("cos"),
-      (-c.getField("cent_id")).as("neg_id")))
+    val centArr = centroidRow(spark, fitIvfCentroids(spark, d))
     val assign = emb.crossJoin(broadcast(centArr))
-      .select(col("vec_id"), col("embedding"), array_max(scored).as("best"))
-      .select(col("vec_id"), col("embedding"), (-col("best.neg_id")).as("cent_id"))
+      .select(col("vec_id"), col("embedding"),
+        bestCentId(col("embedding")).as("cent_id"))
     // queries probe their 2 nearest centroids — same map-side argmax,
     // sorted descending and sliced instead of windowed
     val probes = emb.where(col("vec_id") < NumQueries)
       .crossJoin(broadcast(centArr))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        explode(slice(reverse(array_sort(scored)), 1, nprobe)).as("probe"))
+        explode(slice(reverse(array_sort(centScored(col("embedding")))), 1, nprobe))
+          .as("probe"))
       .select(col("q_id"), col("q_emb"), (-col("probe.neg_id")).as("cent_id"))
     broadcast(probes).join(assign, Seq("cent_id"))
       .where(col("vec_id") =!= col("q_id"))
@@ -202,8 +357,8 @@ object Similarity {
   }
 
   val simTopkIvfSql: String =
-    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
-       |               FROM embeddings WHERE vec_id >= 10 AND vec_id < 18),
+    s"""WITH ${kmeansDuckCtes()},
+       |cents AS (SELECT cent_id, list_transform(ce6, v -> CAST(v / 1000000.0 AS FLOAT)) AS cent_emb FROM c$IvfIters),
        |assign AS (
        |  SELECT vec_id, embedding, cent_id FROM (
        |    SELECT e.vec_id, e.embedding, c.cent_id,
@@ -264,11 +419,13 @@ object Similarity {
     "q_sim_topk_brute" -> (simTopkBrute _),
     "q_sim_topk_lsh" -> ((s, d) => simTopkLsh(s, d)),
     "q_sim_topk_ivf" -> ((s, d) => simTopkIvf(s, d)),
+    "q_ivf_centroids" -> (ivfCentroids _),
     "q_dedup_embedding" -> ((s, d) => dedupEmbedding(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q_sim_topk_brute" -> simTopkBruteSql,
     "q_sim_topk_lsh" -> simTopkLshSql,
     "q_sim_topk_ivf" -> simTopkIvfSql,
+    "q_ivf_centroids" -> ivfCentroidsSql,
     "q_dedup_embedding" -> dedupEmbeddingSql)
 }
