@@ -13,9 +13,14 @@ import org.apache.spark.sql.functions._
   * result rows cross the wire — Catalyst cannot synthesize PG range
   * functions, hence the explicit subqueries (SURVEY.md §4).
   *
-  * The environment for this build has no Postgres; the SQL-generation
-  * layer is exercised by unit tests (JdbcEntitySourceSpec) and the
-  * behavioral contract by ParquetEntitySource's integration tests
+  * Test coverage (no pgjdbc jar in this environment, so the PG-wire +
+  * Spark combination specifically can't run): the SQL strings are
+  * pinned by JdbcEntitySourceSpec, executed against a REAL throwaway
+  * Postgres (int4range, ::casts, information_schema semantics) by
+  * PostgresSqlContractSpec, and the `spark.read.jdbc` plumbing itself
+  * (url/driver/dbtable-subquery wiring, positional collects, striping)
+  * runs end-to-end on embedded Derby in DerbyJdbcSmokeSpec; the
+  * behavioral contract is integration-tested via ParquetEntitySource
   * against the same trait.
   */
 /** @param scanPartitions parallel JDBC connections per range scan
