@@ -60,6 +60,12 @@ object GraftFunctions {
   def cosine_e6(a: Column, b: Column): Column =
     toCol(CosineSimE6(toExpr(a), toExpr(b)))
 
+  /** Evaluation barrier: identity the optimizer won't substitute through
+    * (stops predicate pushdown from double-evaluating an expensive
+    * projected kernel). Zero runtime cost.
+    */
+  def materialize(c: Column): Column = toCol(Materialize(toExpr(c)))
+
   /** (array<string>, array<string>) → exact set-Jaccard scaled 1e4. */
   def jaccard_e4(a: Column, b: Column): Column =
     toCol(JaccardE4(toExpr(a), toExpr(b)))

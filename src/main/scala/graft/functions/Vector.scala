@@ -142,3 +142,28 @@ case class CosineSimE6(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): CosineSimE6 =
     copy(left = newLeft, right = newRight)
 }
+
+/** Evaluation barrier: identity on its child that optimizer rules must
+  * not look through. Declaring itself non-deterministic stops
+  * PushDownPredicates (and CollapseProject) from substituting the child
+  * into a parent Filter — without it, a threshold filter over an
+  * expensive projected kernel (e.g. `cos_e6 >= t`) is pushed below the
+  * Project and the kernel evaluates TWICE per surviving row. Runtime
+  * cost is zero: both eval and codegen are the child's own.
+  *
+  * This is the named replacement for the `monotonically_increasing_id`
+  * side-column idiom — it says what it means and adds no fake column.
+  */
+case class Materialize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override lazy val deterministic: Boolean = false
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "materialize"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    child.genCode(ctx)
+  override protected def withNewChildInternal(newChild: Expression): Materialize =
+    copy(child = newChild)
+}

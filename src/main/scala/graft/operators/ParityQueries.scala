@@ -231,13 +231,15 @@ object ParityQueries {
     val qty = dec2(col("l_quantity")).cast(DecimalType(18, 0))
     Tables.lineitem(spark, d)
       .select(col("l_orderkey"), col("l_linenumber"),
-        GraftFunctions.uint256_encode(cents).as("cents_u"),
-        GraftFunctions.uint256_encode(qty).as("qty_u"))
+        // one alias referenced twice below: the product (and both
+        // encodes under it) evaluates ONCE per row — writing the mul
+        // expression per output column would pay the whole chain twice
+        GraftFunctions.uint256_mul(
+          GraftFunctions.uint256_encode(cents),
+          GraftFunctions.uint256_encode(qty)).as("total_u"))
       .select(col("l_orderkey"), col("l_linenumber"),
-        hex(GraftFunctions.uint256_mul(col("cents_u"), col("qty_u")))
-          .as("total_u256_hex"),
-        GraftFunctions.uint256_to_decimal(
-          GraftFunctions.uint256_mul(col("cents_u"), col("qty_u")))
+        hex(col("total_u")).as("total_u256_hex"),
+        GraftFunctions.uint256_to_decimal(col("total_u"))
           .cast(StringType).as("total_s"))
       .orderBy("l_orderkey", "l_linenumber")
   }

@@ -397,13 +397,12 @@ object Similarity {
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cosE6("a.embedding", "b.embedding").as("cos_e6"),
-        // pushdown barrier: without it, PushDownPredicates substitutes
-        // the threshold filter through the alias and the cosine is
-        // evaluated twice (once in Filter, once in Project)
-        monotonically_increasing_id().as("_mid"))
+        // materialize = evaluation barrier: without it PushDownPredicates
+        // substitutes the threshold filter through the alias and the
+        // cosine kernel evaluates twice (once in Filter, once in Project)
+        graft.functions.GraftFunctions.materialize(
+          cosE6("a.embedding", "b.embedding")).as("cos_e6"))
       .where(col("cos_e6") >= minCosE6)
-      .drop("_mid")
       .orderBy("vec_a", "vec_b")
   }
 

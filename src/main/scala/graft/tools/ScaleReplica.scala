@@ -1,0 +1,64 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.Sessions
+import graft.sources.Tables
+
+/** Scale-up experiment data generator: writes an N× replica of a
+  * testdata directory (default 10× — sf0.1 → ~sf1) by unioning shifted
+  * copies of every fact table, so the bench can measure how each query's
+  * runtime actually scales with data volume (the cheap empirical check
+  * that nothing is accidentally super-linear).
+  *
+  * Key columns shift by a large per-copy offset so cardinalities scale
+  * the way real growth would: 10× orders/customers/documents/users, with
+  * join integrity preserved (o_custkey and c_custkey shift together) and
+  * the tiny dimension tables (region, nation) kept single — they are
+  * broadcast catalogs at any scale. Row CONTENT is repeated, which is
+  * exactly what stresses dedup: every document gains 9 true near-dups.
+  *
+  * Usage: runMain graft.tools.ScaleReplica <srcDir> <dstDir> [copies]
+  * (never point dstDir at /root/testdata — this is a /tmp experiment).
+  */
+object ScaleReplica {
+
+  /** Per-copy key offset — far above any key in the generated testdata. */
+  val ShiftStep = 100000000L
+
+  val shiftCols: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleReplica <srcDir> <dstDir> [copies]")
+    val (src, dst) = (args(0), args(1))
+    require(!dst.startsWith("/root/testdata") && !dst.startsWith("/root/reference"),
+      s"refusing to write replica into $dst")
+    val copies = if (args.length > 2) args(2).toInt else 10
+    require(copies >= 1, s"copies must be >= 1, got $copies")
+    val spark = Sessions.local("graft-scale-replica")
+    for (t <- Tables.All) {
+      val df = Tables.table(spark, src, t)
+      val out = shiftCols.get(t) match {
+        case None => df // dimension table: one copy
+        case Some(cols) =>
+          (0 until copies).map { k =>
+            cols.foldLeft(df) { (d, c) =>
+              d.withColumn(c,
+                (col(c) + lit(k * ShiftStep)).cast(d.schema(c).dataType))
+            }
+          }.reduce(_ unionByName _)
+      }
+      out.write.mode("overwrite").parquet(s"${dst.stripSuffix("/")}/$t.parquet")
+      println(s"replicated $t x${if (shiftCols.contains(t)) copies else 1}")
+    }
+    spark.stop()
+  }
+}

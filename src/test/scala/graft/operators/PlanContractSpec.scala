@@ -80,6 +80,20 @@ class PlanContractSpec extends AnyFunSuite with SparkTestBase {
     }, s"unexpected corpus shuffle (not the doc_id agg or the sort):\n$plan")
   }
 
+  test("q_dedup_embedding evaluates the cosine kernel once per pair") {
+    // the Materialize barrier must keep the threshold filter ABOVE the
+    // projection: if PushDownPredicates substitutes through the alias,
+    // the kernel appears twice (Filter + Project) and every surviving
+    // pair pays the 64-dim cosine twice
+    val plan = stripAqe(
+      Similarity.dedupEmbedding(spark, sf).queryExecution.executedPlan)
+    val kernels = plan.flatMap(_.expressions.flatMap(_.collect {
+      case e: graft.functions.CosineSimE6 => e
+    }))
+    assert(kernels.size === 1,
+      s"expected exactly one cosine_e6 evaluation, found ${kernels.size}:\n$plan")
+  }
+
   test("q_sim_topk_ivf corpus is never shuffled before the probe join") {
     val plan = stripAqe(
       Similarity.simTopkIvf(spark, sf).queryExecution.executedPlan)
