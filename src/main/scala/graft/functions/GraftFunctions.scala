@@ -70,6 +70,12 @@ object GraftFunctions {
   def jaccard_e4(a: Column, b: Column): Column =
     toCol(JaccardE4(toExpr(a), toExpr(b)))
 
+  /** (array<string>, array<string>) → [|A∩B|, |A|, |B|] distinct-set
+    * overlap statistics in one pass (Jaccard/containment primitive).
+    */
+  def overlap_stats(a: Column, b: Column): Column =
+    toCol(OverlapStats(toExpr(a), toExpr(b)))
+
   /** text → array<long> marker-hit counts, one per word group. */
   def lang_scores(c: Column, markerGroups: Seq[Seq[String]]): Column =
     toCol(LangScores(toExpr(c), markerGroups))
@@ -160,6 +166,7 @@ object GraftFunctions {
           else DefaultStopwords)),
       "cosine_e6" -> arity("cosine_e6", 2, 2)(exprs => CosineSimE6(exprs.head, exprs(1))),
       "jaccard_e4" -> arity("jaccard_e4", 2, 2)(exprs => JaccardE4(exprs.head, exprs(1))),
+      "overlap_stats" -> arity("overlap_stats", 2, 2)(exprs => OverlapStats(exprs.head, exprs(1))),
       // lang_scores(text): hit counts for the default marker sets, in
       // DefaultLangMarkers order
       "lang_scores" -> arity("lang_scores", 1, 1)(exprs =>

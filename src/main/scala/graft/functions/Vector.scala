@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Compiled vector kernels for the embedding operators.
@@ -37,6 +37,24 @@ object VectorOps {
     }
     val union = setA.size.toLong + onlyB
     if (union == 0L) null else java.lang.Long.valueOf(inter * 10000L / union)
+  }
+
+  /** [|A∩B|, |A|, |B|] over distinct elements in one pass — codegen
+    * target for [[OverlapStats]].
+    */
+  def overlapStats(a: ArrayData, b: ArrayData): ArrayData = {
+    val setA = new java.util.HashSet[Any]()
+    var i = 0
+    while (i < a.numElements()) { setA.add(a.getUTF8String(i)); i += 1 }
+    val seenB = new java.util.HashSet[Any]()
+    var inter = 0L
+    i = 0
+    while (i < b.numElements()) {
+      val v = b.getUTF8String(i)
+      if (seenB.add(v) && setA.contains(v)) inter += 1
+      i += 1
+    }
+    new GenericArrayData(Array(inter, setA.size.toLong, seenB.size.toLong))
   }
 
   /** floor(1e6 * cosine) over two float arrays; null on length
@@ -166,4 +184,35 @@ case class Materialize(child: Expression)
     child.genCode(ctx)
   override protected def withNewChildInternal(newChild: Expression): Materialize =
     copy(child = newChild)
+}
+
+/** (array<string>, array<string>) → [|A∩B|, |A|, |B|] over DISTINCT
+  * elements, in one pass — the primitive behind both Jaccard and the
+  * asymmetric containment scores (c(A→B) = |A∩B|/|A| catches a short
+  * doc embedded in a long one, which symmetric Jaccard dilutes away).
+  */
+case class OverlapStats(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "overlap_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"expected two array<string>, got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.overlapStats(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = VectorOps.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, (a, b) => s"$helper.overlapStats($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): OverlapStats =
+    copy(left = newLeft, right = newRight)
 }

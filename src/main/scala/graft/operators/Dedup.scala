@@ -330,6 +330,55 @@ object Dedup {
        |FROM pairs JOIN sets sa ON sa.doc_id = doc_a JOIN sets sb ON sb.doc_id = doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Asymmetric CONTAINMENT on the LSH candidate pairs: c(A→B) =
+    * |A∩B| / |A| (and the reverse direction) over distinct shingle sets.
+    * Jaccard dilutes a short document fully embedded in a long one
+    * (quote blocks, boilerplate wrappers — the common training-data
+    * case) down toward |A|/|B|; containment stays at 1.0, which is why
+    * production near-dedup checks both. Same candidate→verify funnel as
+    * the Jaccard query; the verify kernel is ONE single-pass
+    * [[graft.functions.OverlapStats]] per pair (inter/|A|/|B| at once),
+    * then pure arithmetic.
+    */
+  def dedupContainment(spark: SparkSession, d: String,
+      numHashes: Int = DefaultNumHashes,
+      numBands: Int = DefaultNumBands): DataFrame = {
+    val sets = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.shingle_set(col("text")).as("sset"))
+      .where(col("sset").isNotNull)
+      .persist()
+    candidatePairs(signatures(spark, d, numHashes).persist(), numHashes, numBands)
+      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.GraftFunctions.overlap_stats(col("set_a"), col("set_b"))
+          .as("ov"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("ov[0] * 10000L div ov[1]").as("cont_a_in_b_e4"),
+        expr("ov[0] * 10000L div ov[2]").as("cont_b_in_a_e4"),
+        expr("ov[0] * 10000L div (ov[1] + ov[2] - ov[0])").as("jaccard_e4"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupContainmentSql: String =
+    s"""WITH ${signaturesDuckCte()},
+       |${bandsDuckCte()},
+       |$candidatePairsDuckCte,
+       |sets AS (SELECT doc_id, list_distinct(shingles) AS sset
+       |         FROM sh WHERE len(shingles) > 0),
+       |ov AS (SELECT doc_a, doc_b,
+       |         CAST(len(list_intersect(sa.sset, sb.sset)) AS BIGINT) AS inter,
+       |         CAST(len(sa.sset) AS BIGINT) AS na,
+       |         CAST(len(sb.sset) AS BIGINT) AS nb
+       |       FROM pairs JOIN sets sa ON sa.doc_id = doc_a
+       |                  JOIN sets sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b,
+       |  inter * 10000 // na AS cont_a_in_b_e4,
+       |  inter * 10000 // nb AS cont_b_in_a_e4,
+       |  inter * 10000 // (na + nb - inter) AS jaccard_e4
+       |FROM ov ORDER BY doc_a, doc_b""".stripMargin
+
   /** Duplicate CLUSTERS: transitive closure over the verified near-dup
     * pairs (A~B, B~C ⇒ {A,B,C} is one cluster), emitting each doc's
     * canonical representative (the cluster's min doc_id) — the missing
@@ -420,6 +469,7 @@ object Dedup {
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_simhash64" -> ((s, d) => dedupSimhash64(s, d)),
     "q_dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(s, d)),
+    "q_dedup_containment" -> ((s, d) => dedupContainment(s, d)),
     "q_dedup_clusters" -> ((s, d) => dedupClusters(s, d)))
 
   val oracles: Map[String, String] = Map(
@@ -429,5 +479,6 @@ object Dedup {
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_simhash64" -> dedupSimhash64Sql,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "q_dedup_containment" -> dedupContainmentSql,
     "q_dedup_clusters" -> dedupClustersSql)
 }

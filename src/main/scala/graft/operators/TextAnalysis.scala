@@ -296,9 +296,85 @@ object TextAnalysis {
        |  (n_shingles - n_distinct) * 10000 // n_shingles AS rep_ratio_e4
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Per-document top-3 salient terms by an integer TF-IDF variant
+    * (score = tf * 1e4 / df — log-free so both engines agree digit-for-
+    * digit; the df-reciprocal keeps the idf MONOTONicity that picks
+    * distinctive terms, which is what the operator is for). The classic
+    * two-aggregation shape: tf = one (doc, token) groupBy, df = one
+    * token groupBy OVER the tf rows (so the corpus explodes once), then
+    * a token-keyed join back and a per-doc top-k window. All four
+    * exchanges carry partially-aggregated short rows; the df side is
+    * vocab-sized and would be broadcast when the vocabulary is bounded.
+    */
+  def tfidfTopTerms(spark: SparkSession, d: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, d)
+      .select(col("doc_id"), explode(expr(tokensSpark)).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfTbl = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(dfTbl, "token")
+      .withColumn("score_e4", expr("tf * 10000L div df"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score_e4").desc, col("token"))))
+      .where(col("rank") <= k)
+      .select("doc_id", "rank", "token", "tf", "df", "score_e4")
+      .orderBy("doc_id", "rank")
+  }
+
+  val tfidfTopTermsSql: String =
+    s"""WITH t AS (SELECT doc_id, unnest($tokensDuck) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+       |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       |s AS (SELECT doc_id, token, tf.tf, dfq.df,
+       |        tf.tf * 10000 // dfq.df AS score_e4,
+       |        row_number() OVER (PARTITION BY doc_id
+       |          ORDER BY tf.tf * 10000 // dfq.df DESC, token) AS rank
+       |      FROM tf JOIN dfq USING (token))
+       |SELECT doc_id, rank, token, tf, df, score_e4
+       |FROM s WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
+  /** Sequence packing: assign documents to fixed-token-capacity training
+    * bins (greedy first-fit in doc_id order, docs longer than the
+    * capacity overflow their bin) — the batch-construction step between
+    * curation and the trainer. Packing is CHUNKED: a running token sum
+    * per shard of `shardSize` doc_ids, so the window is partitioned —
+    * never the single-partition global window that would serialize
+    * 10^11 docs; production packs per input split the same way, and the
+    * shard factor in bin_id keeps bins globally unique.
+    */
+  def packSequences(spark: SparkSession, d: String,
+      capacity: Long = 2048L, shardSize: Long = 100L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, d)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.text_stats(col("text"), Nil)
+          .getItem(0).as("n_tokens"))
+      .withColumn("shard", expr(s"doc_id div $shardSize"))
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("shard"),
+        (col("shard") * 1000000L + expr(s"cum_before div $capacity")).as("bin_id"))
+      .orderBy("doc_id")
+  }
+
+  val packSequencesSql: String =
+    s"""WITH t AS (SELECT doc_id, CAST(len($tokensDuck) AS BIGINT) AS n_tokens,
+       |             doc_id // 100 AS shard
+       |           FROM documents),
+       |c AS (SELECT doc_id, n_tokens, shard,
+       |        CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |      FROM t)
+       |SELECT doc_id, n_tokens, shard,
+       |  CAST(shard * 1000000 + cum_before // 2048 AS BIGINT) AS bin_id
+       |FROM c ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_vocab" -> (textVocab _),
     "q_text_vocab_hll" -> (textVocabHll _),
+    "q_tfidf_topterms" -> ((s, d) => tfidfTopTerms(s, d)),
+    "q_pack_sequences" -> ((s, d) => packSequences(s, d)),
     "q_text_winnow" -> (textWinnow _),
     "q_text_repetition" -> (textRepetition _),
     "q_text_tokens" -> (textTokens _),
@@ -309,6 +385,8 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "q_text_vocab" -> textVocabSql,
     "q_text_vocab_hll" -> textVocabHllSql,
+    "q_tfidf_topterms" -> tfidfTopTermsSql,
+    "q_pack_sequences" -> packSequencesSql,
     "q_text_winnow" -> textWinnowSql,
     "q_text_repetition" -> textRepetitionSql,
     "q_text_tokens" -> textTokensSql,

@@ -65,7 +65,8 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
         |  size(winnow_fps('a b c d e f g h', 2)) AS wf2,
         |  CAST(uint256_to_decimal(uint256_mul(
         |    uint256_encode(CAST(6 AS DECIMAL(38,0))),
-        |    uint256_encode(CAST(7 AS DECIMAL(38,0))))) AS STRING) AS mul
+        |    uint256_encode(CAST(7 AS DECIMAL(38,0))))) AS STRING) AS mul,
+        |  overlap_stats(array('x', 'y', 'y'), array('y', 'z')) AS ov
         |""".stripMargin).head()
     assert(row.getAs[String]("enc").endsWith("FF"))
     assert(row.getAs[String]("rt") === "7")
@@ -88,6 +89,7 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     assert(BigInt(row.getAs[String]("us"), 16) === BigInt(3))
     assert(row.getAs[Int]("wf2") >= 1 && row.getAs[Int]("wf2") <= 5)
     assert(row.getAs[String]("mul") === "42")
+    assert(row.getAs[Seq[Long]]("ov") === Seq(1L, 2L, 2L)) // inter, |A|, |B|
   }
 
   test("extension class is instantiable the way spark.sql.extensions needs") {
