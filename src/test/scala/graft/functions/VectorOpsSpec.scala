@@ -55,4 +55,23 @@ class VectorOpsSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => if (r.isNullAt(0)) null else r.getLong(0))
     assert(compiled.toSeq === declarative.toSeq)
   }
+
+  test("OverlapStats equals the declarative intersect/distinct sizes") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a", "a", "b"), Seq("a")), // dup elements = set semantics
+      (Seq("q"), Seq("r")),
+      (Seq.empty[String], Seq("r")),
+      (Seq.empty[String], Seq.empty[String]))
+      .toDF("sa", "sb")
+    val declarative = df.select(array(
+        expr("size(array_intersect(sa, sb))").cast("long"),
+        expr("size(array_distinct(sa))").cast("long"),
+        expr("size(array_distinct(sb))").cast("long")))
+      .collect().map(_.getSeq[Long](0))
+    val compiled = df.select(GraftFunctions.overlap_stats(col("sa"), col("sb")))
+      .collect().map(_.getSeq[Long](0))
+    assert(compiled.toSeq === declarative.toSeq)
+  }
 }
