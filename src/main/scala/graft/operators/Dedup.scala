@@ -236,6 +236,17 @@ object Dedup {
     * equi-self-join (same funnel as MinHash-LSH); the Hamming verify
     * runs on candidates only. Bit arithmetic is engine-exact, and band
     * values are 16-bit so no sign-bit handling is ever needed.
+    *
+    * Scale knob (measured in the 10× replica experiment, BUILDER_NOTES):
+    * candidate volume is Σ_buckets C(pop, 2) with pop ≈ n/2^16 per band,
+    * so 16-bit bands stop being selective past ~10^6 docs. The
+    * production form (Manku §3) splits the fingerprint into MORE pieces
+    * and keys tables by piece COMBINATIONS — e.g. 6 pieces, 15
+    * pair-keyed tables of ~21 bits, still perfect recall for d ≤ 3 by
+    * pigeonhole — same two plan shapes (band explode + equi-join), just
+    * a different band-key generator; and near-dup banding runs AFTER
+    * exact dedup, which removes the identical-copy mass that makes
+    * buckets quadratic.
     */
   def dedupSimhash64(spark: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
     val sigs = Tables.documents(spark, d)

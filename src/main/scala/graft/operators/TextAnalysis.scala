@@ -305,12 +305,18 @@ object TextAnalysis {
     * a token-keyed join back and a per-doc top-k window. All four
     * exchanges carry partially-aggregated short rows; the df side is
     * vocab-sized and would be broadcast when the vocabulary is bounded.
+    * tf feeds BOTH the df aggregation and the join, so it is persisted —
+    * otherwise the corpus is scanned and exploded twice (verified: the
+    * two identical tf shuffles are not reliably deduped by exchange
+    * reuse); at corpus scale the same reuse is a one-time tf parquet
+    * materialization instead of a cache.
     */
   def tfidfTopTerms(spark: SparkSession, d: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = Tables.documents(spark, d)
       .select(col("doc_id"), explode(expr(tokensSpark)).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .persist()
     val dfTbl = tf.groupBy("token").agg(count(lit(1)).as("df"))
     tf.join(dfTbl, "token")
       .withColumn("score_e4", expr("tf * 10000L div df"))
