@@ -62,7 +62,10 @@ object GraftFunctions {
 
   /** Evaluation barrier: identity the optimizer won't substitute through
     * (stops predicate pushdown from double-evaluating an expensive
-    * projected kernel). Zero runtime cost.
+    * projected kernel). Zero runtime cost. Only valid where analysis
+    * admits non-deterministic expressions — Project / Filter /
+    * Aggregate / Window — NOT join conditions, sort keys or generators
+    * (see [[Materialize]]).
     */
   def materialize(c: Column): Column = toCol(Materialize(toExpr(c)))
 

@@ -18,24 +18,14 @@ import org.apache.spark.sql.types._
 object VectorOps {
 
   /** floor(|A∩B| * 10000 / |A∪B|) over string arrays treated as sets;
-    * null when the union is empty. Codegen target for [[JaccardE4]].
+    * null when the union is empty. Codegen target for [[JaccardE4]] —
+    * derived from the [[overlapStats]] triple (|A∪B| = |A|+|B|-|A∩B|)
+    * so there is exactly ONE distinct-set loop to keep correct.
     */
   def jaccardE4(a: ArrayData, b: ArrayData): java.lang.Long = {
-    val setA = new java.util.HashSet[Any]()
-    var i = 0
-    while (i < a.numElements()) { setA.add(a.getUTF8String(i)); i += 1 }
-    val seenB = new java.util.HashSet[Any]()
-    var inter = 0L
-    var onlyB = 0L
-    i = 0
-    while (i < b.numElements()) {
-      val v = b.getUTF8String(i)
-      if (seenB.add(v)) {
-        if (setA.contains(v)) inter += 1 else onlyB += 1
-      }
-      i += 1
-    }
-    val union = setA.size.toLong + onlyB
+    val st = overlapStats(a, b)
+    val inter = st.getLong(0)
+    val union = st.getLong(1) + st.getLong(2) - inter
     if (union == 0L) null else java.lang.Long.valueOf(inter * 10000L / union)
   }
 
@@ -171,6 +161,12 @@ case class CosineSimE6(left: Expression, right: Expression)
   *
   * This is the named replacement for the `monotonically_increasing_id`
   * side-column idiom — it says what it means and adds no fake column.
+  *
+  * Placement restriction (the price of deterministic=false): analysis
+  * only admits non-deterministic expressions in Project, Filter,
+  * Aggregate and Window operators — using this in a join condition,
+  * sort key, or generator fails CheckAnalysis. Wrap a projected column
+  * (as the operators here do), not an arbitrary expression position.
   */
 case class Materialize(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {

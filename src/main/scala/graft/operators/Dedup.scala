@@ -424,8 +424,8 @@ object Dedup {
         graft.functions.GraftFunctions.shingle_set(col("text")).as("sset"))
       .where(col("sset").isNotNull)
       .persist()
-    val verified = candidatePairs(signatures(spark, d, numHashes).persist(),
-        numHashes, numBands)
+    val sigs = signatures(spark, d, numHashes).persist()
+    val verified = candidatePairs(sigs, numHashes, numBands)
       .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b")), "doc_b")
       .where(graft.functions.GraftFunctions.jaccard_e4(col("set_a"), col("set_b"))
@@ -450,6 +450,12 @@ object Dedup {
       it += 1
     }
     require(converged, s"label propagation did not converge in $maxIters rounds")
+    // the fixpoint check materialized the final labels, so every
+    // intermediate cache can be released now — only `labels` (the
+    // result's lineage root) stays pinned for the life of the frame
+    sets.unpersist()
+    sigs.unpersist()
+    edges.unpersist()
     labels.withColumnRenamed("label", "cluster_rep").orderBy("doc_id")
   }
 

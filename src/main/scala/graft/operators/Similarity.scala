@@ -293,7 +293,7 @@ object Similarity {
       .join(assigned, Seq("cent_id"), "left")
       .select(col("cent_id"),
         coalesce(col("n_assigned"), lit(0L)).as("n_assigned"),
-        expr("aggregate(zip_with(ce6, sequence(1, 64), (v, i) -> v * i), 0L, (a, x) -> a + x)")
+        expr(s"aggregate(zip_with(ce6, sequence(1, $Dims), (v, i) -> v * i), 0L, (a, x) -> a + x)")
           .as("c_checksum"),
         expr("array_min(ce6)").as("c_min"),
         expr("array_max(ce6)").as("c_max"))

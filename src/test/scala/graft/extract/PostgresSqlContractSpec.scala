@@ -86,8 +86,16 @@ class PostgresSqlContractSpec extends AnyFunSuite with BeforeAndAfterAll {
       |  (4, '[60,)',   '0x04', 42);
       |""".stripMargin
 
+  // evaluated once; beforeAll must NOT assume()/throw on absence — a
+  // TestCanceledException escaping beforeAll ABORTS the suite (build
+  // failure) instead of canceling it, so the guard lives in each test
+  private lazy val available: Boolean = haveLocalPostgres
+
+  private def assumePostgres(): Unit =
+    assume(available && serverUp, "no local Postgres server binaries/user")
+
   override def beforeAll(): Unit = {
-    assume(haveLocalPostgres, "no local Postgres server binaries/user")
+    if (!available) return
     Files.createDirectories(Paths.get(dir))
     assert(Process(Seq("chown", "-R", "postgres", dir)).! == 0)
     val (rcInit, outInit) = asPostgres(s"$pgBin/initdb -D $dir/data -A trust")
@@ -107,17 +115,20 @@ class PostgresSqlContractSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("catalogSql discovers exactly the active+versioned deployment") {
+    assumePostgres()
     assert(psqlCsv(JdbcEntitySource.catalogSql) ===
       """subgraph_name,deployment,schema_name,network,earliest,latest
         |demo/swaps,QmAAA,sgd1,gnosis,10,110""".stripMargin)
   }
 
   test("tableNamesSql lists only block_range-bearing tables") {
+    assumePostgres()
     assert(psqlCsv(JdbcEntitySource.tableNamesSql("sgd1")) ===
       "table_name\nswaps") // poi2 has no block_range column
   }
 
   test("columnTypesSql reports Postgres type names") {
+    assumePostgres()
     val rows = psqlCsv(JdbcEntitySource.columnTypesSql("sgd1", "swaps"))
       .linesIterator.drop(1).toSet
     assert(rows === Set("vid,bigint", "block_range,int4range",
@@ -125,6 +136,7 @@ class PostgresSqlContractSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("scanRangeSql filters the half-open range on a real int4range") {
+    assumePostgres()
     // row 1 starts at 15 (< 20, out), rows 2-3 start inside [20, 60),
     // row 4 starts at 60 (half-open, out); unbounded upper ends and a
     // 30-digit numeric survive; deterministic lower-bound order
