@@ -435,12 +435,63 @@ object EventAnalytics {
       |  true AS within_15pct
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Strict ordered funnel (view → click → purchase): a user reaches
+    * step k only with an event STRICTLY AFTER the event that completed
+    * step k-1 (earliest-completion semantics, the standard product
+    * funnel). Times compare as exact epoch-nanos, so both engines agree
+    * to the tick.
+    *
+    * Scale shape: one conditional min-aggregate per step, each keyed by
+    * user_id — after the first exchange the per-step frames are
+    * co-partitioned on the same key, so the step joins add no extra
+    * redistribution of the big side, and every aggregate is map-side
+    * partial first. Steps are a fixed small chain (3 here), not a
+    * per-row iteration.
+    */
+  def eventsFunnel(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"), col("event_type"), col("ts_ns"))
+    val t1 = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_ns").as("t1"))
+    val t2 = ev.where(col("event_type") === "click")
+      .join(t1, "user_id").where(col("ts_ns") > col("t1"))
+      .groupBy("user_id").agg(min("ts_ns").as("t2"))
+    val t3 = ev.where(col("event_type") === "purchase")
+      .join(t2, "user_id").where(col("ts_ns") > col("t2"))
+      .groupBy("user_id").agg(min("ts_ns").as("t3"))
+    val steps = Seq(
+      (1L, "view", t1), (2L, "view>click", t2), (3L, "view>click>purchase", t3))
+    steps.map { case (no, name, df) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(no).as("step_no"), lit(name).as("step"), col("n_users"))
+    }.reduce(_ unionByName _).orderBy("step_no")
+  }
+
+  val eventsFunnelSql: String =
+    """WITH t1 AS (SELECT user_id, min(epoch_ns(ts)) AS t1 FROM events
+      |            WHERE event_type = 'view' GROUP BY user_id),
+      |t2 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t2
+      |       FROM events e JOIN t1 ON e.user_id = t1.user_id
+      |       WHERE e.event_type = 'click' AND epoch_ns(e.ts) > t1.t1
+      |       GROUP BY e.user_id),
+      |t3 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t3
+      |       FROM events e JOIN t2 ON e.user_id = t2.user_id
+      |       WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > t2.t2
+      |       GROUP BY e.user_id)
+      |SELECT 1 AS step_no, 'view' AS step, count(*) AS n_users FROM t1
+      |UNION ALL
+      |SELECT 2, 'view>click', count(*) FROM t2
+      |UNION ALL
+      |SELECT 3, 'view>click>purchase', count(*) FROM t3
+      |ORDER BY step_no""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q5_local_supplier" -> (q5LocalSupplier _),
     "q_agg_salted" -> (aggSalted _),
     "q_window_frames" -> (windowFrames _),
     "q_join_range" -> (joinRange _),
     "q_json_extract" -> (jsonExtract _),
+    "q_events_funnel" -> (eventsFunnel _),
     "q_hll_distinct" -> (hllDistinct _),
     "q_events_windowed_agg" -> (eventsWindowedAgg _),
     "q_events_sessionize" -> (eventsSessionize _),
@@ -456,6 +507,7 @@ object EventAnalytics {
     "q_window_frames" -> windowFramesSql,
     "q_join_range" -> joinRangeSql,
     "q_json_extract" -> jsonExtractSql,
+    "q_events_funnel" -> eventsFunnelSql,
     "q_hll_distinct" -> hllDistinctSql,
     "q_events_windowed_agg" -> eventsWindowedAggSql,
     "q_events_sessionize" -> eventsSessionizeSql,
