@@ -94,6 +94,23 @@ class PlanContractSpec extends AnyFunSuite with SparkTestBase {
       s"expected exactly one cosine_e6 evaluation, found ${kernels.size}:\n$plan")
   }
 
+  test("q_pack_sequences windows are partitioned (no global running sum)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = stripAqe(
+      TextAnalysis.packSequences(spark, sf).queryExecution.executedPlan)
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, s"expected a window in:\n$plan")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned running-sum window would serialize the corpus:\n$w"))
+  }
+
+  test("q_tfidf_topterms top-k window input is bounded per doc") {
+    val plan = stripAqe(
+      TextAnalysis.tfidfTopTerms(spark, sf).queryExecution.executedPlan)
+    assert(plan.toString.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit bounding the rank<=k window in:\n$plan")
+  }
+
   test("q_sim_topk_ivf corpus is never shuffled before the probe join") {
     val plan = stripAqe(
       Similarity.simTopkIvf(spark, sf).queryExecution.executedPlan)
