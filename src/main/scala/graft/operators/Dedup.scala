@@ -459,6 +459,91 @@ object Dedup {
     labels.withColumnRenamed("label", "cluster_rep").orderBy("doc_id")
   }
 
+  /** Both directions of an edge list. */
+  private def symmetric(e: DataFrame): DataFrame =
+    e.select(col("src"), col("dst"))
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+
+  /** Large-star (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond"): every neighbor LARGER than u links to the minimum of
+    * u's closed neighborhood. Emits edges canonically as (big, small).
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = symmetric(e)
+    val mins = sym.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src"), least(col("mn"), col("src")).as("m"))
+    sym.join(mins, "src")
+      .where(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Small-star: u and every neighbor ≤ u link to the minimum of that
+    * smaller neighborhood. Emits edges canonically as (big, small).
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val sym = symmetric(e)
+    val smaller = sym.where(col("dst") <= col("src"))
+    val mins = smaller.groupBy("src").agg(min("dst").as("m"))
+    smaller.join(mins, "src")
+      .select(col("dst").as("v"), col("m"))
+      .unionByName(mins.select(col("src").as("v"), col("m")))
+      .where(col("v") =!= col("m"))
+      .select(col("v").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  /** The O(log n) scale twin of [[dedupClusters]]: alternating
+    * large-star/small-star over the same verified near-dup edges until
+    * the edge set is a fixpoint star forest, then label(u) =
+    * min(Γ(u) ∪ {u}). Identical output to the label-propagation form
+    * (same oracle) — the difference is ROUND COUNT: label propagation
+    * needs max-cluster-diameter rounds (fine for shallow near-dup
+    * clusters, unbounded for adversarial chains), star alternation
+    * contracts arbitrary topologies in O(log n) rounds, each round two
+    * groupBy-join pairs over (src, dst) longs only. This is the form a
+    * 10^11-doc dedup job runs when cluster shape is unknown.
+    */
+  def dedupClustersStar(spark: SparkSession, d: String,
+      minJaccardE4: Long = 5000L,
+      numHashes: Int = DefaultNumHashes,
+      numBands: Int = DefaultNumBands,
+      maxIters: Int = 30): DataFrame = {
+    val sets = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.shingle_set(col("text")).as("sset"))
+      .where(col("sset").isNotNull)
+      .persist()
+    val sigs = signatures(spark, d, numHashes).persist()
+    val verified = candidatePairs(sigs, numHashes, numBands)
+      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b")), "doc_b")
+      .where(graft.functions.GraftFunctions.jaccard_e4(col("set_a"), col("set_b"))
+        >= minJaccardE4)
+    // canonical (big, small) orientation; doc_a < doc_b upstream
+    var edges = verified
+      .select(col("doc_b").as("src"), col("doc_a").as("dst")).persist()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val next = smallStar(largeStar(edges)).persist()
+      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges.unpersist()
+      edges = next
+      it += 1
+    }
+    require(converged, s"star contraction did not converge in $maxIters rounds")
+    val lab = symmetric(edges).groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src").as("doc_id"), least(col("mn"), col("src")).as("rep"))
+    val out = sets.select(col("doc_id"))
+      .join(lab, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
+      .orderBy("doc_id")
+    sigs.unpersist()
+    out
+  }
+
   val dedupClustersSql: String =
     s"""WITH RECURSIVE ${signaturesDuckCte()},
        |${bandsDuckCte()},
@@ -487,7 +572,8 @@ object Dedup {
     "q_dedup_simhash64" -> ((s, d) => dedupSimhash64(s, d)),
     "q_dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(s, d)),
     "q_dedup_containment" -> ((s, d) => dedupContainment(s, d)),
-    "q_dedup_clusters" -> ((s, d) => dedupClusters(s, d)))
+    "q_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
+    "q_dedup_clusters_star" -> ((s, d) => dedupClustersStar(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactSql,
@@ -497,5 +583,7 @@ object Dedup {
     "q_dedup_simhash64" -> dedupSimhash64Sql,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "q_dedup_containment" -> dedupContainmentSql,
-    "q_dedup_clusters" -> dedupClustersSql)
+    "q_dedup_clusters" -> dedupClustersSql,
+    // same clusters, different algorithm — the oracle is shared
+    "q_dedup_clusters_star" -> dedupClustersSql)
 }

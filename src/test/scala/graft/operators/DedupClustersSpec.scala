@@ -38,6 +38,12 @@ class DedupClustersSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("star contraction produces the same clusters as label propagation") {
+    val star = Dedup.dedupClustersStar(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === clusters)
+  }
+
   test("labels are exactly the transitive closure (driver union-find twin)") {
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
