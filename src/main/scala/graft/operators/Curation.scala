@@ -129,7 +129,11 @@ object Curation {
     * LangScores, ShingleSet) in ONE map-side projection; no shuffle
     * except the presentation sort, so at 100 TB this runs at scan speed.
     */
-  def curationVerdict(spark: SparkSession, d: String): DataFrame = {
+  /** Per-doc rule flags + keep verdict with grouping keys (source, lang)
+    * and size columns carried through — the single map-side frame behind
+    * both the per-doc verdict and the corpus-stats rollup.
+    */
+  private def verdictFrame(spark: SparkSession, d: String): DataFrame = {
     import graft.functions.GraftFunctions
     val markers = GraftFunctions.DefaultLangMarkers
     val df = Tables.documents(spark, d)
@@ -145,14 +149,14 @@ object Curation {
       case (acc, ((lang, _), i)) =>
         when(maxScore > 0 && col("ls").getItem(i) === maxScore, lit(lang)).otherwise(acc)
     }
-    df.select(col("doc_id"), col("n_chars"), col("lang"), col("n_toks"),
-        col("st"), col("sset"), predicted.as("predicted_lang"))
+    df.select(col("doc_id"), col("source"), col("n_chars"), col("lang"),
+        col("n_toks"), col("st"), col("sset"), predicted.as("predicted_lang"))
       .withColumn("stop_ratio_e4",
         expr("CASE WHEN n_toks > 0 THEN st[2] * 10000L div n_toks ELSE 0L END"))
       .withColumn("rep_ratio_e4",
         expr("CASE WHEN n_toks >= 3 THEN (n_toks - 2 - size(sset)) * 10000L div (n_toks - 2) ELSE 0L END"))
       .select(
-        col("doc_id"),
+        col("doc_id"), col("source"), col("lang"), col("n_chars"), col("n_toks"),
         (col("n_chars") >= 100 && col("n_chars") <= 20000).as("len_ok"),
         (col("n_toks") >= 20).as("tok_ok"),
         (col("n_toks") > 0 && col("stop_ratio_e4") >= 200).as("stop_ok"),
@@ -160,10 +164,39 @@ object Curation {
         (col("predicted_lang") === col("lang")).as("lang_ok"))
       .withColumn("keep", col("len_ok") && col("tok_ok") && col("stop_ok") &&
         col("rep_ok") && col("lang_ok"))
-      .orderBy("doc_id")
   }
 
-  val curationVerdictSql: String = {
+  def curationVerdict(spark: SparkSession, d: String): DataFrame =
+    verdictFrame(spark, d)
+      .select("doc_id", "len_ok", "tok_ok", "stop_ok", "rep_ok", "lang_ok", "keep")
+      .orderBy("doc_id")
+
+  /** Corpus curation report: per (source, lang) doc/token volumes, the
+    * keep-rate, and per-rule drop counts — the dashboard table a
+    * pipeline materializes after a verdict pass to see WHERE the corpus
+    * is losing data. One groupBy over the map-side verdict frame
+    * (partial aggregation; group count = sources × langs, tiny at any
+    * corpus size).
+    */
+  def curationStats(spark: SparkSession, d: String): DataFrame =
+    verdictFrame(spark, d)
+      .groupBy("source", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("sum_tokens"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        sum(when(!col("len_ok"), 1L).otherwise(0L)).as("n_len_bad"),
+        sum(when(!col("stop_ok"), 1L).otherwise(0L)).as("n_stop_bad"),
+        sum(when(!col("rep_ok"), 1L).otherwise(0L)).as("n_rep_bad"),
+        sum(when(!col("lang_ok"), 1L).otherwise(0L)).as("n_lang_bad"))
+      .withColumn("keep_rate_e4", expr("n_keep * 10000L div n_docs"))
+      .orderBy("source", "lang")
+
+  /** Shared DuckDB CTE chain ending in `f(doc_id, source, lang, n_toks,
+    * len_ok, tok_ok, stop_ok, rep_ok, lang_ok, keep)` — the oracle twin
+    * of [[verdictFrame]], consumed by both curation finals.
+    */
+  private val verdictDuckCtes: String = {
     import TextAnalysis.{tokensDuck, shinglesDuck}
     val markers = graft.functions.GraftFunctions.DefaultLangMarkers
     val stops = graft.functions.GraftFunctions.DefaultStopwords
@@ -177,39 +210,59 @@ object Curation {
       s"WHEN score_$l = $maxExpr THEN '$l'"
     }.mkString(" ")
     val predicted = s"CASE WHEN $maxExpr = 0 THEN 'und' $caseArms ELSE 'und' END"
-    s"""WITH t AS (SELECT doc_id, lang, n_chars, $tokensDuck AS toks FROM documents),
-       |s AS (SELECT doc_id, lang, n_chars, toks,
+    s"""t AS (SELECT doc_id, source, lang, n_chars, $tokensDuck AS toks FROM documents),
+       |s AS (SELECT doc_id, source, lang, n_chars, toks,
        |        CAST(len(toks) AS BIGINT) AS n_toks,
        |        CAST(len(list_filter(toks, tk -> tk IN ($stops))) AS BIGINT) AS stop_hits,
        |        CAST(len(list_distinct($shinglesDuck)) AS BIGINT) AS n_distinct_sh,
        |        $scoreCols
        |      FROM t),
-       |v AS (SELECT doc_id, lang, n_chars, n_toks,
+       |v AS (SELECT doc_id, source, lang, n_chars, n_toks,
        |        CASE WHEN n_toks > 0 THEN stop_hits * 10000 // n_toks ELSE 0 END AS stop_ratio_e4,
        |        CASE WHEN n_toks >= 3 THEN (n_toks - 2 - n_distinct_sh) * 10000 // (n_toks - 2) ELSE 0 END AS rep_ratio_e4,
        |        $predicted AS predicted_lang
        |      FROM s),
-       |f AS (SELECT doc_id,
-       |        (n_chars >= 100 AND n_chars <= 20000) AS len_ok,
-       |        n_toks >= 20 AS tok_ok,
-       |        (n_toks > 0 AND stop_ratio_e4 >= 200) AS stop_ok,
-       |        (n_toks >= 3 AND rep_ratio_e4 <= 2000) AS rep_ok,
-       |        predicted_lang = lang AS lang_ok
-       |      FROM v)
-       |SELECT doc_id, len_ok, tok_ok, stop_ok, rep_ok, lang_ok,
-       |  (len_ok AND tok_ok AND stop_ok AND rep_ok AND lang_ok) AS keep
-       |FROM f ORDER BY doc_id""".stripMargin
+       |f AS (SELECT doc_id, source, lang, n_toks,
+       |        len_ok, tok_ok, stop_ok, rep_ok, lang_ok,
+       |        (len_ok AND tok_ok AND stop_ok AND rep_ok AND lang_ok) AS keep
+       |      FROM (SELECT doc_id, source, lang, n_toks,
+       |              (n_chars >= 100 AND n_chars <= 20000) AS len_ok,
+       |              n_toks >= 20 AS tok_ok,
+       |              (n_toks > 0 AND stop_ratio_e4 >= 200) AS stop_ok,
+       |              (n_toks >= 3 AND rep_ratio_e4 <= 2000) AS rep_ok,
+       |              predicted_lang = lang AS lang_ok
+       |            FROM v))""".stripMargin
   }
+
+  val curationVerdictSql: String =
+    s"""WITH $verdictDuckCtes
+       |SELECT doc_id, len_ok, tok_ok, stop_ok, rep_ok, lang_ok, keep
+       |FROM f ORDER BY doc_id""".stripMargin
+
+  val curationStatsSql: String =
+    s"""WITH $verdictDuckCtes
+       |SELECT source, lang, count(*) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
+       |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |  CAST(sum(CASE WHEN NOT len_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_len_bad,
+       |  CAST(sum(CASE WHEN NOT stop_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_bad,
+       |  CAST(sum(CASE WHEN NOT rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_bad,
+       |  CAST(sum(CASE WHEN NOT lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_bad,
+       |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) * 10000
+       |    // count(*) AS keep_rate_e4
+       |FROM f GROUP BY source, lang ORDER BY source, lang""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_hash" -> (sampleHash _),
     "q_split_assign" -> (splitAssign _),
     "q_decontaminate" -> (decontaminate _),
-    "q_curation_verdict" -> (curationVerdict _))
+    "q_curation_verdict" -> (curationVerdict _),
+    "q_curation_stats" -> (curationStats _))
 
   val oracles: Map[String, String] = Map(
     "q_sample_hash" -> sampleHashSql,
     "q_split_assign" -> splitAssignSql,
     "q_decontaminate" -> decontaminateSql,
-    "q_curation_verdict" -> curationVerdictSql)
+    "q_curation_verdict" -> curationVerdictSql,
+    "q_curation_stats" -> curationStatsSql)
 }
