@@ -186,6 +186,7 @@ object Curation {
         sum(col("n_toks")).as("sum_tokens"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
         sum(when(!col("len_ok"), 1L).otherwise(0L)).as("n_len_bad"),
+        sum(when(!col("tok_ok"), 1L).otherwise(0L)).as("n_tok_bad"),
         sum(when(!col("stop_ok"), 1L).otherwise(0L)).as("n_stop_bad"),
         sum(when(!col("rep_ok"), 1L).otherwise(0L)).as("n_rep_bad"),
         sum(when(!col("lang_ok"), 1L).otherwise(0L)).as("n_lang_bad"))
@@ -245,6 +246,7 @@ object Curation {
        |  CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
        |  CAST(sum(CASE WHEN NOT len_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_len_bad,
+       |  CAST(sum(CASE WHEN NOT tok_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_tok_bad,
        |  CAST(sum(CASE WHEN NOT stop_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_bad,
        |  CAST(sum(CASE WHEN NOT rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_bad,
        |  CAST(sum(CASE WHEN NOT lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_bad,

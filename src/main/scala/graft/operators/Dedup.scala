@@ -307,6 +307,26 @@ object Dedup {
        |FROM pairs JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb2 ON sb2.doc_id = doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** The shared candidate→verify input: persisted shingle-set and
+    * signature frames plus the LSH candidate pairs joined with BOTH
+    * sides' sets — every verify-stage operator (Jaccard, containment,
+    * clusters, star contraction) consumes exactly this frame, so its
+    * shape lives in one place. Callers own the caches' release.
+    */
+  private def candidatePairSets(spark: SparkSession, d: String,
+      numHashes: Int, numBands: Int): (DataFrame, DataFrame, DataFrame) = {
+    val sets = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.shingle_set(col("text")).as("sset"))
+      .where(col("sset").isNotNull)
+      .persist()
+    val sigs = signatures(spark, d, numHashes).persist()
+    val joined = candidatePairs(sigs, numHashes, numBands)
+      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b")), "doc_b")
+    (sets, sigs, joined)
+  }
+
   /** Exact n-gram Jaccard, verified only on the LSH candidate pairs —
     * the candidate→verify funnel that makes near-dedup tractable at
     * scale (all-pairs Jaccard is quadratic; LSH candidates are ~linear).
@@ -314,14 +334,8 @@ object Dedup {
   def dedupNgramJaccard(spark: SparkSession, d: String,
       numHashes: Int = DefaultNumHashes,
       numBands: Int = DefaultNumBands): DataFrame = {
-    val sets = Tables.documents(spark, d)
-      .select(col("doc_id"),
-        graft.functions.GraftFunctions.shingle_set(col("text")).as("sset"))
-      .where(col("sset").isNotNull)
-      .persist()
-    candidatePairs(signatures(spark, d, numHashes).persist(), numHashes, numBands)
-      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b")), "doc_b")
+    val (_, _, joined) = candidatePairSets(spark, d, numHashes, numBands)
+    joined
       .select(
         col("doc_a"), col("doc_b"),
         graft.functions.GraftFunctions.jaccard_e4(col("set_a"), col("set_b"))
@@ -354,14 +368,8 @@ object Dedup {
   def dedupContainment(spark: SparkSession, d: String,
       numHashes: Int = DefaultNumHashes,
       numBands: Int = DefaultNumBands): DataFrame = {
-    val sets = Tables.documents(spark, d)
-      .select(col("doc_id"),
-        graft.functions.GraftFunctions.shingle_set(col("text")).as("sset"))
-      .where(col("sset").isNotNull)
-      .persist()
-    candidatePairs(signatures(spark, d, numHashes).persist(), numHashes, numBands)
-      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b")), "doc_b")
+    val (_, _, joined) = candidatePairSets(spark, d, numHashes, numBands)
+    joined
       .select(col("doc_a"), col("doc_b"),
         graft.functions.GraftFunctions.overlap_stats(col("set_a"), col("set_b"))
           .as("ov"))
@@ -419,15 +427,8 @@ object Dedup {
       numHashes: Int = DefaultNumHashes,
       numBands: Int = DefaultNumBands,
       maxIters: Int = 50): DataFrame = {
-    val sets = Tables.documents(spark, d)
-      .select(col("doc_id"),
-        graft.functions.GraftFunctions.shingle_set(col("text")).as("sset"))
-      .where(col("sset").isNotNull)
-      .persist()
-    val sigs = signatures(spark, d, numHashes).persist()
-    val verified = candidatePairs(sigs, numHashes, numBands)
-      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b")), "doc_b")
+    val (sets, sigs, joined) = candidatePairSets(spark, d, numHashes, numBands)
+    val verified = joined
       .where(graft.functions.GraftFunctions.jaccard_e4(col("set_a"), col("set_b"))
         >= minJaccardE4)
       .select(col("doc_a"), col("doc_b"))
@@ -510,15 +511,8 @@ object Dedup {
       numHashes: Int = DefaultNumHashes,
       numBands: Int = DefaultNumBands,
       maxIters: Int = 30): DataFrame = {
-    val sets = Tables.documents(spark, d)
-      .select(col("doc_id"),
-        graft.functions.GraftFunctions.shingle_set(col("text")).as("sset"))
-      .where(col("sset").isNotNull)
-      .persist()
-    val sigs = signatures(spark, d, numHashes).persist()
-    val verified = candidatePairs(sigs, numHashes, numBands)
-      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b")), "doc_b")
+    val (sets, sigs, joined) = candidatePairSets(spark, d, numHashes, numBands)
+    val verified = joined
       .where(graft.functions.GraftFunctions.jaccard_e4(col("set_a"), col("set_b"))
         >= minJaccardE4)
     // canonical (big, small) orientation; doc_a < doc_b upstream
@@ -555,7 +549,14 @@ object Dedup {
       .join(lab, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
       .orderBy("doc_id")
+      .persist()
+    // same cache discipline as the propagation twin: materialize the
+    // (tiny) label result, then release every intermediate — only the
+    // result's own cache stays pinned for the life of the frame
+    out.count()
+    sets.unpersist()
     sigs.unpersist()
+    edges.unpersist()
     out
   }
 

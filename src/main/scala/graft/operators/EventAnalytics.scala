@@ -478,11 +478,11 @@ object EventAnalytics {
       |       FROM events e JOIN t2 ON e.user_id = t2.user_id
       |       WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > t2.t2
       |       GROUP BY e.user_id)
-      |SELECT 1 AS step_no, 'view' AS step, count(*) AS n_users FROM t1
+      |SELECT CAST(1 AS BIGINT) AS step_no, 'view' AS step, count(*) AS n_users FROM t1
       |UNION ALL
-      |SELECT 2, 'view>click', count(*) FROM t2
+      |SELECT CAST(2 AS BIGINT), 'view>click', count(*) FROM t2
       |UNION ALL
-      |SELECT 3, 'view>click>purchase', count(*) FROM t3
+      |SELECT CAST(3 AS BIGINT), 'view>click>purchase', count(*) FROM t3
       |ORDER BY step_no""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -339,14 +339,18 @@ object TextAnalysis {
        |SELECT doc_id, rank, token, tf, df, score_e4
        |FROM s WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
-  /** Sequence packing: assign documents to fixed-token-capacity training
-    * bins (greedy first-fit in doc_id order, docs longer than the
-    * capacity overflow their bin) — the batch-construction step between
-    * curation and the trainer. Packing is CHUNKED: a running token sum
-    * per shard of `shardSize` doc_ids, so the window is partitioned —
-    * never the single-partition global window that would serialize
-    * 10^11 docs; production packs per input split the same way, and the
-    * shard factor in bin_id keeps bins globally unique.
+  /** Sequence packing: assign documents to token-capacity training bins
+    * by cumulative START OFFSET in doc_id order — bin = floor(tokens
+    * before this doc / capacity), so a doc straddling a boundary is
+    * wholly assigned to the bin it starts in and that bin overflows by
+    * less than one document (the pack-then-truncate/pad discipline
+    * trainers actually use; exact never-overflow first-fit is a
+    * sequential fold, not a window). The batch-construction step
+    * between curation and the trainer. Packing is CHUNKED: a running
+    * token sum per shard of `shardSize` doc_ids, so the window is
+    * partitioned — never the single-partition global window that would
+    * serialize 10^11 docs; production packs per input split the same
+    * way, and the shard factor in bin_id keeps bins globally unique.
     */
   def packSequences(spark: SparkSession, d: String,
       capacity: Long = 2048L, shardSize: Long = 100L): DataFrame = {
