@@ -254,17 +254,53 @@ object Curation {
        |    // count(*) AS keep_rate_e4
        |FROM f GROUP BY source, lang ORDER BY source, lang""".stripMargin
 
+  /** The pipeline's CAPSTONE: emit the final training corpus. A doc
+    * survives iff (a) it is its near-dup cluster's canonical
+    * representative — the transitive-closure keeper from
+    * [[Dedup.dedupClusters]], with shingle-less docs passing as
+    * singletons — AND (b) it passes the keep/drop verdict. This is the
+    * query a user actually materializes as the training set; everything
+    * else in the curation/dedup families is its diagnostics.
+    *
+    * Scale shape: composition of already-scale-shaped pieces — the
+    * cluster frame is (doc_id, rep) longs, the verdict side reduces to
+    * a doc_id semi-join, and the corpus streams through one left join
+    * plus one LEFT SEMI join keyed on doc_id.
+    */
+  def corpusEmit(spark: SparkSession, d: String): DataFrame = {
+    val reps = Dedup.dedupClusters(spark, d)
+    val keepIds = curationVerdict(spark, d).where(col("keep")).select("doc_id")
+    Tables.documents(spark, d)
+      .join(reps, Seq("doc_id"), "left")
+      .where(col("cluster_rep").isNull || col("cluster_rep") === col("doc_id"))
+      .join(keepIds, Seq("doc_id"), "left_semi")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  val corpusEmitSql: String =
+    s"""WITH reps AS (SELECT * FROM (${Dedup.dedupClustersSql})),
+       |verd AS (SELECT doc_id FROM (${curationVerdictSql}) WHERE keep)
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars
+       |FROM documents d
+       |LEFT JOIN reps r ON d.doc_id = r.doc_id
+       |WHERE (r.cluster_rep IS NULL OR r.cluster_rep = d.doc_id)
+       |  AND d.doc_id IN (SELECT doc_id FROM verd)
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_hash" -> (sampleHash _),
     "q_split_assign" -> (splitAssign _),
     "q_decontaminate" -> (decontaminate _),
     "q_curation_verdict" -> (curationVerdict _),
-    "q_curation_stats" -> (curationStats _))
+    "q_curation_stats" -> (curationStats _),
+    "q_corpus_emit" -> (corpusEmit _))
 
   val oracles: Map[String, String] = Map(
     "q_sample_hash" -> sampleHashSql,
     "q_split_assign" -> splitAssignSql,
     "q_decontaminate" -> decontaminateSql,
     "q_curation_verdict" -> curationVerdictSql,
-    "q_curation_stats" -> curationStatsSql)
+    "q_curation_stats" -> curationStatsSql,
+    "q_corpus_emit" -> corpusEmitSql)
 }
