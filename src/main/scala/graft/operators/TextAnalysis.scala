@@ -235,6 +235,54 @@ object TextAnalysis {
        |SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp
        |FROM fp ORDER BY doc_id, fp""".stripMargin
 
+  /** Substring-duplication candidates from the winnowing index: pairs of
+    * documents sharing at least `minShared` rolling-hash fingerprints,
+    * with the shared count (MOSS-style — catches long COPIED PASSAGES
+    * between otherwise-different documents, which whole-document MinHash
+    * dilutes away; the fingerprint granularity is the winnow window).
+    * Same funnel economics as LSH banding: the corpus shuffles as short
+    * (fp, doc) rows, pairs form only within an fp's posting list, and a
+    * count filter drops the accidental single-collision pairs. Hot
+    * fingerprints (boilerplate) are the skew risk — AQE's skew-join
+    * split covers the join, and production would also cap posting-list
+    * length (drop fps occurring in > K docs, the classic stop-fp rule).
+    */
+  def winnowPairs(spark: SparkSession, d: String,
+      minShared: Long = 3L): DataFrame = {
+    val fps = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.winnow_fps(col("text"), 4).as("fps"))
+      .where(col("fps").isNotNull)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .where(col("n_shared_fps") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val winnowPairsSql: String =
+    s"""WITH t AS (SELECT doc_id, $tokensDuck AS toks FROM documents),
+       |tv AS (SELECT doc_id,
+       |         list_transform(toks, tk -> ('0x' || substr(sha256(tk), 1, 8))::BIGINT % 1000000007) AS tvs
+       |       FROM t WHERE len(toks) >= 3),
+       |rh AS (SELECT doc_id,
+       |         list_transform(range(1, len(tvs) - 1), i ->
+       |           ((tvs[i] * 131 + tvs[i+1]) % 1000000007 * 131 + tvs[i+2]) % 1000000007) AS rhs
+       |       FROM tv),
+       |fpl AS (SELECT doc_id,
+       |         CASE WHEN len(rhs) <= 4 THEN [list_aggregate(rhs, 'min')]
+       |              ELSE list_distinct(list_transform(range(1, len(rhs) - 2), i ->
+       |                     list_aggregate(rhs[i:i+3], 'min')))
+       |         END AS fps
+       |       FROM rh),
+       |fp AS (SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM fpl)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_fps
+       |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** The 100 TB form of document-frequency: the token shuffle carries an
     * HLL sketch instead of countDistinct's Expand (which doubles every
     * exploded row before the exchange). The exact column exists here only
@@ -386,6 +434,7 @@ object TextAnalysis {
     "q_tfidf_topterms" -> ((s, d) => tfidfTopTerms(s, d)),
     "q_pack_sequences" -> ((s, d) => packSequences(s, d)),
     "q_text_winnow" -> (textWinnow _),
+    "q_winnow_pairs" -> ((s, d) => winnowPairs(s, d)),
     "q_text_repetition" -> (textRepetition _),
     "q_text_tokens" -> (textTokens _),
     "q_text_quality" -> (textQuality _),
@@ -398,6 +447,7 @@ object TextAnalysis {
     "q_tfidf_topterms" -> tfidfTopTermsSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_text_winnow" -> textWinnowSql,
+    "q_winnow_pairs" -> winnowPairsSql,
     "q_text_repetition" -> textRepetitionSql,
     "q_text_tokens" -> textTokensSql,
     "q_text_quality" -> textQualitySql,
