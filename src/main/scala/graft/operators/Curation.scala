@@ -131,12 +131,16 @@ object Curation {
     */
   /** Per-doc rule flags + keep verdict with grouping keys (source, lang)
     * and size columns carried through — the single map-side frame behind
-    * both the per-doc verdict and the corpus-stats rollup.
+    * the per-doc verdict, the corpus-stats rollup, and the corpus
+    * emission. Takes the documents frame as input (rather than a path)
+    * so the SAME transform runs over a batch read or a file STREAM —
+    * every expression here is a stateless projection, so it is
+    * streaming-safe by construction (pinned by StreamingVerdictSpec).
     */
-  private def verdictFrame(spark: SparkSession, d: String): DataFrame = {
+  def verdictFlags(docs: DataFrame): DataFrame = {
     import graft.functions.GraftFunctions
     val markers = GraftFunctions.DefaultLangMarkers
-    val df = Tables.documents(spark, d)
+    val df = docs
       .withColumn("st", GraftFunctions.text_stats(col("text"),
         GraftFunctions.DefaultStopwords))
       .withColumn("ls", GraftFunctions.lang_scores(col("text"), markers.map(_._2)))
@@ -167,7 +171,7 @@ object Curation {
   }
 
   def curationVerdict(spark: SparkSession, d: String): DataFrame =
-    verdictFrame(spark, d)
+    verdictFlags(Tables.documents(spark, d))
       .select("doc_id", "len_ok", "tok_ok", "stop_ok", "rep_ok", "lang_ok", "keep")
       .orderBy("doc_id")
 
@@ -179,7 +183,7 @@ object Curation {
     * corpus size).
     */
   def curationStats(spark: SparkSession, d: String): DataFrame =
-    verdictFrame(spark, d)
+    verdictFlags(Tables.documents(spark, d))
       .groupBy("source", "lang")
       .agg(
         count(lit(1)).as("n_docs"),
