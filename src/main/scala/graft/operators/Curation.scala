@@ -199,7 +199,9 @@ object Curation {
 
   /** Shared DuckDB CTE chain ending in `f(doc_id, source, lang, n_toks,
     * len_ok, tok_ok, stop_ok, rep_ok, lang_ok, keep)` — the oracle twin
-    * of [[verdictFrame]], consumed by both curation finals.
+    * of [[verdictFlags]], consumed by the verdict, the stats rollup,
+    * and (via curationVerdictSql embedded as a derived table) the
+    * corpus-emission oracle.
     */
   private val verdictDuckCtes: String = {
     import TextAnalysis.{tokensDuck, shinglesDuck}
@@ -273,7 +275,8 @@ object Curation {
     */
   def corpusEmit(spark: SparkSession, d: String): DataFrame = {
     val reps = Dedup.dedupClusters(spark, d)
-    val keepIds = curationVerdict(spark, d).where(col("keep")).select("doc_id")
+    val keepIds = verdictFlags(Tables.documents(spark, d))
+      .where(col("keep")).select("doc_id")
     Tables.documents(spark, d)
       .join(reps, Seq("doc_id"), "left")
       .where(col("cluster_rep").isNull || col("cluster_rep") === col("doc_id"))

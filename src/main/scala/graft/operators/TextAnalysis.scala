@@ -209,16 +209,20 @@ object TextAnalysis {
     * the substring-plagiarism/near-dup index shape. Map-side until the
     * final order; integer-exact on both engines.
     */
-  def textWinnow(spark: SparkSession, d: String): DataFrame =
+  /** Exploded (doc_id, fp) winnow-fingerprint rows — the shared base of
+    * the fingerprint dump and the pair join; ONE definition each side so
+    * a hash-constant tweak cannot desynchronize them.
+    */
+  private def winnowFpRows(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
       .select(col("doc_id"),
         graft.functions.GraftFunctions.winnow_fps(col("text"), 4).as("fps"))
       .where(col("fps").isNotNull)
       .select(col("doc_id"), explode(col("fps")).as("fp"))
-      .orderBy("doc_id", "fp")
 
-  val textWinnowSql: String =
-    s"""WITH t AS (SELECT doc_id, $tokensDuck AS toks FROM documents),
+  /** DuckDB twin of [[winnowFpRows]], ending in `fpx(doc_id, fp)`. */
+  private val winnowDuckCtes: String =
+    s"""t AS (SELECT doc_id, $tokensDuck AS toks FROM documents),
        |tv AS (SELECT doc_id,
        |         list_transform(toks, tk -> ('0x' || substr(sha256(tk), 1, 8))::BIGINT % 1000000007) AS tvs
        |       FROM t WHERE len(toks) >= 3),
@@ -226,14 +230,20 @@ object TextAnalysis {
        |         list_transform(range(1, len(tvs) - 1), i ->
        |           ((tvs[i] * 131 + tvs[i+1]) % 1000000007 * 131 + tvs[i+2]) % 1000000007) AS rhs
        |       FROM tv),
-       |fp AS (SELECT doc_id,
+       |fpl AS (SELECT doc_id,
        |         CASE WHEN len(rhs) <= 4 THEN [list_aggregate(rhs, 'min')]
        |              ELSE list_distinct(list_transform(range(1, len(rhs) - 2), i ->
        |                     list_aggregate(rhs[i:i+3], 'min')))
        |         END AS fps
-       |       FROM rh)
-       |SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp
-       |FROM fp ORDER BY doc_id, fp""".stripMargin
+       |       FROM rh),
+       |fpx AS (SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM fpl)""".stripMargin
+
+  def textWinnow(spark: SparkSession, d: String): DataFrame =
+    winnowFpRows(spark, d).orderBy("doc_id", "fp")
+
+  val textWinnowSql: String =
+    s"""WITH $winnowDuckCtes
+       |SELECT doc_id, fp FROM fpx ORDER BY doc_id, fp""".stripMargin
 
   /** Substring-duplication candidates from the winnowing index: pairs of
     * documents sharing at least `minShared` rolling-hash fingerprints,
@@ -249,11 +259,9 @@ object TextAnalysis {
     */
   def winnowPairs(spark: SparkSession, d: String,
       minShared: Long = 3L): DataFrame = {
-    val fps = Tables.documents(spark, d)
-      .select(col("doc_id"),
-        graft.functions.GraftFunctions.winnow_fps(col("text"), 4).as("fps"))
-      .where(col("fps").isNotNull)
-      .select(col("doc_id"), explode(col("fps")).as("fp"))
+    // persisted: the frame feeds both join sides, and exchange reuse
+    // verifiably does not dedupe identical subtrees (see tfidfTopTerms)
+    val fps = winnowFpRows(spark, d).persist()
     fps.as("a").join(fps.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -263,23 +271,9 @@ object TextAnalysis {
   }
 
   val winnowPairsSql: String =
-    s"""WITH t AS (SELECT doc_id, $tokensDuck AS toks FROM documents),
-       |tv AS (SELECT doc_id,
-       |         list_transform(toks, tk -> ('0x' || substr(sha256(tk), 1, 8))::BIGINT % 1000000007) AS tvs
-       |       FROM t WHERE len(toks) >= 3),
-       |rh AS (SELECT doc_id,
-       |         list_transform(range(1, len(tvs) - 1), i ->
-       |           ((tvs[i] * 131 + tvs[i+1]) % 1000000007 * 131 + tvs[i+2]) % 1000000007) AS rhs
-       |       FROM tv),
-       |fpl AS (SELECT doc_id,
-       |         CASE WHEN len(rhs) <= 4 THEN [list_aggregate(rhs, 'min')]
-       |              ELSE list_distinct(list_transform(range(1, len(rhs) - 2), i ->
-       |                     list_aggregate(rhs[i:i+3], 'min')))
-       |         END AS fps
-       |       FROM rh),
-       |fp AS (SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM fpl)
+    s"""WITH $winnowDuckCtes
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_fps
-       |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |FROM fpx a JOIN fpx b ON a.fp = b.fp AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 HAVING count(*) >= 3
        |ORDER BY doc_a, doc_b""".stripMargin
 
