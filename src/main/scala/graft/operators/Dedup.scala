@@ -580,6 +580,26 @@ object Dedup {
        |SELECT doc_id, min(lab) AS cluster_rep
        |FROM walk GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Cluster-size histogram: how many near-dup clusters exist at each
+    * size (singletons included) — the one-line diagnostic that tells a
+    * pipeline whether duplication is long-tail (sizes 2-3) or
+    * mass-copied boilerplate (hot large clusters needing the stop-fp /
+    * wider-band treatment). Two tiny aggregations over the (doc, rep)
+    * label frame.
+    */
+  def dedupClusterSizes(spark: SparkSession, d: String): DataFrame =
+    dedupClusters(spark, d)
+      .groupBy("cluster_rep").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+
+  val dedupClusterSizesSql: String =
+    s"""WITH labels AS (SELECT * FROM (${dedupClustersSql})),
+       |sz AS (SELECT cluster_rep, count(*) AS cluster_size
+       |       FROM labels GROUP BY cluster_rep)
+       |SELECT cluster_size, count(*) AS n_clusters
+       |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_keep_canonical" -> (dedupKeepCanonical _),
@@ -589,7 +609,8 @@ object Dedup {
     "q_dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(s, d)),
     "q_dedup_containment" -> ((s, d) => dedupContainment(s, d)),
     "q_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
-    "q_dedup_clusters_star" -> ((s, d) => dedupClustersStar(s, d)))
+    "q_dedup_clusters_star" -> ((s, d) => dedupClustersStar(s, d)),
+    "q_dedup_cluster_sizes" -> (dedupClusterSizes _))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactSql,
@@ -601,5 +622,6 @@ object Dedup {
     "q_dedup_containment" -> dedupContainmentSql,
     "q_dedup_clusters" -> dedupClustersSql,
     // same clusters, different algorithm — the oracle is shared
-    "q_dedup_clusters_star" -> dedupClustersSql)
+    "q_dedup_clusters_star" -> dedupClustersSql,
+    "q_dedup_cluster_sizes" -> dedupClusterSizesSql)
 }

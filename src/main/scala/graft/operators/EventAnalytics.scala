@@ -485,6 +485,37 @@ object EventAnalytics {
       |SELECT CAST(3 AS BIGINT), 'view>click>purchase', count(*) FROM t3
       |ORDER BY step_no""".stripMargin
 
+  /** Weekly retention cohorts: users grouped by the epoch-week of their
+    * FIRST event; each cell counts how many of a cohort's users were
+    * active `week_offset` weeks later — the standard retention triangle.
+    * Week arithmetic is integer division of epoch-nanos, so both
+    * engines agree exactly. Two shuffles: the per-user first-event min
+    * (map-side partial) and the (cohort, offset) distinct-count; the
+    * cohort table joins back BROADCAST because distinct users ≪ events.
+    */
+  def eventsRetention(spark: SparkSession, d: String): DataFrame = {
+    val WeekNs = 604800000000000L // 7 * 86400 * 1e9
+    val ev = Tables.events(spark, d).select(col("user_id"), col("ts_ns"))
+    val cohorts = ev.groupBy("user_id")
+      .agg(expr(s"min(ts_ns) div $WeekNs").as("cohort_week"))
+    ev.join(broadcast(cohorts), "user_id")
+      .select(col("user_id"), col("cohort_week"),
+        (expr(s"ts_ns div $WeekNs") - col("cohort_week")).as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("user_id").as("n_active_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val eventsRetentionSql: String =
+    """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns FROM events),
+      |c AS (SELECT user_id, min(ts_ns) // 604800000000000 AS cohort_week
+      |      FROM e GROUP BY user_id)
+      |SELECT c.cohort_week,
+      |  e.ts_ns // 604800000000000 - c.cohort_week AS week_offset,
+      |  count(DISTINCT e.user_id) AS n_active_users
+      |FROM e JOIN c ON e.user_id = c.user_id
+      |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q5_local_supplier" -> (q5LocalSupplier _),
     "q_agg_salted" -> (aggSalted _),
@@ -492,6 +523,7 @@ object EventAnalytics {
     "q_join_range" -> (joinRange _),
     "q_json_extract" -> (jsonExtract _),
     "q_events_funnel" -> (eventsFunnel _),
+    "q_events_retention" -> (eventsRetention _),
     "q_hll_distinct" -> (hllDistinct _),
     "q_events_windowed_agg" -> (eventsWindowedAgg _),
     "q_events_sessionize" -> (eventsSessionize _),
@@ -508,6 +540,7 @@ object EventAnalytics {
     "q_join_range" -> joinRangeSql,
     "q_json_extract" -> jsonExtractSql,
     "q_events_funnel" -> eventsFunnelSql,
+    "q_events_retention" -> eventsRetentionSql,
     "q_hll_distinct" -> hllDistinctSql,
     "q_events_windowed_agg" -> eventsWindowedAggSql,
     "q_events_sessionize" -> eventsSessionizeSql,
