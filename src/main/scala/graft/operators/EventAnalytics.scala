@@ -489,16 +489,19 @@ object EventAnalytics {
     * FIRST event; each cell counts how many of a cohort's users were
     * active `week_offset` weeks later — the standard retention triangle.
     * Week arithmetic is integer division of epoch-nanos, so both
-    * engines agree exactly. Two shuffles: the per-user first-event min
-    * (map-side partial) and the (cohort, offset) distinct-count; the
-    * cohort table joins back BROADCAST because distinct users ≪ events.
+    * engines agree exactly. Shuffles: the per-user first-event min
+    * (map-side partial), the cohort join back on user_id, and the
+    * (cohort, offset) distinct-count. The cohort table is deliberately
+    * NOT hint-broadcast: it is one row per distinct USER, which at
+    * consumer scale is billions — AQE broadcasts it when it is actually
+    * small and falls back to the user_id-keyed shuffle join when not.
     */
   def eventsRetention(spark: SparkSession, d: String): DataFrame = {
     val WeekNs = 604800000000000L // 7 * 86400 * 1e9
     val ev = Tables.events(spark, d).select(col("user_id"), col("ts_ns"))
     val cohorts = ev.groupBy("user_id")
       .agg(expr(s"min(ts_ns) div $WeekNs").as("cohort_week"))
-    ev.join(broadcast(cohorts), "user_id")
+    ev.join(cohorts, "user_id")
       .select(col("user_id"), col("cohort_week"),
         (expr(s"ts_ns div $WeekNs") - col("cohort_week")).as("week_offset"))
       .groupBy("cohort_week", "week_offset")
