@@ -58,7 +58,12 @@ object Bench {
       spark.catalog.clearCache()
       if (ok) Some(dt) else None
     }
+    // local-iteration escape hatch: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times
+    // a subset; unset (the driver's mode) times everything
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val passes: Seq[Map[String, Option[Double]]] = (1 to reps).map { _ =>
       names.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
     }
@@ -66,7 +71,9 @@ object Bench {
       val times = passes.flatMap(_(name)).sorted
       name -> (if (times.isEmpty) -1.0 else times(times.size / 2))
     }
-    def s3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: f"" uses the JVM default locale, which under e.g. de_DE
+    // emits "1,234" and corrupts the single-line JSON protocol.
+    def s3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
     // total covers successful queries only (failed ones report -1)

@@ -26,6 +26,13 @@ object Sessions {
       // (graft.sources.Tables.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Without this, any plan under a persist() (every iterative loop:
+      // star contraction, label propagation, the dedup signature caches)
+      // runs WITHOUT AQE partition coalescing, so a 2k-row edge frame
+      // pays full-width shuffles every round. Letting AQE re-shape
+      // cached-plan output trades exact cache-partitioning reuse for
+      // right-sized shuffles — the correct trade for iterative graphs.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       // managed (bucketed) tables land outside the repo checkout
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")

@@ -460,10 +460,16 @@ object Dedup {
     labels.withColumnRenamed("label", "cluster_rep").orderBy("doc_id")
   }
 
-  /** Both directions of an edge list. */
+  /** Both directions of an edge list. Single-branch explode rather than a
+    * self-union: a union references the input subtree twice, and when that
+    * input is an UNCACHED star-round chain the whole chain is planned (and
+    * absent exchange reuse, executed) twice per round.
+    */
   private def symmetric(e: DataFrame): DataFrame =
-    e.select(col("src"), col("dst"))
-      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+    e.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
 
   /** Large-star (Kiveris et al., "Connected Components in MapReduce and
     * Beyond"): every neighbor LARGER than u links to the minimum of
@@ -488,8 +494,10 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val smaller = symmetric(e).where(col("dst") <= col("src"))
       .withColumn("m", min(col("dst")).over(Window.partitionBy("src")))
-    smaller.select(col("dst").as("v"), col("m"))
-      .unionByName(smaller.select(col("src").as("v"), col("m")))
+    // emit (v, m) for v ∈ {dst, src} in ONE pass over the window output;
+    // the former unionByName of two projections doubled the upstream
+    // large-star chain in the plan
+    smaller.select(explode(array(col("dst"), col("src"))).as("v"), col("m"))
       .where(col("v") =!= col("m"))
       .select(col("v").as("src"), col("m").as("dst"))
       .distinct()
