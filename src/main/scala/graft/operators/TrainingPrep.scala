@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Training-set preparation operators over the `documents` corpus: the
+  * steps between a curated corpus and tokenizer/trainer input that the
+  * other modules don't cover — context-window chunking, mixture
+  * weighting, length-distribution quantiles, and an n-gram-LM coherence
+  * score.
+  *
+  * Shared determinism discipline (see BUILDER_NOTES): tokenization is
+  * `regexp_extract_all(lower(text), '[a-z0-9]+')` on both engines, all
+  * ratios are floor-divided scaled integers, and every query ends in a
+  * total ORDER BY, so results hash-match DuckDB bit-for-bit.
+  */
+object TrainingPrep {
+
+  private val toksExpr = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+  private val toksDuck = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+  /** Sliding-window CHUNKING: split each document into overlapping
+    * token windows of `chunkTokens` advancing by `strideTokens` — the
+    * standard context-window preparation for pretraining (a doc longer
+    * than the model context becomes several overlapping samples; the
+    * overlap keeps boundary-spanning text learnable). One chunk starts
+    * at every multiple of the stride below the token count, so short
+    * docs yield exactly one (possibly partial) chunk and nothing is
+    * dropped.
+    *
+    * Scale: pure map-side fan-out (tokenize → explode chunk indices →
+    * slice), no shuffle before the presentation sort; at 100 TB this
+    * runs at scan speed and the chunk rows stream straight into the
+    * sink. The chunk signature hashes the joined window so downstream
+    * exact-dedup can run per-chunk instead of per-doc.
+    *
+    * The DuckDB oracle fans out with a constant `generate_series`
+    * bound (DuckDB 1.0 cannot parameterize the bound per row) of 63
+    * strides = 1008+ tokens — 10× the corpus max (~100 tokens); the
+    * Spark side derives the bound per row, so only the oracle carries
+    * the constant.
+    */
+  def chunkSliding(spark: SparkSession, d: String,
+      chunkTokens: Int = 32, strideTokens: Int = 16): DataFrame = {
+    require(chunkTokens > 0 && strideTokens > 0 && strideTokens <= chunkTokens,
+      s"need 0 < strideTokens ($strideTokens) <= chunkTokens ($chunkTokens)")
+    Tables.documents(spark, d)
+      .select(col("doc_id"), expr(toksExpr).as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(0, (size(toks) - 1) div $strideTokens)"))
+          .as("chunk_idx"))
+      .withColumn("chunk",
+        expr(s"slice(toks, chunk_idx * $strideTokens + 1, $chunkTokens)"))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast(IntegerType).as("chunk_idx"),
+        (col("chunk_idx") * strideTokens).cast(LongType).as("start_tok"),
+        size(col("chunk")).cast(LongType).as("n_tok"),
+        substring(sha2(array_join(col("chunk"), " "), 256), 1, 16)
+          .as("chunk_sig"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val chunkSlidingSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksDuck AS toks FROM documents),
+       |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0)
+       |SELECT doc_id, CAST(c AS INT) AS chunk_idx,
+       |  CAST(c * 16 AS BIGINT) AS start_tok,
+       |  CAST(len(toks[c*16+1 : c*16+32]) AS BIGINT) AS n_tok,
+       |  substr(sha256(array_to_string(toks[c*16+1 : c*16+32], ' ')), 1, 16) AS chunk_sig
+       |FROM n, generate_series(0, 63) gs(c)
+       |WHERE c * 16 < n
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Mixture WEIGHTS: per-source document/token tallies and each
+    * source's token share in parts-per-million — the numbers a training
+    * run's data-mixture config is written from (domain up/down-weighting
+    * starts from the natural token distribution).
+    *
+    * Scale: one partial+final aggregate over the corpus (map-side
+    * combine, |sources| rows out), then a broadcast of the one-row
+    * total. Token counts come from the compiled TextStats kernel, and
+    * the ppm share is computed in Decimal(38,0) floor-division so a
+    * 10^14-token corpus cannot overflow the BIGINT intermediate.
+    */
+  def mixWeights(spark: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(spark, d)
+      .select(col("source"),
+        graft.functions.GraftFunctions.text_stats(col("text"), Nil)
+          .getItem(0).as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    val total = per.agg(sum("n_tokens").as("tot"))
+    per.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("CAST((CAST(n_tokens AS DECIMAL(38,0)) * 1000000) div tot AS BIGINT)")
+          .as("weight_ppm"))
+      .orderBy("source")
+  }
+
+  val mixWeightsSql: String =
+    s"""WITH s AS (SELECT source, count(*) AS n_docs,
+       |             CAST(sum(len($toksDuck)) AS BIGINT) AS n_tokens
+       |           FROM documents GROUP BY source),
+       |t AS (SELECT sum(n_tokens) AS tot FROM s)
+       |SELECT source, n_docs, n_tokens,
+       |  CAST(n_tokens * 1000000 // tot AS BIGINT) AS weight_ppm
+       |FROM s, t ORDER BY source""".stripMargin
+
+  /** Length-distribution QUANTILES: exact p50/p90/p99 token counts per
+    * source by rank arithmetic — rank ceil(p·n) in the (token count,
+    * doc_id) order — so both engines agree bit-for-bit (interpolating
+    * `percentile` variants differ across engines; a discrete rank
+    * doesn't). The per-source length profile drives context-length and
+    * truncation decisions.
+    *
+    * Scale: exact per-group quantiles cost one shuffle on `source` and
+    * a per-group sort — fine while groups fit a partition (sources are
+    * few and AQE splits skew). For quantiles over a column with
+    * unbounded groups, the sketch path (`approx_percentile`, one
+    * map-side combine, no sort) replaces this with rank error bounds —
+    * same trade the HLL twin of q_text_vocab makes.
+    */
+  def quantileStats(spark: SparkSession, d: String): DataFrame = {
+    val byLen = Window.partitionBy("source").orderBy("n_tok", "doc_id")
+    val bySrc = Window.partitionBy("source")
+    def atRank(p: Int, as: String) = // ceil(cnt*p/100) = (cnt*p+99) div 100
+      max(when(col("rn") === expr(s"(cnt * $p + 99) div 100"), col("n_tok"))).as(as)
+    Tables.documents(spark, d)
+      .select(col("source"), col("doc_id"),
+        graft.functions.GraftFunctions.text_stats(col("text"), Nil)
+          .getItem(0).as("n_tok"))
+      .withColumn("rn", row_number().over(byLen).cast(LongType))
+      .withColumn("cnt", count(lit(1)).over(bySrc))
+      .groupBy("source")
+      .agg(atRank(50, "p50_tokens"), atRank(90, "p90_tokens"),
+        atRank(99, "p99_tokens"), max("cnt").as("n_docs"))
+      .orderBy("source")
+  }
+
+  val quantileStatsSql: String =
+    s"""WITH t AS (SELECT source, doc_id,
+       |             CAST(len($toksDuck) AS BIGINT) AS n_tok
+       |           FROM documents),
+       |r AS (SELECT source, n_tok,
+       |        CAST(row_number() OVER (PARTITION BY source ORDER BY n_tok, doc_id) AS BIGINT) AS rn,
+       |        count(*) OVER (PARTITION BY source) AS cnt
+       |      FROM t)
+       |SELECT source,
+       |  max(CASE WHEN rn = (cnt*50+99)//100 THEN n_tok END) AS p50_tokens,
+       |  max(CASE WHEN rn = (cnt*90+99)//100 THEN n_tok END) AS p90_tokens,
+       |  max(CASE WHEN rn = (cnt*99+99)//100 THEN n_tok END) AS p99_tokens,
+       |  CAST(max(cnt) AS BIGINT) AS n_docs
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
+
+  /** Bigram COHERENCE score: a corpus-trained bigram language model
+    * scores each document by its average bigram probability — the
+    * integer-exact stand-in for the perplexity filter (KenLM-style)
+    * production pipelines run, with floor-scaled conditional
+    * probabilities p_e6(w2|w1) = count(w1,w2)·10^6 div count(w1·) so no
+    * log/float leaves engine parity. Word salad scores low (its bigrams
+    * are rare given their heads), repeated boilerplate scores high.
+    *
+    * Scale: bigram emission is a map-side explode; the LM is two
+    * aggregates over (w1,w2) and (w1). The score join is an equi-join
+    * on the bigram key — broadcast when the LM fits (vocab² is ~10^8
+    * entries for a 10^4 vocab, usually broadcastable after pruning
+    * count ≥ 2), shuffle otherwise; here AQE picks broadcast. One final
+    * per-doc aggregate. No step is quadratic in corpus size.
+    */
+  def bigramCoherence(spark: SparkSession, d: String): DataFrame = {
+    val bi = Tables.documents(spark, d)
+      .select(col("doc_id"), expr(toksExpr).as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"""
+          .stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .persist()
+    val lm = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val heads = bi.groupBy("w1").agg(count(lit(1)).as("h"))
+    val out = bi
+      .join(lm, Seq("w1", "w2"))
+      .join(heads, Seq("w1"))
+      .withColumn("p_e6", expr("c * 1000000L div h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(p_e6) div count(1)").as("score_e6"))
+      .orderBy("doc_id")
+      .persist()
+    out.count() // materialize so the bigram cache can be released
+    bi.unpersist()
+    out
+  }
+
+  val bigramCoherenceSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksDuck AS toks FROM documents),
+       |b AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+       |      FROM t, generate_series(1, 200) gs(i)
+       |      WHERE i <= len(toks) - 1),
+       |lm AS (SELECT w1, w2, count(*) AS c FROM b GROUP BY w1, w2),
+       |hd AS (SELECT w1, count(*) AS h FROM b GROUP BY w1),
+       |s AS (SELECT doc_id, CAST(lm.c * 1000000 // hd.h AS BIGINT) AS p_e6
+       |      FROM b JOIN lm USING (w1, w2) JOIN hd USING (w1))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(p_e6) // count(*) AS BIGINT) AS score_e6
+       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk_sliding" -> ((s, d) => chunkSliding(s, d)),
+    "q_mix_weights" -> (mixWeights _),
+    "q_quantile_stats" -> (quantileStats _),
+    "q_bigram_coherence" -> (bigramCoherence _))
+
+  val oracles: Map[String, String] = Map(
+    "q_chunk_sliding" -> chunkSlidingSql,
+    "q_mix_weights" -> mixWeightsSql,
+    "q_quantile_stats" -> quantileStatsSql,
+    "q_bigram_coherence" -> bigramCoherenceSql)
+}

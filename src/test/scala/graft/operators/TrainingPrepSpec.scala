@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Structural invariants of the training-prep operators, checked
+  * against independent driver-side models on the real sf0.001 corpus —
+  * the properties the hash oracle can't articulate (coverage, ordering,
+  * arithmetic identities).
+  */
+class TrainingPrepSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def tokens(text: String): Vector[String] =
+    "[a-z0-9]+".r.findAllIn(text.toLowerCase(java.util.Locale.ROOT)).toVector
+
+  private lazy val docs: Map[Long, Vector[String]] =
+    graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> tokens(r.getString(1))).toMap
+
+  test("chunking covers every token exactly per the stride model") {
+    val chunk = 32
+    val stride = 16
+    val rows = TrainingPrep.chunkSliding(spark, sf, chunk, stride).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val byDoc = rows.groupBy(_._1)
+    docs.foreach { case (id, toks) =>
+      val n = toks.size
+      if (n == 0) assert(!byDoc.contains(id))
+      else {
+        val expected = (n - 1) / stride + 1
+        val cs = byDoc(id).sortBy(_._2)
+        assert(cs.length === expected, s"doc $id: chunk count")
+        cs.zipWithIndex.foreach { case ((_, idx, start, nTok), i) =>
+          assert(idx === i)
+          assert(start === i.toLong * stride)
+          assert(nTok === math.min(chunk, n - start).toLong)
+        }
+        // the windows cover all n tokens: last chunk reaches the end
+        val (_, _, lastStart, lastN) = cs.last
+        assert(lastStart + lastN === n.toLong)
+      }
+    }
+  }
+
+  test("degenerate chunk parameters are rejected") {
+    intercept[IllegalArgumentException] {
+      TrainingPrep.chunkSliding(spark, sf, chunkTokens = 16, strideTokens = 32)
+    }
+    intercept[IllegalArgumentException] {
+      TrainingPrep.chunkSliding(spark, sf, chunkTokens = 0, strideTokens = 0)
+    }
+  }
+
+  test("mixture weights are floor-exact token shares that sum to <= 1e6") {
+    val rows = TrainingPrep.mixWeights(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // tallies match a driver recount joined on source
+    val bySource = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val tokBySource = docs.toSeq.groupBy { case (id, _) => bySource(id) }
+      .map { case (s, ds) => s -> (ds.size.toLong, ds.map(_._2.size.toLong).sum) }
+    val total = tokBySource.values.map(_._2).sum
+    rows.foreach { case (s, nDocs, nTok, ppm) =>
+      val (mDocs, mTok) = tokBySource(s)
+      assert(nDocs === mDocs, s"source $s docs")
+      assert(nTok === mTok, s"source $s tokens")
+      assert(ppm === mTok * 1000000L / total, s"source $s ppm")
+    }
+    val ppmSum = rows.map(_._4).sum
+    assert(ppmSum <= 1000000L && ppmSum > 1000000L - rows.length,
+      s"floor shares must sum to (1e6 - #sources, 1e6]: $ppmSum")
+  }
+
+  test("quantiles equal the rank-arithmetic model and are monotone") {
+    val bySource = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val lens = docs.toSeq.map { case (id, toks) =>
+      (bySource(id), id, toks.size.toLong)
+    }
+    val model = lens.groupBy(_._1).map { case (s, rs) =>
+      val sorted = rs.sortBy(r => (r._3, r._2)).map(_._3)
+      def at(p: Int) = sorted(((sorted.size.toLong * p + 99) / 100 - 1).toInt)
+      s -> (at(50), at(90), at(99), sorted.size.toLong)
+    }
+    val rows = TrainingPrep.quantileStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p50, p90, p99, n) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert((p50, p90, p99, n) === model(r.getString(0)))
+      assert(p50 <= p90 && p90 <= p99)
+    }
+  }
+
+  test("bigram coherence matches the driver LM on every doc") {
+    val bigrams = docs.toSeq.flatMap { case (id, toks) =>
+      toks.sliding(2).collect { case Vector(a, b) => (id, a, b) }
+    }
+    val lm = bigrams.groupBy(t => (t._2, t._3)).map { case (k, v) => k -> v.size.toLong }
+    val heads = bigrams.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val model = bigrams.groupBy(_._1).map { case (id, bs) =>
+      val ps = bs.map { case (_, a, b) => lm((a, b)) * 1000000L / heads(a) }
+      id -> (bs.size.toLong, ps.sum / bs.size)
+    }
+    val rows = TrainingPrep.bigramCoherence(spark, sf).collect()
+    assert(rows.length === model.size)
+    rows.foreach { r =>
+      assert((r.getLong(1), r.getLong(2)) === model(r.getLong(0)),
+        s"doc ${r.getLong(0)}")
+    }
+  }
+}
