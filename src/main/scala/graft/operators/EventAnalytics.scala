@@ -71,6 +71,39 @@ object EventAnalytics {
       .orderBy("user_id", "session_seq")
   }
 
+  /** Batch face of the native `session_window` sessionizer (shared plan
+    * with the streaming twin — see [[graft.streaming.EventStream
+    * .sessionWindows]]; the watermark is a no-op in batch). Kept beside
+    * [[eventsSessionize]] deliberately: the lag/cumsum form is what you
+    * write when you need custom per-session logic, the native operator
+    * is what you run when you don't — and on a stream only the native
+    * form gets engine-managed bounded state.
+    */
+  def eventsSessionWindow(spark: SparkSession, d: String): DataFrame =
+    graft.streaming.EventStream.sessionWindows(
+        Tables.events(spark, d).select("user_id", "ts", "event_id"))
+      .orderBy("user_id", "session_start_us")
+
+  val eventsSessionWindowSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id,
+      |    lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000) AS prev_us
+      |  FROM events),
+      |m AS (
+      |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id, ts_us, event_id,
+      |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM m)
+      |SELECT user_id, min(ts_us) AS session_start_us,
+      |  max(ts_us) + 1800000000 AS session_end_us,
+      |  count(*) AS n_events,
+      |  min(event_id) AS first_event_id, max(event_id) AS last_event_id
+      |FROM s GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_start_us""".stripMargin
+
   val eventsSessionizeSql: String =
     """WITH e AS (
       |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
@@ -530,6 +563,7 @@ object EventAnalytics {
     "q_hll_distinct" -> (hllDistinct _),
     "q_events_windowed_agg" -> (eventsWindowedAgg _),
     "q_events_sessionize" -> (eventsSessionize _),
+    "q_events_session_window" -> (eventsSessionWindow _),
     "q_events_user_stats" -> (eventsUserStats _),
     "q_join_asof" -> (joinAsof _),
     "q_agg_rollup" -> (aggRollup _),
@@ -547,6 +581,7 @@ object EventAnalytics {
     "q_hll_distinct" -> hllDistinctSql,
     "q_events_windowed_agg" -> eventsWindowedAggSql,
     "q_events_sessionize" -> eventsSessionizeSql,
+    "q_events_session_window" -> eventsSessionWindowSql,
     "q_events_user_stats" -> eventsUserStatsSql,
     "q_join_asof" -> joinAsofSql,
     "q_agg_rollup" -> aggRollupSql,

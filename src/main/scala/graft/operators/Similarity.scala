@@ -414,7 +414,60 @@ object Similarity {
        |WHERE ${cosE6Duck("a.embedding", "b.embedding")} >= 300000
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Mutual k-NEAREST-NEIGHBOR GRAPH over the sign-LSH buckets: each
+    * vector's top-k in-bucket cosine neighbors, kept only when the
+    * relation is MUTUAL (a in b's top-k AND b in a's) — the standard
+    * symmetrization that makes a kNN graph robust to hubs, and the
+    * input graph for semantic clustering / diversity sampling (the
+    * connected-components operators in [[Dedup]] consume exactly this
+    * edge shape).
+    *
+    * Scale: the candidate join is the same one-shuffle bucketed
+    * self-join as [[dedupEmbedding]] (pair work ~n²/2^planes, planes
+    * grow with the corpus), the per-vector top-k is a bounded window
+    * (WindowGroupLimit pushes the k cutoff before the sort spill), and
+    * the mutuality check is a self-join of the top-k frame on the
+    * REVERSED key — |topk| = n·k rows, so both sides are slim; the
+    * frame is persisted so its two appearances share one computation.
+    */
+  def knnGraph(spark: SparkSession, d: String, k: Int = 3,
+      numPlanes: Int = DefaultNumPlanes): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+      .withColumn("bucket", expr(bucketSpark(numPlanes)))
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+    val topk = emb.as("a").join(emb.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        cosE6("a.embedding", "b.embedding").as("cos_e6"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("src").orderBy(col("cos_e6").desc, col("dst"))))
+      .where(col("rank") <= k)
+      .select("src", "dst", "cos_e6")
+      .persist()
+    topk.as("x").join(topk.as("y"),
+        col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
+      .where(col("x.src") < col("x.dst"))
+      .select(col("x.src").as("vec_a"), col("x.dst").as("vec_b"),
+        col("x.cos_e6").as("cos_e6"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val knnGraphSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding, ${bucketDuck()} AS bucket FROM embeddings),
+       |c AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |        ${cosE6Duck("a.embedding", "b.embedding")} AS cos_e6
+       |      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |t AS (SELECT src, dst, cos_e6 FROM (
+       |        SELECT src, dst, cos_e6,
+       |          row_number() OVER (PARTITION BY src ORDER BY cos_e6 DESC, dst) AS rank
+       |        FROM c) WHERE rank <= 3)
+       |SELECT x.src AS vec_a, x.dst AS vec_b, x.cos_e6 AS cos_e6
+       |FROM t x JOIN t y ON x.src = y.dst AND x.dst = y.src
+       |WHERE x.src < x.dst
+       |ORDER BY vec_a, vec_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_graph" -> ((s, d) => knnGraph(s, d)),
     "q_sim_topk_brute" -> (simTopkBrute _),
     "q_sim_topk_lsh" -> ((s, d) => simTopkLsh(s, d)),
     "q_sim_topk_ivf" -> ((s, d) => simTopkIvf(s, d)),
@@ -422,6 +475,7 @@ object Similarity {
     "q_dedup_embedding" -> ((s, d) => dedupEmbedding(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q_knn_graph" -> knnGraphSql,
     "q_sim_topk_brute" -> simTopkBruteSql,
     "q_sim_topk_lsh" -> simTopkLshSql,
     "q_sim_topk_ivf" -> simTopkIvfSql,

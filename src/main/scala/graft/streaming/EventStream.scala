@@ -55,6 +55,38 @@ object EventStream {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_s"),
         col("event_type"), col("n_events"), col("sum_value_cents"))
 
+  /** NATIVE session windows: Spark's `session_window` operator merges
+    * events whose 30-minute windows overlap into one variable-length
+    * session per user — the engine-managed alternative to both the
+    * batch lag/cumsum sessionizer (operators.EventAnalytics
+    * .eventsSessionize) and hand-rolled flatMapGroupsWithState state: on
+    * a stream the state store holds one open window per (user, session)
+    * and the event-time watermark both closes sessions and expires
+    * state, so state is bounded by the lateness horizon at any corpus
+    * rate.
+    *
+    * Boundary semantics (pinned by the oracle): windows [ts, ts+gap)
+    * merge on OVERLAP, so a gap of exactly 30 minutes starts a NEW
+    * session (the lag-based batch twin uses `> gap`, a deliberate
+    * difference the oracles encode); `session_end_us` is
+    * last_event + gap, the operator's window end. Timestamps compare in
+    * micros (the nanos→micros truncation happens in `normalize`/Tables
+    * before the window).
+    */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("event_id").as("first_event_id"),
+        max("event_id").as("last_event_id"))
+      .select(
+        col("user_id"),
+        unix_micros(col("sw.start")).as("session_start_us"),
+        unix_micros(col("sw.end")).as("session_end_us"),
+        col("n_events"), col("first_event_id"), col("last_event_id"))
+
   final case class UserActivity(user_id: Long, n_events: Long, total_cents: Long)
 
   /** Stateful per-user running totals via mapGroupsWithState — the

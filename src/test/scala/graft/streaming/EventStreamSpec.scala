@@ -86,4 +86,22 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.select("event_id").distinct().count() === total)
     assert(streamed.count() === total) // each replayed event kept exactly once
   }
+
+  test("native session windows (AvailableNow, complete) equal batch") {
+    val dir = stageStreamDir()
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val stream = EventStream.readEventStream(spark, dir)
+      .select("user_id", "ts", "event_id")
+    EventStream.runAvailableNow(EventStream.sessionWindows(stream),
+      "sess_sink", ckpt, OutputMode.Complete())
+    val streamed = spark.table("sess_sink")
+      .orderBy("user_id", "session_start_us").collect()
+
+    val batch = EventStream.sessionWindows(
+        Tables.events(spark, SfDir).select("user_id", "ts", "event_id"))
+      .orderBy("user_id", "session_start_us").collect()
+
+    assert(streamed.nonEmpty)
+    assert(streamed.map(_.toString) === batch.map(_.toString))
+  }
 }
