@@ -120,6 +120,67 @@ object Curation {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Bloom-filter twin of [[decontaminate]] — the probe that wins once
+    * the benchmark set outgrows a broadcast hash table: a Bloom filter
+    * over the benchmark shingles (built DISTRIBUTED by Spark's
+    * BloomFilterAggregate, collected as a driver-side model artifact —
+    * ~1.2 bytes/item at 1% fpp, so a 10^7-shingle eval suite is a
+    * ~12 MB filter vs a ~100 MB+ exact broadcast) prunes the exploded
+    * corpus shingles MAP-SIDE via a `might_contain` literal; only the
+    * (rare) Bloom positives reach the exact broadcast verify, so false
+    * positives cannot leak into the output — the result is
+    * bit-identical to the exact operator and shares its oracle. No
+    * false negatives by construction.
+    *
+    * At corpus scale the exact-verify join stays broadcastable because
+    * its left side is only the Bloom-positive shingle occurrences; if
+    * even the exact bench table outgrows a broadcast, the same plan
+    * runs with a shuffle join on the (already tiny) candidate frame.
+    */
+  def decontaminateBloom(spark: SparkSession, d: String,
+      expectedItems: Long = 100000L, numBits: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val sets = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.shingle_set(col("text")).as("sset"))
+      .where(col("sset").isNotNull)
+      .persist()
+    val benchShingles = sets.where(col("doc_id") < 5)
+      .select(explode(col("sset")).as("shingle"))
+      .distinct()
+      .persist()
+    val bfBytes = benchShingles
+      .agg(GraftColumnBridge.column(new BloomFilterAggregate(
+          GraftColumnBridge.expression(xxhash64(col("shingle"))),
+          Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+        .as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val mightContain = GraftColumnBridge.column(BloomFilterMightContain(
+      Literal.create(bfBytes, BinaryType),
+      GraftColumnBridge.expression(xxhash64(col("shingle")))))
+    val corpus = sets.where(col("doc_id") >= 5)
+    val hits = corpus
+      .select(col("doc_id"), explode(col("sset")).as("shingle"))
+      .where(mightContain) // map-side Bloom prune: clean shingles never shuffle
+      .join(broadcast(benchShingles.withColumn("hit", lit(1L))), Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+    corpus.select(col("doc_id"))
+      .join(broadcast(hits), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        coalesce(col("n_overlap") > 0, lit(false)).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** Same answer as the exact operator — the Bloom is a lossless
+    * pre-filter (exact verify of positives, no false negatives), so the
+    * oracle is shared.
+    */
+  val decontaminateBloomSql: String = decontaminateSql
+
   /** Keep/drop curation verdict: the boolean decision a pipeline
     * actually materializes, composed from the existing quality signals —
     * length band, minimum token count, stopword ratio, within-document
@@ -299,6 +360,7 @@ object Curation {
     "q_sample_hash" -> (sampleHash _),
     "q_split_assign" -> (splitAssign _),
     "q_decontaminate" -> (decontaminate _),
+    "q_decontaminate_bloom" -> ((s, d) => decontaminateBloom(s, d)),
     "q_curation_verdict" -> (curationVerdict _),
     "q_curation_stats" -> (curationStats _),
     "q_corpus_emit" -> (corpusEmit _))
@@ -307,6 +369,7 @@ object Curation {
     "q_sample_hash" -> sampleHashSql,
     "q_split_assign" -> splitAssignSql,
     "q_decontaminate" -> decontaminateSql,
+    "q_decontaminate_bloom" -> decontaminateBloomSql,
     "q_curation_verdict" -> curationVerdictSql,
     "q_curation_stats" -> curationStatsSql,
     "q_corpus_emit" -> corpusEmitSql)

@@ -80,6 +80,28 @@ class PlanContractSpec extends AnyFunSuite with SparkTestBase {
     }, s"unexpected corpus shuffle (not the doc_id agg or the sort):\n$plan")
   }
 
+  test("q_decontaminate_bloom prunes shingles map-side before any join") {
+    val plan = stripAqe(
+      Curation.decontaminateBloom(spark, sf).queryExecution.executedPlan)
+    // the scale contract: the Bloom literal filters the exploded corpus
+    // shingles BELOW the exact-verify join, so clean shingles are
+    // dropped at scan side and never reach an exchange or a hash probe
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.joins.HashJoin
+    def containsBloom(p: SparkPlan): Boolean =
+      p.expressions.exists(_.collectFirst {
+        case e: org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain => e
+      }.nonEmpty)
+    val joins = plan.collect { case j: HashJoin => j }
+    assert(joins.nonEmpty, s"expected the exact-verify hash join in:\n$plan")
+    assert(plan.collectFirst { case f: FilterExec if containsBloom(f) => f }.nonEmpty,
+      s"expected a might_contain filter in:\n$plan")
+    // the Bloom filter must sit UNDER a verify join (on its streamed
+    // input), not above the join output where it would prune nothing
+    assert(joins.exists(j => j.children.exists(_.find(containsBloom).nonEmpty)),
+      s"bloom prune must be below the verify join:\n$plan")
+  }
+
   test("q_dedup_embedding evaluates the cosine kernel once per pair") {
     // the Materialize barrier must keep the threshold filter ABOVE the
     // projection: if PushDownPredicates substitutes through the alias,
