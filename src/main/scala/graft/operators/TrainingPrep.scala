@@ -158,6 +158,63 @@ object TrainingPrep {
        |  CAST(max(cnt) AS BIGINT) AS n_docs
        |FROM r GROUP BY source ORDER BY source""".stripMargin
 
+  /** Sketch twin of [[quantileStats]]: `approx_percentile` (the
+    * KLL/GK-family sketch — one map-side combine per partition, NO
+    * per-group sort) beside the exact rank answer, with a rank-tolerance
+    * accuracy boolean: the sketch value must fall between the exact
+    * values at ranks (p±2)% — the guarantee the sketch actually makes
+    * (rank error, not value error). Same contract shape as the HLL twin
+    * of q_text_vocab: the oracle checks the exact columns and asserts
+    * the booleans true.
+    *
+    * This is the quantile path for UNBOUNDED group counts at 100 TB —
+    * sketches merge associatively across partitions, so no group ever
+    * needs its members co-located or sorted.
+    */
+  def quantileSketch(spark: SparkSession, d: String): DataFrame = {
+    val byLen = Window.partitionBy("source").orderBy("n_tok", "doc_id")
+    val bySrc = Window.partitionBy("source")
+    def exactAt(p: Int, as: String) =
+      max(when(col("rn") === expr(s"(cnt * $p + 99) div 100"), col("n_tok"))).as(as)
+    // rank-tolerance band edges, clamped into [1, cnt]
+    def bandAt(p: Int, as: String) =
+      max(when(col("rn") ===
+        expr(s"greatest(1L, least(cnt, (cnt * $p + 99) div 100))"), col("n_tok"))).as(as)
+    Tables.documents(spark, d)
+      .select(col("source"), col("doc_id"),
+        graft.functions.GraftFunctions.text_stats(col("text"), Nil)
+          .getItem(0).as("n_tok"))
+      .withColumn("rn", row_number().over(byLen).cast(LongType))
+      .withColumn("cnt", count(lit(1)).over(bySrc))
+      .groupBy("source")
+      .agg(
+        exactAt(50, "p50_exact"), bandAt(48, "p50_lo"), bandAt(52, "p50_hi"),
+        exactAt(90, "p90_exact"), bandAt(88, "p90_lo"), bandAt(92, "p90_hi"),
+        percentile_approx(col("n_tok"), lit(0.5), lit(10000)).as("p50_sketch"),
+        percentile_approx(col("n_tok"), lit(0.9), lit(10000)).as("p90_sketch"))
+      .select(col("source"), col("p50_exact"), col("p90_exact"),
+        (col("p50_sketch") >= col("p50_lo") && col("p50_sketch") <= col("p50_hi"))
+          .as("p50_within_2pct"),
+        (col("p90_sketch") >= col("p90_lo") && col("p90_sketch") <= col("p90_hi"))
+          .as("p90_within_2pct"))
+      .orderBy("source")
+  }
+
+  val quantileSketchSql: String =
+    s"""WITH t AS (SELECT source, doc_id,
+       |             CAST(len($toksDuck) AS BIGINT) AS n_tok
+       |           FROM documents),
+       |r AS (SELECT source, n_tok,
+       |        CAST(row_number() OVER (PARTITION BY source ORDER BY n_tok, doc_id) AS BIGINT) AS rn,
+       |        count(*) OVER (PARTITION BY source) AS cnt
+       |      FROM t)
+       |SELECT source,
+       |  max(CASE WHEN rn = (cnt*50+99)//100 THEN n_tok END) AS p50_exact,
+       |  max(CASE WHEN rn = (cnt*90+99)//100 THEN n_tok END) AS p90_exact,
+       |  true AS p50_within_2pct,
+       |  true AS p90_within_2pct
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
+
   /** Bigram COHERENCE score: a corpus-trained bigram language model
     * scores each document by its average bigram probability — the
     * integer-exact stand-in for the perplexity filter (KenLM-style)
@@ -216,11 +273,13 @@ object TrainingPrep {
     "q_chunk_sliding" -> ((s, d) => chunkSliding(s, d)),
     "q_mix_weights" -> (mixWeights _),
     "q_quantile_stats" -> (quantileStats _),
+    "q_quantile_sketch" -> (quantileSketch _),
     "q_bigram_coherence" -> (bigramCoherence _))
 
   val oracles: Map[String, String] = Map(
     "q_chunk_sliding" -> chunkSlidingSql,
     "q_mix_weights" -> mixWeightsSql,
     "q_quantile_stats" -> quantileStatsSql,
+    "q_quantile_sketch" -> quantileSketchSql,
     "q_bigram_coherence" -> bigramCoherenceSql)
 }
