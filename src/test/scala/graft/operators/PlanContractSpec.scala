@@ -80,6 +80,27 @@ class PlanContractSpec extends AnyFunSuite with SparkTestBase {
     }, s"unexpected corpus shuffle (not the doc_id agg or the sort):\n$plan")
   }
 
+  test("q_chunk_sliding fans out map-side: only the presentation sort shuffles") {
+    val plan = stripAqe(
+      TrainingPrep.chunkSliding(spark, sf).queryExecution.executedPlan)
+    // the scale contract: tokenize → explode → slice is pure projection
+    // work; at 100 TB the chunks must stream from the scan to the sink
+    // with no exchange except the final ORDER BY
+    val shuffles = streamedShuffles(plan)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    assert(shuffles.size === 1 &&
+      shuffles.head.asInstanceOf[ShuffleExchangeLike]
+        .outputPartitioning.toString.contains("rangepartitioning"),
+      s"chunking must not shuffle before the presentation sort:\n$plan")
+  }
+
+  test("q_knn_graph bounds the per-vector top-k window") {
+    val plan = stripAqe(
+      Similarity.knnGraph(spark, sf).queryExecution.executedPlan)
+    assert(plan.toString.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit under the per-vector rank window:\n$plan")
+  }
+
   test("q_decontaminate_bloom prunes shingles map-side before any join") {
     val plan = stripAqe(
       Curation.decontaminateBloom(spark, sf).queryExecution.executedPlan)
