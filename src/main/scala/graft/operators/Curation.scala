@@ -120,6 +120,40 @@ object Curation {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** STRATIFIED quota sample: the k hash-smallest documents per source
+    * — a fixed-size, reproducible per-stratum panel (human eval, manual
+    * audit, per-domain spot checks) where [[sampleHash]]'s rate-based
+    * bucket gives a fixed FRACTION. Ranking by sha256(doc_id) is
+    * key-pure, so the panel is stable across runs, engines, and
+    * partitionings, and adding documents to a stratum can only displace
+    * hash-larger members.
+    *
+    * Scale: one shuffle on the stratum key; the rank window is bounded
+    * (WindowGroupLimit keeps only k rows per group ahead of the sort).
+    * For strata of 10^9+ docs, pre-prune with a hash-threshold filter
+    * (the [[sampleHash]] bucket at a rate comfortably above k/n) so the
+    * window sees a sliver of each stratum — same funnel discipline as
+    * the dedup candidates.
+    */
+  def stratifiedSample(spark: SparkSession, d: String, k: Int = 10): DataFrame =
+    Tables.documents(spark, d)
+      .withColumn("h", substring(sha2(col("doc_id").cast("string"), 256), 1, 16))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("h", "doc_id")))
+      .where(col("rank") <= k)
+      .select(col("source"), col("rank"), col("doc_id"), col("lang"))
+      .orderBy("source", "rank")
+
+  val stratifiedSampleSql: String =
+    """WITH r AS (
+      |  SELECT source, doc_id, lang,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY substr(sha256(CAST(doc_id AS VARCHAR)), 1, 16), doc_id) AS rank
+      |  FROM documents)
+      |SELECT source, rank, doc_id, lang FROM r WHERE rank <= 10
+      |ORDER BY source, rank""".stripMargin
+
   /** Bloom-filter twin of [[decontaminate]] — the probe that wins once
     * the benchmark set outgrows a broadcast hash table: a Bloom filter
     * over the benchmark shingles (built DISTRIBUTED by Spark's
@@ -361,6 +395,7 @@ object Curation {
     "q_split_assign" -> (splitAssign _),
     "q_decontaminate" -> (decontaminate _),
     "q_decontaminate_bloom" -> ((s, d) => decontaminateBloom(s, d)),
+    "q_stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
     "q_curation_verdict" -> (curationVerdict _),
     "q_curation_stats" -> (curationStats _),
     "q_corpus_emit" -> (corpusEmit _))
@@ -370,6 +405,7 @@ object Curation {
     "q_split_assign" -> splitAssignSql,
     "q_decontaminate" -> decontaminateSql,
     "q_decontaminate_bloom" -> decontaminateBloomSql,
+    "q_stratified_sample" -> stratifiedSampleSql,
     "q_curation_verdict" -> curationVerdictSql,
     "q_curation_stats" -> curationStatsSql,
     "q_corpus_emit" -> corpusEmitSql)
