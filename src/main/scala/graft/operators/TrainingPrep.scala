@@ -45,10 +45,21 @@ object TrainingPrep {
     * the constant.
     */
   def chunkSliding(spark: SparkSession, d: String,
+      chunkTokens: Int = 32, strideTokens: Int = 16): DataFrame =
+    chunkFrames(Tables.documents(spark, d), chunkTokens, strideTokens)
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Frame-in form of [[chunkSliding]] (every expression is a stateless
+    * projection, so the SAME transform chunks a batch read or a file
+    * STREAM at ingestion time — pinned by the streaming spec; the
+    * presentation sort stays on the batch face, streams have no total
+    * order).
+    */
+  def chunkFrames(docs: DataFrame,
       chunkTokens: Int = 32, strideTokens: Int = 16): DataFrame = {
     require(chunkTokens > 0 && strideTokens > 0 && strideTokens <= chunkTokens,
       s"need 0 < strideTokens ($strideTokens) <= chunkTokens ($chunkTokens)")
-    Tables.documents(spark, d)
+    docs
       .select(col("doc_id"), expr(toksExpr).as("toks"))
       .where(size(col("toks")) > 0)
       .select(col("doc_id"), col("toks"),
@@ -63,7 +74,6 @@ object TrainingPrep {
         size(col("chunk")).cast(LongType).as("n_tok"),
         substring(sha2(array_join(col("chunk"), " "), 256), 1, 16)
           .as("chunk_sig"))
-      .orderBy("doc_id", "chunk_idx")
   }
 
   val chunkSlidingSql: String =
