@@ -250,12 +250,14 @@ object TrainingPrep {
           .stripMargin)).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       .persist()
+    // fold the head counts into the bigram table FIRST (both are
+    // LM-sized, |vocab| and |vocab|² rows) so the corpus-sized bigram
+    // stream pays ONE equi-join, not two
     val lm = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
-    val heads = bi.groupBy("w1").agg(count(lit(1)).as("h"))
+      .join(bi.groupBy("w1").agg(count(lit(1)).as("h")), Seq("w1"))
+      .select(col("w1"), col("w2"), expr("c * 1000000L div h").as("p_e6"))
     val out = bi
       .join(lm, Seq("w1", "w2"))
-      .join(heads, Seq("w1"))
-      .withColumn("p_e6", expr("c * 1000000L div h"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         expr("sum(p_e6) div count(1)").as("score_e6"))
