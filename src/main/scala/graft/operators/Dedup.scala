@@ -140,6 +140,56 @@ object Dedup {
        |FROM documents
        |GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin
 
+  /** INCREMENTAL exact dedup: a new batch arrives (odd doc_ids here,
+    * standing in for today's crawl) and must dedup against BOTH the
+    * already-ingested corpus (even doc_ids — the "seen hashes" registry
+    * a production pipeline persists between runs, exactly like the
+    * extract watermark persists progress) and itself (first occurrence
+    * in-batch wins). The per-doc verdict carries both reasons so the
+    * ingest report can distinguish re-crawls from in-batch copies.
+    *
+    * Scale: content hashes are map-side kernel work; the registry probe
+    * is one equi-join on the hash (broadcast while the registry fits,
+    * shuffle — or a Bloom pre-filter like q_decontaminate_bloom — when
+    * it doesn't) and in-batch firsts are one bounded-key window. The
+    * batch, not the corpus, pays the window: registry rows join but
+    * never window or re-sort.
+    */
+  def dedupIncremental(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashes = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.content_hash(col("text")).as("ch"))
+    val registry = hashes.where(col("doc_id") % 2 === 0)
+      .select(col("ch")).distinct()
+      .withColumn("seen", lit(true))
+    hashes.where(col("doc_id") % 2 === 1)
+      .join(broadcast(registry), Seq("ch"), "left")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("ch").orderBy("doc_id")))
+      .select(
+        col("doc_id"),
+        substring(col("ch"), 1, 16).as("hash16"),
+        coalesce(col("seen"), lit(false)).as("dup_of_prior"),
+        (col("rn") > 1).as("dup_in_batch"))
+      .withColumn("accepted", !col("dup_of_prior") && !col("dup_in_batch"))
+      .orderBy("doc_id")
+  }
+
+  val dedupIncrementalSql: String =
+    s"""WITH h AS (SELECT doc_id, sha256(array_to_string($tokensDuck, ' ')) AS ch
+       |           FROM documents),
+       |prior AS (SELECT DISTINCT ch FROM h WHERE doc_id % 2 = 0),
+       |b AS (SELECT doc_id, ch,
+       |        row_number() OVER (PARTITION BY ch ORDER BY doc_id) AS rn
+       |      FROM h WHERE doc_id % 2 = 1)
+       |SELECT b.doc_id, substr(b.ch, 1, 16) AS hash16,
+       |  (prior.ch IS NOT NULL) AS dup_of_prior,
+       |  (b.rn > 1) AS dup_in_batch,
+       |  (prior.ch IS NULL AND b.rn = 1) AS accepted
+       |FROM b LEFT JOIN prior ON b.ch = prior.ch
+       |ORDER BY doc_id""".stripMargin
+
   /** The keep side of exact dedup: LEFT SEMI join of the corpus against
     * the canonical representatives — the operator a pipeline actually
     * runs to emit the deduplicated training set (the groups query above
@@ -610,6 +660,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (dedupExact _),
+    "q_dedup_incremental" -> (dedupIncremental _),
     "q_dedup_keep_canonical" -> (dedupKeepCanonical _),
     "q_dedup_minhash_lsh" -> ((s, d) => dedupMinhashLsh(s, d)),
     "q_dedup_simhash" -> (dedupSimhash _),
@@ -622,6 +673,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactSql,
+    "q_dedup_incremental" -> dedupIncrementalSql,
     "q_dedup_keep_canonical" -> dedupKeepCanonicalSql,
     "q_dedup_minhash_lsh" -> dedupMinhashLshSql,
     "q_dedup_simhash" -> dedupSimhashSql,

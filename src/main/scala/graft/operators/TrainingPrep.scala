@@ -225,6 +225,48 @@ object TrainingPrep {
        |  true AS p90_within_2pct
        |FROM r GROUP BY source ORDER BY source""".stripMargin
 
+  /** Token-BUDGET selection: each source contributes documents
+    * longest-first until its token budget is spent — the mixture-
+    * construction step after [[mixWeights]] decides per-source budgets
+    * (a fixed per-source budget here; production scales it by the
+    * mixture weight). "Spent" is judged on the tokens BEFORE each doc in
+    * the (n_tok DESC, doc_id) order, so the document that straddles the
+    * budget line is still taken and the overshoot is bounded by one
+    * document — the same pack-then-truncate discipline as
+    * q_pack_sequences.
+    *
+    * Scale: one shuffle on source + a linear running-sum window per
+    * stratum. Source strata can be huge, but the window is a running
+    * SUM, not a rank-all materialization; if a single stratum outgrows
+    * a partition, pre-bucketing the stratum (the shard trick in
+    * q_pack_sequences) bounds it.
+    */
+  def budgetSelect(spark: SparkSession, d: String,
+      budgetTokens: Long = 2000L): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("n_tok").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, d)
+      .select(col("source"), col("doc_id"),
+        graft.functions.GraftFunctions.text_stats(col("text"), Nil)
+          .getItem(0).as("n_tok"))
+      .withColumn("cum_before", coalesce(sum("n_tok").over(w), lit(0L)))
+      .withColumn("selected", col("cum_before") < budgetTokens)
+      .orderBy("source", "doc_id")
+  }
+
+  val budgetSelectSql: String =
+    s"""WITH t AS (SELECT source, doc_id,
+       |             CAST(len($toksDuck) AS BIGINT) AS n_tok
+       |           FROM documents)
+       |SELECT source, doc_id, n_tok,
+       |  CAST(coalesce(sum(n_tok) OVER (PARTITION BY source
+       |    ORDER BY n_tok DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+       |  coalesce(sum(n_tok) OVER (PARTITION BY source
+       |    ORDER BY n_tok DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) < 2000 AS selected
+       |FROM t ORDER BY source, doc_id""".stripMargin
+
   /** Bigram COHERENCE score: a corpus-trained bigram language model
     * scores each document by its average bigram probability — the
     * integer-exact stand-in for the perplexity filter (KenLM-style)
@@ -286,12 +328,14 @@ object TrainingPrep {
     "q_mix_weights" -> (mixWeights _),
     "q_quantile_stats" -> (quantileStats _),
     "q_quantile_sketch" -> (quantileSketch _),
-    "q_bigram_coherence" -> (bigramCoherence _))
+    "q_bigram_coherence" -> (bigramCoherence _),
+    "q_budget_select" -> ((s, d) => budgetSelect(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q_chunk_sliding" -> chunkSlidingSql,
     "q_mix_weights" -> mixWeightsSql,
     "q_quantile_stats" -> quantileStatsSql,
     "q_quantile_sketch" -> quantileSketchSql,
-    "q_bigram_coherence" -> bigramCoherenceSql)
+    "q_bigram_coherence" -> bigramCoherenceSql,
+    "q_budget_select" -> budgetSelectSql)
 }
