@@ -486,6 +486,17 @@ object Dedup {
       .union(verified.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
     var labels = sets.select(col("doc_id"), col("doc_id").as("label")).persist()
+    // convergence by LABEL-SUM: every round takes min(own ∪ neighbors),
+    // so labels are monotone non-increasing and the sum strictly
+    // decreases until fixpoint — an unchanged sum PROVES convergence
+    // (exact, not a fingerprint). One aggregate on the cached frame per
+    // round, replacing the former two-frame comparison join; Decimal
+    // accumulation because 10^11 doc_ids overflow a long sum.
+    def labelSum(df: DataFrame): String = {
+      val r = df.agg(sum(col("label").cast(DecimalType(38, 0)))).head()
+      if (r.isNullAt(0)) "" else r.getDecimal(0).toString
+    }
+    var prevSum = labelSum(labels)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -494,8 +505,9 @@ object Dedup {
       val next = labels.unionByName(msgs)
         .groupBy("doc_id").agg(min("label").as("label"))
         .persist()
-      converged = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
-        .where(col("label") =!= col("prev")).isEmpty
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
       labels.unpersist()
       labels = next
       it += 1
