@@ -353,6 +353,75 @@ object TextAnalysis {
     * reuse); at corpus scale the same reuse is a one-time tf parquet
     * materialization instead of a cache.
     */
+  /** BM25 RANKING of the corpus against a fixed query-term set — the
+    * retrieval scorer behind targeted data selection (score a corpus
+    * against a task description, keep the top slice). Uses the RATIONAL
+    * BM25 form so both engines agree bit-for-bit: k1 = 6/5, b = 3/4
+    * fold algebraically into
+    * `term = idf_e6 · 44·tf·avgdl / (20·tf·avgdl + 6·avgdl + 18·dl)`
+    * with `idf_e6 = 10^6·(N−df) div (df+1)` (the log-free idf variant;
+    * monotone in df like the Robertson log, and exactly reproducible —
+    * `ln` would tie the hash to libm rounding). avgdl is floored once
+    * corpus-wide. Per-term products accumulate in Decimal(38,0): at
+    * 10^11 docs idf_e6·44·tf·avgdl overflows a long. The summed score
+    * re-emits as BIGINT (safe: per-term scores are ≤ idf_e6 ≤ 10^6·N
+    * and query terms are few; emit the decimal string instead if ever
+    * ranking against 10^6-term queries).
+    *
+    * Scale: the token explode is filtered to the query terms BEFORE the
+    * tf aggregation, so only matching occurrences ever shuffle; df and
+    * the corpus scalars (N, total tokens) are one-row/term-count
+    * broadcasts; doc lengths come from the compiled TextStats kernel
+    * and join the (tiny, term-filtered) tf frame broadcast-side. Top-k
+    * is TakeOrderedAndProject, never a global sort.
+    */
+  def bm25Rank(spark: SparkSession, d: String,
+      queryTerms: Seq[String] = Seq("spark", "query", "table"),
+      k: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val docs = Tables.documents(spark, d)
+    val dl = docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.text_stats(col("text"), Nil)
+        .getItem(0).as("dl"))
+    val scalars = dl.agg(count(lit(1)).as("n_docs"),
+      expr("sum(dl) div count(1)").as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), explode(expr(tokensSpark)).as("token"))
+      .where(col("token").isInCollection(queryTerms))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(scalars))
+      .withColumn("idf_e6", expr("(n_docs - df) * 1000000L div (df + 1)"))
+      .withColumn("term_score", expr(
+        """CAST(idf_e6 AS DECIMAL(38,0)) * (44 * tf * avgdl)
+          |  div (20 * tf * avgdl + 6 * avgdl + 18 * dl)""".stripMargin))
+      .groupBy("doc_id")
+      .agg(sum(col("term_score")).cast(LongType).as("score_e6"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score_e6").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  val bm25RankSql: String =
+    s"""WITH dl AS (SELECT doc_id, CAST(len($tokensDuck) AS BIGINT) AS dl FROM documents),
+       |sc AS (SELECT count(*) AS n_docs, CAST(sum(dl) // count(*) AS BIGINT) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, token, count(*) AS tf
+       |       FROM (SELECT doc_id, unnest($tokensDuck) AS token FROM documents)
+       |       WHERE token IN ('spark', 'query', 'table')
+       |       GROUP BY doc_id, token),
+       |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |s AS (SELECT tf.doc_id,
+       |        ((sc.n_docs - dfq.df) * 1000000 // (dfq.df + 1))
+       |          * (44 * tf.tf * sc.avgdl)
+       |          // (20 * tf.tf * sc.avgdl + 6 * sc.avgdl + 18 * dl.dl) AS term_score
+       |      FROM tf JOIN dfq USING (token) JOIN dl ON dl.doc_id = tf.doc_id, sc)
+       |SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS score_e6,
+       |  count(*) AS n_terms_hit
+       |FROM s GROUP BY doc_id
+       |ORDER BY score_e6 DESC, doc_id LIMIT 20""".stripMargin
+
   def tfidfTopTerms(spark: SparkSession, d: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = Tables.documents(spark, d)
@@ -426,6 +495,7 @@ object TextAnalysis {
     "q_text_vocab" -> (textVocab _),
     "q_text_vocab_hll" -> (textVocabHll _),
     "q_tfidf_topterms" -> ((s, d) => tfidfTopTerms(s, d)),
+    "q_bm25_rank" -> ((s, d) => bm25Rank(s, d)),
     "q_pack_sequences" -> ((s, d) => packSequences(s, d)),
     "q_text_winnow" -> (textWinnow _),
     "q_winnow_pairs" -> ((s, d) => winnowPairs(s, d)),
@@ -439,6 +509,7 @@ object TextAnalysis {
     "q_text_vocab" -> textVocabSql,
     "q_text_vocab_hll" -> textVocabHllSql,
     "q_tfidf_topterms" -> tfidfTopTermsSql,
+    "q_bm25_rank" -> bm25RankSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_text_winnow" -> textWinnowSql,
     "q_winnow_pairs" -> winnowPairsSql,
