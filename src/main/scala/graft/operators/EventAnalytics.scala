@@ -385,6 +385,46 @@ object EventAnalytics {
       |WINDOW w AS (ORDER BY day_s ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
       |ORDER BY day_s""".stripMargin
 
+  /** RANGE-frame rolling window: 7-day rolling revenue/event counts per
+    * event type over integer epoch-days — the frame mode [[windowFrames]]
+    * (ROWS) can't express: RANGE bounds are VALUE distances, so days
+    * missing from the series still age out of the window correctly
+    * (ROWS 6 PRECEDING would reach back past a gap). Epoch-day integers
+    * keep the frame arithmetic engine-exact.
+    *
+    * Scale: the heavy input is pre-aggregated to one row per
+    * (type, day) — partial map-side combine — before the window, so the
+    * window sorts |types|·|days| short rows, never raw events.
+    */
+  def windowRange(spark: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(spark, d)
+      .groupBy(col("event_type"), expr("ts_ns div 86400000000000L").as("epoch_day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum((dec2(col("value")) * 100).cast(LongType)).as("rev_c"))
+    val w = Window.partitionBy("event_type").orderBy("epoch_day")
+      .rangeBetween(-6, Window.currentRow)
+    daily
+      .withColumn("roll7_rev_c", sum("rev_c").over(w))
+      .withColumn("roll7_events", sum("n_events").over(w))
+      .select(col("event_type"), col("epoch_day"), col("rev_c"),
+        col("roll7_rev_c"), col("roll7_events"))
+      .orderBy("event_type", "epoch_day")
+  }
+
+  val windowRangeSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS epoch_day,
+      |    count(*) AS n_events,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_c
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, epoch_day, rev_c,
+      |  CAST(sum(rev_c) OVER w AS BIGINT) AS roll7_rev_c,
+      |  CAST(sum(n_events) OVER w AS BIGINT) AS roll7_events
+      |FROM daily
+      |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_day
+      |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_type, epoch_day""".stripMargin
+
   /** Range (band) join: each lineitem priced into a value band via a
     * non-equi join against a tiny broadcast band table — the pattern
     * for histogram/banding joins; Spark plans a broadcast nested-loop,
@@ -556,6 +596,7 @@ object EventAnalytics {
     "q5_local_supplier" -> (q5LocalSupplier _),
     "q_agg_salted" -> (aggSalted _),
     "q_window_frames" -> (windowFrames _),
+    "q_window_range" -> (windowRange _),
     "q_join_range" -> (joinRange _),
     "q_json_extract" -> (jsonExtract _),
     "q_events_funnel" -> (eventsFunnel _),
@@ -574,6 +615,7 @@ object EventAnalytics {
     "q5_local_supplier" -> q5LocalSupplierSql,
     "q_agg_salted" -> aggSaltedSql,
     "q_window_frames" -> windowFramesSql,
+    "q_window_range" -> windowRangeSql,
     "q_join_range" -> joinRangeSql,
     "q_json_extract" -> jsonExtractSql,
     "q_events_funnel" -> eventsFunnelSql,
