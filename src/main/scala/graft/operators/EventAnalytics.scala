@@ -425,6 +425,51 @@ object EventAnalytics {
       |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
       |ORDER BY event_type, epoch_day""".stripMargin
 
+  /** ANOMALY detection on the daily revenue series: flag days ≥ 2
+    * standard deviations from their event type's mean, with the z-test
+    * rewritten DIVISION-FREE over integers —
+    * `(n·x − S)² > 4·(n·Q − S²)` (S = Σx, Q = Σx², n = days) is exactly
+    * `(x − μ)² > (2σ)²` with both sides multiplied by n², so the
+    * boolean is bit-identical on any engine with exact integer
+    * arithmetic (Decimal(38,0) here, HUGEINT in DuckDB). No float
+    * mean/variance ever exists to round.
+    *
+    * Scale: the series is pre-aggregated per (type, day), the per-type
+    * moment row is a broadcast, and the flag is a map-side comparison —
+    * the same two-pass (moments, then score) shape any z-score monitor
+    * runs; at 100 TB only the daily pre-aggregation touches raw events.
+    */
+  def eventsAnomaly(spark: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(spark, d)
+      .groupBy(col("event_type"), expr("ts_ns div 86400000000000L").as("epoch_day"))
+      .agg(sum((dec2(col("value")) * 100).cast(LongType)).as("rev_c"))
+    val stats = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("rev_c").cast(DecimalType(38, 0))).as("s"),
+        sum(col("rev_c").cast(DecimalType(38, 0)) * col("rev_c")).as("q"))
+    daily.join(broadcast(stats), "event_type")
+      .withColumn("dev2", expr(
+        "(n * CAST(rev_c AS DECIMAL(38,0)) - s) * (n * CAST(rev_c AS DECIMAL(38,0)) - s)"))
+      .withColumn("bound2", expr("4 * (n * q - s * s)"))
+      .select(col("event_type"), col("epoch_day"), col("rev_c"),
+        (col("n") >= 2 && col("dev2") > col("bound2")).as("is_anomaly"))
+      .orderBy("event_type", "epoch_day")
+  }
+
+  val eventsAnomalySql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS epoch_day,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_c
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, count(*) AS n, sum(rev_c) AS s,
+      |    sum(rev_c * rev_c) AS q
+      |  FROM daily GROUP BY 1)
+      |SELECT event_type, epoch_day, rev_c,
+      |  (n >= 2 AND (n * rev_c - s) * (n * rev_c - s) > 4 * (n * q - s * s)) AS is_anomaly
+      |FROM daily JOIN st USING (event_type)
+      |ORDER BY event_type, epoch_day""".stripMargin
+
   /** Range (band) join: each lineitem priced into a value band via a
     * non-equi join against a tiny broadcast band table — the pattern
     * for histogram/banding joins; Spark plans a broadcast nested-loop,
@@ -597,6 +642,7 @@ object EventAnalytics {
     "q_agg_salted" -> (aggSalted _),
     "q_window_frames" -> (windowFrames _),
     "q_window_range" -> (windowRange _),
+    "q_events_anomaly" -> (eventsAnomaly _),
     "q_join_range" -> (joinRange _),
     "q_json_extract" -> (jsonExtract _),
     "q_events_funnel" -> (eventsFunnel _),
@@ -616,6 +662,7 @@ object EventAnalytics {
     "q_agg_salted" -> aggSaltedSql,
     "q_window_frames" -> windowFramesSql,
     "q_window_range" -> windowRangeSql,
+    "q_events_anomaly" -> eventsAnomalySql,
     "q_join_range" -> joinRangeSql,
     "q_json_extract" -> jsonExtractSql,
     "q_events_funnel" -> eventsFunnelSql,
