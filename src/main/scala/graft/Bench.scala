@@ -62,6 +62,11 @@ object Bench {
     // a subset; unset (the driver's mode) times everything
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(", ")}")
+    }
     val names = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val passes: Seq[Map[String, Option[Double]]] = (1 to reps).map { _ =>

@@ -157,9 +157,12 @@ object Dedup {
     */
   def dedupIncremental(spark: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // both branches (registry and batch) read this frame — persist so
+    // the documents scan + hash kernel run once, not twice
     val hashes = Tables.documents(spark, d)
       .select(col("doc_id"),
         graft.functions.GraftFunctions.content_hash(col("text")).as("ch"))
+      .persist()
     val registry = hashes.where(col("doc_id") % 2 === 0)
       .select(col("ch")).distinct()
       .withColumn("seen", lit(true))
@@ -464,8 +467,8 @@ object Dedup {
     * two longs per doc); if adversarial long chains are expected,
     * alternate large-star/small-star instead for O(log n) rounds — the
     * per-round plan shape is identical. The fixpoint check is one
-    * driver-side `isEmpty` on the changed-labels frame per round, not a
-    * data collect.
+    * driver-side aggregate per round (the monotone label-sum proof —
+    * see the loop body), not a data collect.
     *
     * Edges = LSH candidates verified at exact Jaccard ≥ 0.5 (the same
     * funnel as q_dedup_ngram_jaccard; 0.5 sits at the 16-hash/4-band

@@ -77,7 +77,10 @@ object EventAnalytics {
     * [[eventsSessionize]] deliberately: the lag/cumsum form is what you
     * write when you need custom per-session logic, the native operator
     * is what you run when you don't — and on a stream only the native
-    * form gets engine-managed bounded state.
+    * form gets engine-managed bounded state. Boundary semantics match
+    * the lag form: a gap of EXACTLY the 30-minute window still merges
+    * (verified empirically on Spark 4.1.2 — two events 30:00 apart form
+    * one session ending at +1:00); only a strictly larger gap splits.
     */
   def eventsSessionWindow(spark: SparkSession, d: String): DataFrame =
     graft.streaming.EventStream.sessionWindows(
@@ -90,7 +93,7 @@ object EventAnalytics {
       |    lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000) AS prev_us
       |  FROM events),
       |m AS (
-      |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS is_new
+      |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
       |  FROM e),
       |s AS (
       |  SELECT user_id, ts_us, event_id,
@@ -396,11 +399,19 @@ object EventAnalytics {
     * (type, day) — partial map-side combine — before the window, so the
     * window sorts |types|·|days| short rows, never raw events.
     */
-  def windowRange(spark: SparkSession, d: String): DataFrame = {
-    val daily = Tables.events(spark, d)
+  /** One row per (event_type, epoch_day) with event count and cents
+    * revenue — the shared pre-aggregation under [[windowRange]] and
+    * [[eventsAnomaly]] (partial map-side combine; raw events never
+    * reach their windows/joins).
+    */
+  private def dailyRevenue(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
       .groupBy(col("event_type"), expr("ts_ns div 86400000000000L").as("epoch_day"))
       .agg(count(lit(1)).as("n_events"),
         sum((dec2(col("value")) * 100).cast(LongType)).as("rev_c"))
+
+  def windowRange(spark: SparkSession, d: String): DataFrame = {
+    val daily = dailyRevenue(spark, d)
     val w = Window.partitionBy("event_type").orderBy("epoch_day")
       .rangeBetween(-6, Window.currentRow)
     daily
@@ -425,8 +436,8 @@ object EventAnalytics {
       |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
       |ORDER BY event_type, epoch_day""".stripMargin
 
-  /** ANOMALY detection on the daily revenue series: flag days ≥ 2
-    * standard deviations from their event type's mean, with the z-test
+  /** ANOMALY detection on the daily revenue series: flag days strictly more
+    * than 2 standard deviations from their event type's mean, with the z-test
     * rewritten DIVISION-FREE over integers —
     * `(n·x − S)² > 4·(n·Q − S²)` (S = Σx, Q = Σx², n = days) is exactly
     * `(x − μ)² > (2σ)²` with both sides multiplied by n², so the
@@ -440,9 +451,7 @@ object EventAnalytics {
     * runs; at 100 TB only the daily pre-aggregation touches raw events.
     */
   def eventsAnomaly(spark: SparkSession, d: String): DataFrame = {
-    val daily = Tables.events(spark, d)
-      .groupBy(col("event_type"), expr("ts_ns div 86400000000000L").as("epoch_day"))
-      .agg(sum((dec2(col("value")) * 100).cast(LongType)).as("rev_c"))
+    val daily = dailyRevenue(spark, d).select("event_type", "epoch_day", "rev_c")
     val stats = daily.groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         sum(col("rev_c").cast(DecimalType(38, 0))).as("s"),

@@ -20,8 +20,11 @@ import graft.sources.Tables
   */
 object TrainingPrep {
 
-  private val toksExpr = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
-  private val toksDuck = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+  // single source of truth for tokenization — the determinism contract
+  // names TextAnalysis as the owner; diverging here would silently split
+  // this module's oracles from the rest of the engine
+  private val toksExpr = TextAnalysis.tokensSpark
+  private val toksDuck = TextAnalysis.tokensDuck
 
   /** Sliding-window CHUNKING: split each document into overlapping
     * token windows of `chunkTokens` advancing by `strideTokens` — the

@@ -65,10 +65,11 @@ object EventStream {
     * state, so state is bounded by the lateness horizon at any corpus
     * rate.
     *
-    * Boundary semantics (pinned by the oracle): windows [ts, ts+gap)
-    * merge on OVERLAP, so a gap of exactly 30 minutes starts a NEW
-    * session (the lag-based batch twin uses `> gap`, a deliberate
-    * difference the oracles encode); `session_end_us` is
+    * Boundary semantics (pinned by the oracle, verified empirically on
+    * Spark 4.1.2): a gap of EXACTLY 30 minutes still MERGES — two
+    * events 30:00 apart form one session ending at +1:00 — and only a
+    * strictly larger gap splits, matching the lag-based batch twin's
+    * `> gap` test; `session_end_us` is
     * last_event + gap, the operator's window end. Timestamps compare in
     * micros (the nanos→micros truncation happens in `normalize`/Tables
     * before the window).
