@@ -36,7 +36,7 @@ import graft.sinks.Fs
 object ExtractPipeline {
 
   final case class TableResult(table: String, written: Vector[Partition],
-      fragments: Int)
+      fragments: Int, rowsWritten: Long)
   final case class ExtractResult(outputRoot: String, tables: Seq[TableResult],
       watermark: Watermark)
 
@@ -93,18 +93,31 @@ object ExtractPipeline {
       val tDir = Partitioner.tableDir(root, config.subgraph, table)
       def convert(raw: DataFrame): DataFrame =
         Transforms.convertColumns(raw, types, tc)
-      if (work.size >= bulkThreshold)
-        writeBulk(spark, source, cat.schemaName, table, convert, work, tDir)
-      else work.foreach { p =>
-        // O1 determinism: one sorted fragment per partition directory
-        // (partition tier sizing — not file-count knobs — controls
-        // fragment size, mirroring the reference's one-file contract).
-        convert(source.scanRange(spark, cat.schemaName, table, p.start, p.end))
-          .repartition(1)
-          .sortWithinPartitions(Transforms.BlockColumn)
-          .write.mode("overwrite")
-          .parquet(Partitioner.partitionDir(tDir, p))
-      }
+      // rows-written rides the write itself via `observe` (zero extra
+      // scans) — the per-run tally a production pipeline reconciles
+      // against the sink's own accounting (see the _metadata check in
+      // ExtractPipelineSpec)
+      val rowsWritten: Long =
+        if (work.size >= bulkThreshold)
+          writeBulk(spark, source, cat.schemaName, table, convert, work, tDir)
+        else work.map { p =>
+          // O1 determinism: one sorted fragment per partition directory
+          // (partition tier sizing — not file-count knobs — controls
+          // fragment size, mirroring the reference's one-file contract).
+          val (df, obs) = graft.sinks.Metrics.observed(
+            convert(source.scanRange(spark, cat.schemaName, table, p.start, p.end)),
+            s"extract-$table-${p.size}-${p.start}",
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("rows"))
+          df.repartition(1)
+            .sortWithinPartitions(Transforms.BlockColumn)
+            .write.mode("overwrite")
+            .parquet(Partitioner.partitionDir(tDir, p))
+          // an empty partition folds to an empty LocalRelation and the
+          // CollectMetrics node is pruned with it — the observation then
+          // completes with NO metrics, which is exactly zero rows
+          obs.get.getOrElse("rows", 0L).asInstanceOf[Long]
+        }.sum
       // Superseded partitions (smaller tiers now covered by a larger
       // one after the range grew) are pruned so whole-directory readers
       // never double-count; `_metadata` (K2) is then built from the
@@ -114,7 +127,7 @@ object ExtractPipeline {
       // incremental: only this run's fragments get their footers read;
       // unchanged partitions' row groups come from the previous _metadata
       val fragments = MetadataSink.writeMetadata(tDir, newPlan, work, conf)
-      TableResult(table, work, fragments)
+      TableResult(table, work, fragments, rowsWritten)
     }
 
     val tableSeq = config.tables.toSeq.sortBy(_._1)
@@ -174,17 +187,21 @@ object ExtractPipeline {
       table: String,
       convert: DataFrame => DataFrame,
       work: Vector[Partition],
-      tDir: String): Unit = {
+      tDir: String): Long = {
     import spark.implicits._
     val lo = work.map(_.start).min
     val hi = work.map(_.end).max
     val plan = work.map(p => (p.size, p.start, p.end))
       .toDF("partition_size", "start_partition", "end_partition")
     val converted = convert(source.scanRange(spark, schemaName, table, lo, hi))
-    converted
-      .join(broadcast(plan),
+    val (tagged, obs) = graft.sinks.Metrics.observed(
+      converted.join(broadcast(plan),
         col(Transforms.BlockColumn) >= col("start_partition") &&
-          col(Transforms.BlockColumn) < col("end_partition"))
+          col(Transforms.BlockColumn) < col("end_partition")),
+      s"extract-bulk-$table",
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
+    tagged
       .repartition(col("partition_size"), col("start_partition"))
       // the sort MUST lead with every partitionBy column: FileFormatWriter
       // otherwise inserts its own (unstable) sort on the partition keys
@@ -205,5 +222,7 @@ object ExtractPipeline {
       if (!Fs.exists(dir, conf))
         emptyDf.coalesce(1).write.mode("overwrite").parquet(dir)
     }
+    // same empty-plan caveat as the loop path: no metrics == zero rows
+    obs.get.getOrElse("rows", 0L).asInstanceOf[Long]
   }
 }

@@ -95,6 +95,8 @@ class ExtractPipelineSpec extends AnyFunSuite with SparkTestBase {
     val metaRows = MetadataSink.rowCountFromMetadata(
       tableDir(out), spark.sparkContext.hadoopConfiguration)
     assert(metaRows === 6)
+    // the observed write tally reconciles with the sink's own accounting
+    assert(res.tables.map(_.rowsWritten).sum === metaRows)
     assert(res.watermark.latestBlock === FullLatest)
     assert(Watermark.read(s"$out/my_extract_name/0.0.1",
       spark.sparkContext.hadoopConfiguration).contains(res.watermark))
