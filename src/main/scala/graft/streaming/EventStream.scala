@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming over the `events` table shape (SURVEY.md §2.10:
@@ -111,6 +111,51 @@ object EventStream {
           state.update((n, c))
           UserActivity(user, n, c)
       }
+  }
+
+  /** [[userActivity]]'s twin on the `transformWithState` API (the
+    * arbitrary-stateful-processing v2 of Spark 4): state lives in NAMED,
+    * individually-evolvable handles (here one ValueState) inside a
+    * [[StatefulProcessor]], runs on the RocksDB state store (required by
+    * the API — state spills to disk instead of capping at executor
+    * heap), and supports per-state TTL — the production replacement for
+    * mapGroupsWithState once state outgrows memory. Kept semantically
+    * identical to the v1 twin so one spec pins both to the same batch
+    * totals.
+    */
+  class UserTotalsProcessor
+      extends StatefulProcessor[Long, (Long, Long), UserActivity] {
+    @transient private var totals: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Long)](
+        "totals", org.apache.spark.sql.Encoders.product[(Long, Long)],
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[UserActivity] = {
+      val (n0, c0) = if (totals.exists()) totals.get() else (0L, 0L)
+      var n = n0; var c = c0
+      rows.foreach { case (_, cents) => n += 1; c += cents }
+      totals.update((n, c))
+      Iterator.single(UserActivity(key, n, c))
+    }
+  }
+
+  /** Per-user running totals via [[UserTotalsProcessor]]. Requires
+    * `spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider on the session running the stream.
+    */
+  def userActivityTws(events: DataFrame): Dataset[UserActivity] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new UserTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Streaming replay-dedup: an at-least-once upstream (file re-drops,

@@ -69,6 +69,39 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("transformWithState user totals equal batch (RocksDB state store)") {
+    val dir = stageStreamDir()
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    // the v2 stateful API requires the RocksDB provider
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = EventStream.readEventStream(spark, dir)
+      EventStream.runAvailableNow(EventStream.userActivityTws(stream).toDF(),
+        "tws_sink", ckpt, OutputMode.Update())
+      import org.apache.spark.sql.functions._
+      val streamed = spark.table("tws_sink")
+        .groupBy("user_id")
+        .agg(max_by(struct(col("n_events"), col("total_cents")), col("n_events"))
+          .as("last"))
+        .select(col("user_id"), col("last.n_events"), col("last.total_cents"))
+        .orderBy("user_id").collect()
+      val batch = Tables.events(spark, SfDir)
+        .select(col("user_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum("cents").as("total_cents"))
+        .orderBy("user_id").collect()
+      assert(streamed.map(_.toString) === batch.map(_.toString))
+      assert(streamed.nonEmpty)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("replay dedup: duplicated input files collapse to distinct events") {
     val dir = Files.createTempDirectory("graft-stream")
     // the same events parquet dropped TWICE under different names — the
