@@ -90,6 +90,44 @@ object TrainingPrep {
        |WHERE c * 16 < n
        |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** CHUNK-level exact dedup: overlapping windows from near-identical
+    * documents collide on `chunk_sig`, so deduplicating the CHUNKS —
+    * not just the documents — is what actually removes repeated text
+    * from the training stream (boilerplate shared by distinct docs
+    * survives doc-level dedup but not this). First occurrence in
+    * (doc_id, chunk_idx) order wins; the survivor count per signature
+    * is the diagnostics column.
+    *
+    * Scale: chunking is map-side (see [[chunkSliding]]); the dedup is
+    * one shuffle on the 16-hex signature with map-side partial
+    * aggregation — the exact-dedup plan shape at chunk granularity.
+    */
+  def chunkDedup(spark: SparkSession, d: String,
+      chunkTokens: Int = 32, strideTokens: Int = 16): DataFrame =
+    chunkFrames(Tables.documents(spark, d), chunkTokens, strideTokens)
+      .groupBy("chunk_sig")
+      .agg(
+        min(struct(col("doc_id"), col("chunk_idx"))).as("first"),
+        count(lit(1)).as("n_copies"))
+      .select(col("first.doc_id").as("doc_id"),
+        col("first.chunk_idx").as("chunk_idx"),
+        col("chunk_sig"), col("n_copies"))
+      .orderBy("doc_id", "chunk_idx")
+
+  val chunkDedupSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksDuck AS toks FROM documents),
+       |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+       |ch AS (SELECT doc_id, CAST(c AS INT) AS chunk_idx,
+       |         substr(sha256(array_to_string(toks[c*16+1 : c*16+32], ' ')), 1, 16) AS chunk_sig
+       |       FROM n, generate_series(0, 63) gs(c)
+       |       WHERE c * 16 < n),
+       |g AS (SELECT chunk_sig, min(struct_pack(doc_id := doc_id, chunk_idx := chunk_idx)) AS first,
+       |        count(*) AS n_copies
+       |      FROM ch GROUP BY chunk_sig)
+       |SELECT first.doc_id AS doc_id, first.chunk_idx AS chunk_idx,
+       |  chunk_sig, n_copies
+       |FROM g ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** Mixture WEIGHTS: per-source document/token tallies and each
     * source's token share in parts-per-million — the numbers a training
     * run's data-mixture config is written from (domain up/down-weighting
@@ -328,6 +366,7 @@ object TrainingPrep {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk_sliding" -> ((s, d) => chunkSliding(s, d)),
+    "q_chunk_dedup" -> ((s, d) => chunkDedup(s, d)),
     "q_mix_weights" -> (mixWeights _),
     "q_quantile_stats" -> (quantileStats _),
     "q_quantile_sketch" -> (quantileSketch _),
@@ -336,6 +375,7 @@ object TrainingPrep {
 
   val oracles: Map[String, String] = Map(
     "q_chunk_sliding" -> chunkSlidingSql,
+    "q_chunk_dedup" -> chunkDedupSql,
     "q_mix_weights" -> mixWeightsSql,
     "q_quantile_stats" -> quantileStatsSql,
     "q_quantile_sketch" -> quantileSketchSql,
