@@ -123,6 +123,16 @@ class PlanContractSpec extends AnyFunSuite with SparkTestBase {
       s"bloom prune must be below the verify join:\n$plan")
   }
 
+  test("q_dedup_incremental probes the registry broadcast-side") {
+    val plan = stripAqe(
+      Dedup.dedupIncremental(spark, sf).queryExecution.executedPlan)
+    // the registry side must be the broadcast build side — a shuffle of
+    // the batch on the hash for the registry probe would be a second
+    // full exchange of the corpus (the window already pays one)
+    assert(plan.collectFirst { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"expected a broadcast registry probe in:\n$plan")
+  }
+
   test("q_dedup_embedding evaluates the cosine kernel once per pair") {
     // the Materialize barrier must keep the threshold filter ABOVE the
     // projection: if PushDownPredicates substitutes through the alias,
