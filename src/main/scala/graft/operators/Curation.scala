@@ -390,6 +390,126 @@ object Curation {
        |  AND d.doc_id IN (SELECT doc_id FROM verd)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Deterministic global training SHUFFLE + SHARD assignment: every
+    * document gets a shard (hash bucket of a salted key hash) and a
+    * position within its shard (rank in hash order) — the "shuffle the
+    * corpus before training" step done as a PURE FUNCTION of the key
+    * instead of an RNG permutation, so the order is reproducible across
+    * runs, engines, partitionings, and retries, and any single shard can
+    * be re-materialized alone (resumable emission). The salt gives a
+    * fresh permutation per epoch without touching the data.
+    *
+    * Scale: one shuffle on the shard key, then a per-shard rank window —
+    * shards are sized (corpus/numShards) to fit a partition, which is
+    * exactly what the shard count knob is for; there is never a global
+    * sort or a single-partition window. At 100 TB: numShards ≈
+    * corpus_bytes / desired_shard_bytes, and the sink writes one
+    * fragment per shard in `pos` order.
+    */
+  def shuffleShards(spark: SparkSession, d: String,
+      numShards: Int = 8, salt: String = "epoch0"): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    Tables.documents(spark, d)
+      .select(col("doc_id"),
+        substring(sha2(concat(lit(s"$salt:"),
+          col("doc_id").cast(StringType)), 256), 1, 16).as("h"))
+      .withColumn("shard",
+        expr(s"cast(conv(substring(h, 1, 8), 16, 10) as bigint) % $numShards"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("h", "doc_id")).cast(LongType))
+      .select(col("shard"), col("pos"), col("doc_id"))
+      .orderBy("shard", "pos")
+  }
+
+  val shuffleShardsSql: String =
+    """WITH h AS (SELECT doc_id,
+      |  substr(sha256('epoch0:' || CAST(doc_id AS VARCHAR)), 1, 16) AS h
+      |  FROM documents)
+      |SELECT ('0x' || substr(h, 1, 8))::BIGINT % 8 AS shard,
+      |  CAST(row_number() OVER (
+      |    PARTITION BY ('0x' || substr(h, 1, 8))::BIGINT % 8
+      |    ORDER BY h, doc_id) AS BIGINT) AS pos,
+      |  doc_id
+      |FROM h ORDER BY shard, pos""".stripMargin
+
+  /** PII detection + redaction: email / IPv4 / phone patterns counted
+    * and replaced with typed placeholders — the scrubbing pass a corpus
+    * makes before training. Counts and the redacted-text digest are
+    * emitted so the oracle verifies the REPLACEMENT, not just the match
+    * counts.
+    *
+    * The synthetic corpus contains no PII, so the query first augments
+    * each document with a deterministic PII-shaped contact line derived
+    * from `doc_id` (pure function of the row — both engines build the
+    * identical string), which keeps every pattern genuinely exercised
+    * on every row. The patterns use only constructs with identical
+    * semantics in Java regex (Spark) and RE2 (DuckDB): character
+    * classes, bounded/`{2,}` quantifiers, `\b`, `\d` — no backrefs, no
+    * lookaround.
+    *
+    * Scale: one map-side projection over the scan (regex state machines
+    * are per-row, no shuffle); at 100 TB this is scan-bound and the
+    * redacted column streams straight to the sink.
+    */
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePat = "\\+\\d[\\d-]{7,}\\d"
+
+  def piiScrub(spark: SparkSession, d: String): DataFrame = {
+    val m = (n: Int) => col("doc_id") % n
+    val aug = concat(
+      lit("contact u"), m(50).cast(StringType),
+      lit("@mail"), m(7).cast(StringType), lit(".com from 10."),
+      m(256).cast(StringType), lit(".0."), m(100).cast(StringType),
+      lit(" tel +1-555-"),
+      lpad((col("doc_id") % 10000).cast(StringType), 4, "0"),
+      lit(" :: "), col("text"))
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(aug, lit(EmailPat), lit("<EMAIL>")),
+          lit(Ipv4Pat), lit("<IP>")),
+        lit(PhonePat), lit("<PHONE>"))
+    Tables.documents(spark, d)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(aug, lit(EmailPat), lit(0)))
+          .cast(LongType).as("n_email"),
+        size(regexp_extract_all(aug, lit(Ipv4Pat), lit(0)))
+          .cast(LongType).as("n_ipv4"),
+        size(regexp_extract_all(aug, lit(PhonePat), lit(0)))
+          .cast(LongType).as("n_phone"),
+        length(redacted).cast(LongType).as("red_len"),
+        substring(sha2(redacted, 256), 1, 16).as("red_hash"))
+      .orderBy("doc_id")
+  }
+
+  val piiScrubSql: String = {
+    val aug = """'contact u' || CAST(doc_id % 50 AS VARCHAR)
+      || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.com from 10.'
+      || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+      || ' tel +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      || ' :: ' || text""".replaceAll("\\s+", " ")
+    // single-quoted SQL literals: DuckDB takes backslashes verbatim, so
+    // the Java-regex strings embed as-is
+    val (email, ipv4, phone) = (EmailPat, Ipv4Pat, PhonePat)
+    s"""WITH a AS (SELECT doc_id, $aug AS aug FROM documents),
+       |r AS (SELECT doc_id, aug,
+       |        regexp_replace(regexp_replace(regexp_replace(aug,
+       |          '$email', '<EMAIL>', 'g'),
+       |          '$ipv4', '<IP>', 'g'),
+       |          '$phone', '<PHONE>', 'g') AS red
+       |      FROM a)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(aug, '$email')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(aug, '$ipv4')) AS BIGINT) AS n_ipv4,
+       |  CAST(len(regexp_extract_all(aug, '$phone')) AS BIGINT) AS n_phone,
+       |  CAST(length(red) AS BIGINT) AS red_len,
+       |  substr(sha256(red), 1, 16) AS red_hash
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_hash" -> (sampleHash _),
     "q_split_assign" -> (splitAssign _),
@@ -398,7 +518,9 @@ object Curation {
     "q_stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
     "q_curation_verdict" -> (curationVerdict _),
     "q_curation_stats" -> (curationStats _),
-    "q_corpus_emit" -> (corpusEmit _))
+    "q_corpus_emit" -> (corpusEmit _),
+    "q_shuffle_shards" -> ((s, d) => shuffleShards(s, d)),
+    "q_pii_scrub" -> (piiScrub _))
 
   val oracles: Map[String, String] = Map(
     "q_sample_hash" -> sampleHashSql,
@@ -408,5 +530,7 @@ object Curation {
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_curation_verdict" -> curationVerdictSql,
     "q_curation_stats" -> curationStatsSql,
-    "q_corpus_emit" -> corpusEmitSql)
+    "q_corpus_emit" -> corpusEmitSql,
+    "q_shuffle_shards" -> shuffleShardsSql,
+    "q_pii_scrub" -> piiScrubSql)
 }

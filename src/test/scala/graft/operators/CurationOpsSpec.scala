@@ -1,0 +1,79 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Driver-side model checks for the deterministic shuffle/sharding and
+  * the PII scrub — the properties the hash oracle can't articulate
+  * (permutation coverage, contiguity, redaction completeness).
+  */
+class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def sha256Hex(s: String): String =
+    MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+
+  test("shuffle shards form a full permutation with contiguous positions") {
+    val rows = Curation.shuffleShards(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docIds = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._3).toSet === docIds) // every doc exactly once
+    assert(rows.length === docIds.size)
+    rows.groupBy(_._1).foreach { case (shard, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === (1L to rs.length.toLong),
+        s"shard $shard positions not contiguous")
+    }
+    // shard + order match the driver-side hash model
+    rows.foreach { case (shard, _, docId) =>
+      val h = sha256Hex(s"epoch0:$docId").take(16)
+      assert(shard === java.lang.Long.parseLong(h.take(8), 16) % 8)
+    }
+  }
+
+  test("a different salt yields a different permutation of the same docs") {
+    val a = Curation.shuffleShards(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val b = Curation.shuffleShards(spark, sf, salt = "epoch1").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.map(_._3).toSet === b.map(_._3).toSet)
+    assert(a.toSeq !== b.toSeq) // 2^-something chance of colliding on 500 docs
+  }
+
+  test("pii scrub counts the planted spans and redacts them all") {
+    val byDoc = Curation.piiScrub(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))).toMap
+    val texts = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byDoc.keySet === texts.keySet)
+    val email = Curation.EmailPat.r
+    val ipv4 = Curation.Ipv4Pat.r
+    val phone = Curation.PhonePat.r
+    texts.foreach { case (id, text) =>
+      val aug = s"contact u${id % 50}@mail${id % 7}.com from 10.${id % 256}" +
+        s".0.${id % 100} tel +1-555-${"%04d".format(id % 10000)} :: $text"
+      val red = phone.replaceAllIn(
+        ipv4.replaceAllIn(email.replaceAllIn(aug, "<EMAIL>"), "<IP>"),
+        "<PHONE>")
+      val (nEmail, nIpv4, nPhone, redLen, redHash) = byDoc(id)
+      assert(nEmail === email.findAllIn(aug).size.toLong, s"doc $id emails")
+      assert(nIpv4 === ipv4.findAllIn(aug).size.toLong, s"doc $id ips")
+      assert(nPhone === phone.findAllIn(aug).size.toLong, s"doc $id phones")
+      assert(nEmail >= 1 && nIpv4 >= 1 && nPhone >= 1, s"doc $id planted spans")
+      assert(redLen === red.length.toLong, s"doc $id red_len")
+      assert(redHash === sha256Hex(red).take(16), s"doc $id red_hash")
+      // redaction is complete: no pattern survives its own replacement
+      assert(email.findFirstIn(red).isEmpty && phone.findFirstIn(red).isEmpty,
+        s"doc $id: unredacted span remains")
+    }
+  }
+}
