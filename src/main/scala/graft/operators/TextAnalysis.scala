@@ -491,7 +491,93 @@ object TextAnalysis {
        |  CAST(shard * 1000000 + cum_before // 2048 AS BIGINT) AS bin_id
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Inverted INDEX build: per term, the document frequency plus a
+    * BOUNDED posting sample (the `maxPostings` doc_id-smallest docs,
+    * comma-joined for a stable cross-engine rendering) and an id-sum
+    * checksum over the FULL posting set — the retrieval-side artifact a
+    * corpus pipeline materializes next to the training set.
+    *
+    * Scale shape: explode → distinct (doc, term) pairs, then ONE
+    * exchange on the term: the rank window (`partitionBy(token)`) and
+    * the follow-up `groupBy(token)` share the same hash partitioning,
+    * so Catalyst plans a single shuffle for both. The collected posting
+    * list is capped BEFORE aggregation by the rank filter — no group
+    * ever materializes an unbounded array (a top term at corpus scale
+    * has 10^9 postings; the full list lives only as the streamed count
+    * and checksum).
+    */
+  def invertedIndex(spark: SparkSession, d: String,
+      minDf: Long = 5L, maxPostings: Int = 100): DataFrame = {
+    require(minDf >= 1 && maxPostings >= 1,
+      s"need minDf >= 1 and maxPostings >= 1, got ($minDf, $maxPostings)")
+    Tables.documents(spark, d)
+      .select(col("doc_id"), explode(expr(tokensSpark)).as("token"))
+      .distinct()
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("token").orderBy("doc_id")))
+      .groupBy("token")
+      .agg(
+        count(lit(1)).as("doc_freq"),
+        array_join(sort_array(collect_list(
+          when(col("rk") <= maxPostings, col("doc_id")))), ",").as("postings"),
+        sum("doc_id").as("id_sum"))
+      .where(col("doc_freq") >= minDf)
+      .orderBy("token")
+  }
+
+  val invertedIndexSql: String =
+    s"""WITH p AS (SELECT DISTINCT doc_id, token
+       |           FROM (SELECT doc_id, unnest($tokensDuck) AS token FROM documents))
+       |SELECT token, count(*) AS doc_freq,
+       |  array_to_string(list(doc_id ORDER BY doc_id)[1:100], ',') AS postings,
+       |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+       |FROM p GROUP BY token HAVING count(*) >= 5 ORDER BY token""".stripMargin
+
+  /** Count-min-sketch HEAVY HITTERS: the corpus token stream feeds
+    * Spark's distributed CountMinSketchAgg (map-side partial sketches,
+    * associative merge — the frequency path when the vocabulary itself
+    * is too large to aggregate exactly); the top-k tokens' estimates are
+    * then probed from the collected sketch — a model artifact of a few
+    * KB, same discipline as the Bloom filter and the k-means centroids —
+    * and emitted as ACCURACY BOOLEANS beside the exact counts: the CMS
+    * guarantees est >= true always, and est <= true + eps·N with the
+    * sketch's confidence. Same oracle contract shape as the HLL and
+    * approx_percentile twins (the oracle checks the exact columns and
+    * asserts the booleans true).
+    *
+    * The exact count here doubles as the top-k selector; at true corpus
+    * scale the selector is itself sketch-driven (CMS + a heap per
+    * partition) and the exact pass runs only over the k candidates.
+    */
+  def cmsTopk(spark: SparkSession, d: String, k: Int = 20,
+      eps: Double = 0.001, confidence: Double = 0.99, seed: Int = 42): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, d)
+      .select(explode(expr(tokensSpark)).as("token"))
+    val sketch = toks.stat.countMinSketch("token", eps, confidence, seed)
+    val bound = math.ceil(eps * sketch.totalCount).toLong
+    val top = toks.groupBy("token").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("token")).limit(k)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    top.map { case (t, n) =>
+      val est = sketch.estimateCount(t)
+      (t, n, est >= n, est <= n + bound)
+    }.toSeq.toDF("token", "n_exact", "est_ge_exact", "est_within_eps")
+      .orderBy("token")
+  }
+
+  val cmsTopkSql: String =
+    s"""SELECT token, n_exact, est_ge_exact, est_within_eps FROM (
+       |  SELECT token, count(*) AS n_exact,
+       |    true AS est_ge_exact, true AS est_within_eps
+       |  FROM (SELECT unnest($tokensDuck) AS token FROM documents)
+       |  GROUP BY token ORDER BY n_exact DESC, token LIMIT 20)
+       |ORDER BY token""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_inverted_index" -> ((s, d) => invertedIndex(s, d)),
+    "q_cms_topk" -> ((s, d) => cmsTopk(s, d)),
     "q_text_vocab" -> (textVocab _),
     "q_text_vocab_hll" -> (textVocabHll _),
     "q_tfidf_topterms" -> ((s, d) => tfidfTopTerms(s, d)),
@@ -506,6 +592,8 @@ object TextAnalysis {
     "q_text_fingerprint" -> (textFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_inverted_index" -> invertedIndexSql,
+    "q_cms_topk" -> cmsTopkSql,
     "q_text_vocab" -> textVocabSql,
     "q_text_vocab_hll" -> textVocabHllSql,
     "q_tfidf_topterms" -> tfidfTopTermsSql,

@@ -178,4 +178,21 @@ class PlanContractSpec extends AnyFunSuite with SparkTestBase {
     assert(shuffles.isEmpty,
       s"corpus side of the probe join must not shuffle:\n$streamed")
   }
+
+  test("q_inverted_index rank window and term agg share ONE token exchange") {
+    val plan = stripAqe(
+      TextAnalysis.invertedIndex(spark, sf).queryExecution.executedPlan)
+    // the scale contract: partitionBy(token) for the posting-cap window
+    // and groupBy(token) for the index row must reuse the same hash
+    // partitioning — a second token exchange would shuffle the exploded
+    // (doc, term) pairs twice
+    val tokenShuffles = streamedShuffles(plan).filter { s =>
+      val p = s.asInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]
+        .outputPartitioning.toString
+      // not the pair-distinct exchange, not the presentation range sort
+      p.contains("hashpartitioning") && p.contains("token") && !p.contains("doc_id")
+    }
+    assert(tokenShuffles.size == 1,
+      s"expected exactly one token-keyed exchange, got ${tokenShuffles.size}:\n$plan")
+  }
 }
