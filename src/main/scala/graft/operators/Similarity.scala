@@ -466,13 +466,131 @@ object Similarity {
        |WHERE x.src < x.dst
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Symmetric int8 SCALAR QUANTIZATION of the embedding column — the
+    * compression step an ANN index applies before sharding (4× smaller
+    * vectors, SIMD-friendly integer dot products). Per vector: scale =
+    * max |coordinate|, codes = coord·127/scale truncated toward zero —
+    * all arithmetic on e6 fixed-point BIGINTs (floor to e6 first, then
+    * integer multiply/divide), so both engines agree bit-for-bit; the
+    * only float op is the initial e6 floor over identical float inputs.
+    * Emits the scale, a position-weighted code checksum, code range, and
+    * the exact e6 reconstruction-error sum (the quality metric a
+    * quantization sweep monitors).
+    *
+    * Scale: pure map-side projection — no shuffle before the
+    * presentation sort; at 10^11 vectors this runs at scan speed and the
+    * codes stream straight to the index sink. A zero vector keeps scale
+    * 0 and all-zero codes (guarded division).
+    */
+  def embedQuantize(spark: SparkSession, d: String): DataFrame =
+    quantizeFrames(Tables.embeddings(spark, d)).orderBy("vec_id")
+
+  /** Frame-in form of [[embedQuantize]] over any (vec_id, embedding)
+    * frame — stateless projections only, so it is streaming-safe and
+    * unit-testable on crafted vectors.
+    */
+  def quantizeFrames(emb: DataFrame): DataFrame =
+    emb
+      .select(col("vec_id"), expr(Ve6Expr).as("ve6"))
+      .withColumn("m6", expr("array_max(transform(ve6, v -> abs(v)))"))
+      .withColumn("codes", expr(
+        "transform(ve6, v -> CASE WHEN m6 = 0 THEN 0L ELSE (v * 127) div m6 END)"))
+      .select(
+        col("vec_id"),
+        col("m6").as("scale_e6"),
+        expr(s"aggregate(zip_with(codes, sequence(1L, ${Dims}L), (c, i) -> c * i), 0L, (a, x) -> a + x)")
+          .as("code_checksum"),
+        expr("array_min(codes)").as("code_min"),
+        expr("array_max(codes)").as("code_max"),
+        expr("""aggregate(zip_with(ve6, codes,
+          (v, c) -> abs(v - (CASE WHEN m6 = 0 THEN 0L ELSE (c * m6) div 127 END))),
+          0L, (a, x) -> a + x)""").as("err_e6_sum"))
+
+  val embedQuantizeSql: String =
+    s"""WITH eq AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS ve6
+       |  FROM embeddings),
+       |mq AS (SELECT vec_id, ve6,
+       |         list_max(list_transform(ve6, v -> abs(v))) AS m6 FROM eq),
+       |cq AS (SELECT vec_id, ve6, m6,
+       |         list_transform(ve6, v -> CASE WHEN m6 = 0 THEN 0 ELSE (v * 127) // m6 END) AS codes
+       |       FROM mq)
+       |SELECT vec_id, CAST(m6 AS BIGINT) AS scale_e6,
+       |  CAST(list_sum(list_transform(range(1, ${Dims + 1}), i -> codes[i] * i)) AS BIGINT) AS code_checksum,
+       |  CAST(list_aggregate(codes, 'min') AS BIGINT) AS code_min,
+       |  CAST(list_aggregate(codes, 'max') AS BIGINT) AS code_max,
+       |  CAST(list_sum(list_transform(range(1, ${Dims + 1}),
+       |    i -> abs(ve6[i] - (CASE WHEN m6 = 0 THEN 0 ELSE (codes[i] * m6) // 127 END)))) AS BIGINT) AS err_e6_sum
+       |FROM cq ORDER BY vec_id""".stripMargin
+
+  /** SEMANTIC DEDUP (SemDeDup-style): embeddings are assigned to their
+    * TRAINED k-means centroid (the [[fitIvfCentroids]] model — map-side
+    * argmax over one broadcast centroid row, the corpus never shuffles
+    * for assignment), candidate pairs are restricted to the same
+    * (centroid × sign-LSH bucket) cell, verified with the exact cosine
+    * kernel, and each near-dup group keeps its smallest vec_id — a doc
+    * is DROPPED iff an earlier doc in its cell sits within the cosine
+    * threshold. Emits the per-vector verdict with its cluster cell.
+    *
+    * Scale: the cluster/bucket cell is the candidate funnel (pair work
+    * ~n²/(nlist·2^planes), both knobs grow with the corpus); the
+    * verify join shuffles each side once on the cell key; the drop set
+    * is |near-dup docs| and broadcasts back onto the corpus. This is
+    * the embedding-space twin of the MinHash→Jaccard→cluster funnel.
+    */
+  def dedupSemantic(spark: SparkSession, d: String,
+      minCosE6: Long = 300000L,
+      numPlanes: Int = DefaultNumPlanes): DataFrame = {
+    val cents = centroidRow(spark, fitIvfCentroids(spark, d))
+    val assigned = Tables.embeddings(spark, d)
+      .withColumn("bucket", expr(bucketSpark(numPlanes)))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("bucket"),
+        bestCentId(col("embedding")).as("cent_id"))
+      .persist()
+    val drops = assigned.as("a").join(assigned.as("b"),
+        col("a.cent_id") === col("b.cent_id") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"),
+        graft.functions.GraftFunctions.materialize(
+          cosE6("a.embedding", "b.embedding")).as("cos_e6"))
+      .where(col("cos_e6") >= minCosE6)
+      .select("vec_id").distinct()
+      .withColumn("dropped", lit(true))
+    assigned.select(col("vec_id"), col("cent_id"), col("bucket"))
+      .join(broadcast(drops), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cent_id"), col("bucket"),
+        coalesce(!col("dropped"), lit(true)).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  val dedupSemanticSql: String =
+    s"""WITH ${kmeansDuckCtes()},
+       |scents AS (SELECT cent_id, list_transform(ce6, v -> CAST(v / 1000000.0 AS FLOAT)) AS cent_emb FROM c$IvfIters),
+       |semb AS (SELECT vec_id, embedding, ${bucketDuck()} AS bucket FROM embeddings),
+       |sassign AS (SELECT vec_id, embedding, bucket, cent_id FROM (
+       |    SELECT s.vec_id, s.embedding, s.bucket, c.cent_id,
+       |      row_number() OVER (PARTITION BY s.vec_id
+       |        ORDER BY ${cosE6Duck("s.embedding", "c.cent_emb")} DESC, c.cent_id) AS rn
+       |    FROM semb s, scents c) WHERE rn = 1),
+       |sdrops AS (SELECT DISTINCT b.vec_id
+       |  FROM sassign a JOIN sassign b
+       |    ON a.cent_id = b.cent_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE ${cosE6Duck("a.embedding", "b.embedding")} >= 300000)
+       |SELECT s.vec_id, s.cent_id, s.bucket, d.vec_id IS NULL AS keep
+       |FROM sassign s LEFT JOIN sdrops d ON s.vec_id = d.vec_id
+       |ORDER BY s.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_graph" -> ((s, d) => knnGraph(s, d)),
     "q_sim_topk_brute" -> (simTopkBrute _),
     "q_sim_topk_lsh" -> ((s, d) => simTopkLsh(s, d)),
     "q_sim_topk_ivf" -> ((s, d) => simTopkIvf(s, d)),
     "q_ivf_centroids" -> (ivfCentroids _),
-    "q_dedup_embedding" -> ((s, d) => dedupEmbedding(s, d)))
+    "q_dedup_embedding" -> ((s, d) => dedupEmbedding(s, d)),
+    "q_embed_quantize" -> (embedQuantize _),
+    "q_dedup_semantic" -> ((s, d) => dedupSemantic(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q_knn_graph" -> knnGraphSql,
@@ -480,5 +598,7 @@ object Similarity {
     "q_sim_topk_lsh" -> simTopkLshSql,
     "q_sim_topk_ivf" -> simTopkIvfSql,
     "q_ivf_centroids" -> ivfCentroidsSql,
-    "q_dedup_embedding" -> dedupEmbeddingSql)
+    "q_dedup_embedding" -> dedupEmbeddingSql,
+    "q_embed_quantize" -> embedQuantizeSql,
+    "q_dedup_semantic" -> dedupSemanticSql)
 }

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Driver-side model checks for int8 scalar quantization and the
+  * semantic-dedup verdict.
+  */
+class QuantizeSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Pure-Scala twin of the quantization arithmetic. */
+  private def model(vec: Seq[Float]): (Long, Long, Long, Long, Long) = {
+    val ve6 = vec.map(x => math.floor(x.toDouble * 1e6).toLong)
+    val m6 = ve6.map(math.abs).max
+    val codes = ve6.map(v => if (m6 == 0) 0L else v * 127 / m6)
+    val checksum = codes.zipWithIndex.map { case (c, i) => c * (i + 1) }.sum
+    val err = ve6.zip(codes)
+      .map { case (v, c) => math.abs(v - (if (m6 == 0) 0L else c * m6 / 127)) }
+      .sum
+    (m6, checksum, codes.min, codes.max, err)
+  }
+
+  test("quantization matches the integer model on the real corpus") {
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val rows = Similarity.embedQuantize(spark, sf).collect()
+    assert(rows.length === vecs.size)
+    rows.foreach { r =>
+      val (m6, checksum, cMin, cMax, err) = model(vecs(r.getLong(0)))
+      assert(r.getLong(1) === m6, s"vec ${r.getLong(0)} scale")
+      assert(r.getLong(2) === checksum, s"vec ${r.getLong(0)} checksum")
+      assert(r.getLong(3) === cMin && r.getLong(4) === cMax,
+        s"vec ${r.getLong(0)} code range")
+      assert(r.getLong(5) === err, s"vec ${r.getLong(0)} err")
+      // int8 range discipline: codes live in [-127, 127]
+      assert(cMin >= -127 && cMax <= 127, s"vec ${r.getLong(0)} out of int8")
+      // relative reconstruction error is bounded by 1/127 per coordinate
+      assert(m6 == 0 || err <= 64L * (m6 / 127 + 1), s"vec ${r.getLong(0)} error bound")
+    }
+  }
+
+  test("zero and constant vectors take the guarded paths") {
+    import spark.implicits._
+    val dims = 64
+    val crafted = Seq(
+      (0L, Seq.fill(dims)(0.0f)),              // zero vector: scale 0, codes 0
+      (1L, Seq.fill(dims)(1.0f)),              // constant: every code = 127
+      (2L, Seq.tabulate(dims)(i => if (i == 0) -1.0f else 0.0f))) // single -1
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.quantizeFrames(crafted).orderBy("vec_id").collect()
+    val zero = rows(0)
+    assert(zero.getLong(1) === 0L && zero.getLong(2) === 0L &&
+      zero.getLong(5) === 0L, "zero vector must quantize to all-zero, no error")
+    val const = rows(1)
+    assert(const.getLong(3) === 127L && const.getLong(4) === 127L &&
+      const.getLong(5) === 0L, "constant vector is exact at code 127")
+    val neg = rows(2)
+    assert(neg.getLong(3) === -127L && neg.getLong(4) === 0L,
+      "negative spike maps to -127")
+  }
+
+  test("semantic dedup keeps each cell's smallest id and only drops verified near-dups") {
+    val rows = Similarity.dedupSemantic(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    assert(rows.map(_._1).toSet === vecs.keySet)
+    def cosE6(a: Array[Double], b: Array[Double]): Long = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = a.map(x => x * x).sum
+      val nb = b.map(x => x * x).sum
+      math.floor(dot / math.sqrt(na * nb) * 1e6).toLong
+    }
+    val byCell = rows.groupBy(r => (r._2, r._3))
+    byCell.foreach { case (cell, members) =>
+      // the smallest id in a cell has no earlier neighbor: always kept
+      val smallest = members.minBy(_._1)
+      assert(smallest._4, s"cell $cell: smallest id ${smallest._1} was dropped")
+      // every drop is justified by a verified earlier near-dup in-cell
+      members.filter(!_._4).foreach { case (id, _, _, _) =>
+        val earlier = members.filter(_._1 < id)
+        assert(earlier.exists(e => cosE6(vecs(e._1), vecs(id)) >= 300000L),
+          s"vec $id dropped without an earlier in-cell near-dup")
+      }
+      // every kept non-smallest member has NO earlier near-dup in-cell
+      members.filter(m => m._4 && m._1 != smallest._1).foreach { case (id, _, _, _) =>
+        val earlier = members.filter(_._1 < id)
+        assert(!earlier.exists(e => cosE6(vecs(e._1), vecs(id)) >= 300000L),
+          s"vec $id kept despite an earlier in-cell near-dup")
+      }
+    }
+  }
+}
