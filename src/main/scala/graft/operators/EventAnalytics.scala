@@ -646,7 +646,79 @@ object EventAnalytics {
       |FROM e JOIN c ON e.user_id = c.user_id
       |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
 
+  /** SKEW DIAGNOSTICS: the per-key frequency profile a pipeline reads
+    * BEFORE deciding to salt a key (the q_agg_salted / AQE-skew-join
+    * decision input): the k hottest keys with their absolute counts,
+    * corpus share in ppm, and ratio to the mean key (×100) — "user X
+    * carries 37× the average load" is the number that triggers salting.
+    *
+    * Scale: one shuffle on the key with map-side partial counts (the
+    * profile never materializes the raw rows), one broadcast one-row
+    * total, TakeOrderedAndProject for the top-k — |keys| rows reach the
+    * final ordering, k leave it. The ratio arithmetic runs in
+    * Decimal(38,0) so count·1e6 and count·100·n_keys cannot overflow
+    * BIGINT on a 10^12-row corpus.
+    */
+  def skewDiagnostics(spark: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val counts = Tables.events(spark, d)
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    val tot = counts.agg(sum("n_events").as("total"), count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("user_id"), col("n_events"),
+        expr("CAST(CAST(n_events AS DECIMAL(38,0)) * 1000000 div total AS BIGINT)")
+          .as("share_ppm"),
+        expr("CAST(CAST(n_events AS DECIMAL(38,0)) * 100 * n_keys div total AS BIGINT)")
+          .as("vs_mean_x100"))
+      .orderBy(col("n_events").desc, col("user_id")).limit(k)
+  }
+
+  val skewDiagnosticsSql: String =
+    """WITH c AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
+      |t AS (SELECT sum(n_events) AS total, count(*) AS n_keys FROM c)
+      |SELECT user_id, n_events,
+      |  CAST(n_events * 1000000 // total AS BIGINT) AS share_ppm,
+      |  CAST(n_events * 100 * n_keys // total AS BIGINT) AS vs_mean_x100
+      |FROM c, t ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin
+
+  /** Z-ORDER (Morton) layout key: interleave the low 16 bits of two
+    * scan dimensions — here user_id and epoch-day — into one sort key,
+    * the multi-dimensional data-skipping layout (Delta/Iceberg
+    * Z-ordering): sorting by `zkey` makes fragments cluster in BOTH
+    * dimensions at once, so per-fragment min/max stats prune scans
+    * filtered on either (a time-range scan and a user-range scan both
+    * skip most files, where a plain sort serves only its leading
+    * column).
+    *
+    * Scale: the key is a pure map-side bit-interleave (one aggregate
+    * over 16 bit positions, codegen'd); the ORDER BY is the range
+    * partitioning a layout write performs anyway — at 100 TB this IS
+    * the write job's sort, not an extra step. Pure integer bit ops,
+    * engine-exact.
+    */
+  def zorderLayout(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .select(col("event_id"),
+        (col("user_id") % 65536).as("x"),
+        expr("(ts_ns div 86400000000000) % 65536").as("y"))
+      .withColumn("zkey", expr(
+        """aggregate(sequence(0, 15), 0L, (acc, k) ->
+          |  acc + shiftleft((shiftright(x, k) & 1), 2 * k)
+          |      + shiftleft((shiftright(y, k) & 1), 2 * k + 1))""".stripMargin))
+      .orderBy("zkey", "event_id")
+
+  val zorderLayoutSql: String =
+    """WITH z AS (SELECT event_id,
+      |  user_id % 65536 AS x,
+      |  (epoch_ns(ts) // 86400000000000) % 65536 AS y
+      |  FROM events)
+      |SELECT event_id, x, y,
+      |  CAST(list_sum(list_transform(range(0, 16), k ->
+      |    (((x >> k) & 1) << (2 * k)) + (((y >> k) & 1) << (2 * k + 1)))) AS BIGINT) AS zkey
+      |FROM z ORDER BY zkey, event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_diagnostics" -> ((s, d) => skewDiagnostics(s, d)),
+    "q_zorder_layout" -> (zorderLayout _),
     "q5_local_supplier" -> (q5LocalSupplier _),
     "q_agg_salted" -> (aggSalted _),
     "q_window_frames" -> (windowFrames _),
@@ -667,6 +739,8 @@ object EventAnalytics {
     "q3_shipping" -> (q3Shipping _))
 
   val oracles: Map[String, String] = Map(
+    "q_skew_diagnostics" -> skewDiagnosticsSql,
+    "q_zorder_layout" -> zorderLayoutSql,
     "q5_local_supplier" -> q5LocalSupplierSql,
     "q_agg_salted" -> aggSaltedSql,
     "q_window_frames" -> windowFramesSql,

@@ -466,6 +466,62 @@ object Similarity {
        |WHERE x.src < x.dst
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Fixed-iteration integer PAGERANK over the mutual-kNN graph — the
+    * centrality score a diversity-sampling / coreset-selection pass
+    * reads (hubs of the semantic graph are over-represented regions;
+    * down-weighting high-rank nodes flattens the training
+    * distribution). Ranks live as e6-scaled BIGINTs with truncating
+    * division at every step (per-edge flow r/deg, damping (85·Σ)/100),
+    * a FIXED iteration count, and uniform 1.0 init — the same
+    * determinism contract as the k-means fit, so the oracle unrolls
+    * identical iterations in SQL. Nodes outside the mutual graph are
+    * excluded (their rank is the damping constant by definition).
+    *
+    * Scale: each iteration is one equi-join of the edge list against
+    * the rank frame plus one aggregate on dst — O(iters) shuffles of
+    * an |edges|-row frame, the label-propagation cost shape (edges and
+    * degrees are persisted once). Production runs O(10) iterations or
+    * a convergence fingerprint; 3 here keeps the unrolled oracle sane.
+    */
+  def graphPagerank(spark: SparkSession, d: String, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters must be in [1, 8], got $iters")
+    val mutual = knnGraph(spark, d)
+    val edges = mutual.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      .union(mutual.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+      .persist()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+    var ranks = deg.select(col("src").as("node"), lit(1000000L).as("r_e6"))
+    for (_ <- 0 until iters) {
+      ranks = edges
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("node"), expr("r_e6 div deg").as("flow"))
+        .groupBy("node")
+        .agg(expr("150000L + (85 * sum(flow)) div 100").as("r_e6"))
+    }
+    ranks.join(deg.withColumnRenamed("src", "node"), Seq("node"))
+      .select(col("node"), col("r_e6"), col("deg"))
+      .orderBy("node")
+  }
+
+  /** Unrolled PageRank oracle over the same mutual-kNN edges. */
+  val graphPagerankSql: String = {
+    val steps = (0 until 3).map { t =>
+      s"""r${t + 1} AS (SELECT ed.dst AS node,
+         |  CAST(150000 + (85 * sum(r$t.r_e6 // dg.deg)) // 100 AS BIGINT) AS r_e6
+         |  FROM ed JOIN r$t ON ed.src = r$t.node JOIN dg ON ed.src = dg.src
+         |  GROUP BY ed.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH mg AS (SELECT vec_a, vec_b FROM ($knnGraphSql)),
+       |ed AS (SELECT vec_a AS src, vec_b AS dst FROM mg
+       |       UNION ALL SELECT vec_b, vec_a FROM mg),
+       |dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+       |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r_e6 FROM dg),
+       |$steps
+       |SELECT r3.node, r3.r_e6, dg.deg FROM r3 JOIN dg ON r3.node = dg.src
+       |ORDER BY node""".stripMargin
+  }
+
   /** Symmetric int8 SCALAR QUANTIZATION of the embedding column — the
     * compression step an ANN index applies before sharding (4× smaller
     * vectors, SIMD-friendly integer dot products). Per vector: scale =
@@ -590,7 +646,8 @@ object Similarity {
     "q_ivf_centroids" -> (ivfCentroids _),
     "q_dedup_embedding" -> ((s, d) => dedupEmbedding(s, d)),
     "q_embed_quantize" -> (embedQuantize _),
-    "q_dedup_semantic" -> ((s, d) => dedupSemantic(s, d)))
+    "q_dedup_semantic" -> ((s, d) => dedupSemantic(s, d)),
+    "q_graph_pagerank" -> ((s, d) => graphPagerank(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q_knn_graph" -> knnGraphSql,
@@ -600,5 +657,6 @@ object Similarity {
     "q_ivf_centroids" -> ivfCentroidsSql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
     "q_embed_quantize" -> embedQuantizeSql,
-    "q_dedup_semantic" -> dedupSemanticSql)
+    "q_dedup_semantic" -> dedupSemanticSql,
+    "q_graph_pagerank" -> graphPagerankSql)
 }
