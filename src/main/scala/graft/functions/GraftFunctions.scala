@@ -91,6 +91,12 @@ object GraftFunctions {
   def winnow_fps(c: Column, window: Int = 4): Column =
     toCol(WinnowFps(toExpr(c), window))
 
+  /** (bigint, bigint) → Morton interleave of the low 16 bits (Z-order
+    * layout key).
+    */
+  def zorder_key(x: Column, y: Column): Column =
+    toCol(ZOrderKey(toExpr(x), toExpr(y)))
+
   /** Stopword list shared by the text-quality operators and the default
     * SQL `text_stats(text)` form.
     */
@@ -177,7 +183,9 @@ object GraftFunctions {
       // winnow_fps(text[, window]): winnowing fingerprints, default w=4
       "winnow_fps" -> arity("winnow_fps", 1, 2)(exprs =>
         WinnowFps(exprs.head,
-          if (exprs.size > 1) int(exprs(1), "winnow_fps window") else 4)))
+          if (exprs.size > 1) int(exprs(1), "winnow_fps window") else 4)),
+      "zorder_key" -> arity("zorder_key", 2, 2)(exprs =>
+        ZOrderKey(exprs.head, exprs(1))))
   }
 
   def registerAll(spark: SparkSession): Unit = {

@@ -689,21 +689,31 @@ object EventAnalytics {
     * skip most files, where a plain sort serves only its leading
     * column).
     *
-    * Scale: the key is a pure map-side bit-interleave (one aggregate
-    * over 16 bit positions, codegen'd); the ORDER BY is the range
+    * Scale: the key is a pure map-side bit-interleave (the compiled
+    * `zorder_key` kernel — whole-stage codegen); the ORDER BY is the range
     * partitioning a layout write performs anyway — at 100 TB this IS
     * the write job's sort, not an extra step. Pure integer bit ops,
     * engine-exact.
     */
+  /** Declarative reference semantics of the interleave — what the
+    * compiled [[graft.functions.ZOrderKey]] kernel computes (disjoint
+    * bit positions make the fold's `+` an OR); pinned equal in
+    * GraphLayoutSpec. The query uses the kernel so the key projection
+    * stays inside whole-stage codegen instead of evaluating an
+    * interpreted lambda frame per bit per row.
+    */
+  val zkeyDeclarative: String =
+    """aggregate(sequence(0, 15), 0L, (acc, k) ->
+      |  acc + shiftleft((shiftright(x, k) & 1), 2 * k)
+      |      + shiftleft((shiftright(y, k) & 1), 2 * k + 1))""".stripMargin
+
   def zorderLayout(spark: SparkSession, d: String): DataFrame =
     Tables.events(spark, d)
       .select(col("event_id"),
         (col("user_id") % 65536).as("x"),
         expr("(ts_ns div 86400000000000) % 65536").as("y"))
-      .withColumn("zkey", expr(
-        """aggregate(sequence(0, 15), 0L, (acc, k) ->
-          |  acc + shiftleft((shiftright(x, k) & 1), 2 * k)
-          |      + shiftleft((shiftright(y, k) & 1), 2 * k + 1))""".stripMargin))
+      .withColumn("zkey",
+        graft.functions.GraftFunctions.zorder_key(col("x"), col("y")))
       .orderBy("zkey", "event_id")
 
   val zorderLayoutSql: String =

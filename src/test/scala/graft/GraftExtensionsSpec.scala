@@ -66,7 +66,8 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
         |  CAST(uint256_to_decimal(uint256_mul(
         |    uint256_encode(CAST(6 AS DECIMAL(38,0))),
         |    uint256_encode(CAST(7 AS DECIMAL(38,0))))) AS STRING) AS mul,
-        |  overlap_stats(array('x', 'y', 'y'), array('y', 'z')) AS ov
+        |  overlap_stats(array('x', 'y', 'y'), array('y', 'z')) AS ov,
+        |  zorder_key(3L, 5L) AS zk
         |""".stripMargin).head()
     assert(row.getAs[String]("enc").endsWith("FF"))
     assert(row.getAs[String]("rt") === "7")
@@ -90,6 +91,9 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     assert(row.getAs[Int]("wf2") >= 1 && row.getAs[Int]("wf2") <= 5)
     assert(row.getAs[String]("mul") === "42")
     assert(row.getAs[Seq[Long]]("ov") === Seq(1L, 2L, 2L)) // inter, |A|, |B|
+    // x=3 (bits 0,1 -> even slots 0,2), y=5 (bits 0,2 -> odd slots 1,5):
+    // 1 + 4 + 2 + 32 = 39
+    assert(row.getAs[Long]("zk") === 39L)
   }
 
   test("extension class is instantiable the way spark.sql.extensions needs") {

@@ -46,6 +46,18 @@ class GraphLayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_._4).toSeq === rows.map(_._4).sorted.toSeq)
   }
 
+  test("compiled zorder_key equals the declarative fold on random longs") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val df = spark.range(2000).selectExpr(
+      "cast(xxhash64(id) & 65535 as bigint) as x",
+      "cast(xxhash64(id + 7) & 65535 as bigint) as y")
+    val mism = df
+      .withColumn("zk", graft.functions.GraftFunctions.zorder_key(col("x"), col("y")))
+      .withColumn("zd", expr(EventAnalytics.zkeyDeclarative))
+      .where(col("zk") =!= col("zd")).count()
+    assert(mism === 0L, "kernel diverges from the declarative fold")
+  }
+
   test("pagerank matches a driver-side integer iteration") {
     val edges = Similarity.knnGraph(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
