@@ -456,7 +456,15 @@ object Curation {
   val Ipv4Pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val PhonePat = "\\+\\d[\\d-]{7,}\\d"
 
-  def piiScrub(spark: SparkSession, d: String): DataFrame = {
+  def piiScrub(spark: SparkSession, d: String): DataFrame =
+    scrubFrames(Tables.documents(spark, d)).orderBy("doc_id")
+
+  /** Frame-in form of [[piiScrub]]: every expression is a stateless
+    * projection, so the SAME transform scrubs a batch read or a file
+    * STREAM at ingestion time (pinned by StreamingScrubSpec); the
+    * presentation sort stays on the batch face.
+    */
+  def scrubFrames(docs: DataFrame): DataFrame = {
     val m = (n: Int) => col("doc_id") % n
     val aug = concat(
       lit("contact u"), m(50).cast(StringType),
@@ -471,7 +479,7 @@ object Curation {
           regexp_replace(aug, lit(EmailPat), lit("<EMAIL>")),
           lit(Ipv4Pat), lit("<IP>")),
         lit(PhonePat), lit("<PHONE>"))
-    Tables.documents(spark, d)
+    docs
       .select(
         col("doc_id"),
         size(regexp_extract_all(aug, lit(EmailPat), lit(0)))
@@ -482,7 +490,6 @@ object Curation {
           .cast(LongType).as("n_phone"),
         length(redacted).cast(LongType).as("red_len"),
         substring(sha2(redacted, 256), 1, 16).as("red_hash"))
-      .orderBy("doc_id")
   }
 
   val piiScrubSql: String = {
