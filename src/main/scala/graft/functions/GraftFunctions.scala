@@ -97,6 +97,11 @@ object GraftFunctions {
   def zorder_key(x: Column, y: Column): Column =
     toCol(ZOrderKey(toExpr(x), toExpr(y)))
 
+  /** array<float> → [scale_e6, code_checksum, code_min, code_max,
+    * err_e6_sum] int8-quantization statistics in one pass.
+    */
+  def quantize_stats(c: Column): Column = toCol(QuantizeStats(toExpr(c)))
+
   /** Stopword list shared by the text-quality operators and the default
     * SQL `text_stats(text)` form.
     */
@@ -185,7 +190,9 @@ object GraftFunctions {
         WinnowFps(exprs.head,
           if (exprs.size > 1) int(exprs(1), "winnow_fps window") else 4)),
       "zorder_key" -> arity("zorder_key", 2, 2)(exprs =>
-        ZOrderKey(exprs.head, exprs(1))))
+        ZOrderKey(exprs.head, exprs(1))),
+      "quantize_stats" -> arity("quantize_stats", 1, 1)(exprs =>
+        QuantizeStats(exprs.head)))
   }
 
   def registerAll(spark: SparkSession): Unit = {

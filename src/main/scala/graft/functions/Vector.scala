@@ -71,6 +71,42 @@ object VectorOps {
     if (denom == 0.0) return null
     math.floor(dot / denom * 1000000).toLong
   }
+
+  /** [scale_e6, code_checksum, code_min, code_max, err_e6_sum] of the
+    * symmetric int8 quantization of a float vector — one pass computing
+    * what the declarative chain (5 higher-order functions with
+    * interpreted lambda frames) computes; bit-for-bit the e6
+    * fixed-point arithmetic in operators.Similarity.quantizeFrames'
+    * oracle twin. Codegen target for [[QuantizeStats]].
+    */
+  def quantizeStats(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val ve6 = new Array[Long](n)
+    var m6 = 0L
+    var i = 0
+    while (i < n) {
+      val v = math.floor(a.getFloat(i).toDouble * 1000000).toLong
+      ve6(i) = v
+      val abs = if (v < 0) -v else v
+      if (abs > m6) m6 = abs
+      i += 1
+    }
+    var checksum = 0L
+    var err = 0L
+    var cMin = Long.MaxValue
+    var cMax = Long.MinValue
+    i = 0
+    while (i < n) {
+      val c = if (m6 == 0) 0L else ve6(i) * 127 / m6
+      checksum += c * (i + 1)
+      err += math.abs(ve6(i) - (if (m6 == 0) 0L else c * m6 / 127))
+      if (c < cMin) cMin = c
+      if (c > cMax) cMax = c
+      i += 1
+    }
+    if (n == 0) { cMin = 0L; cMax = 0L }
+    new GenericArrayData(Array(m6, checksum, cMin, cMax, err))
+  }
 }
 
 /** Exact Jaccard over two string arrays (distinct-element sets),
@@ -149,6 +185,33 @@ case class CosineSimE6(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimE6 =
     copy(left = newLeft, right = newRight)
+}
+
+/** array<float> → [scale_e6, code_checksum, code_min, code_max,
+  * err_e6_sum] int8-quantization statistics in one compiled pass (see
+  * [[VectorOps.quantizeStats]]).
+  */
+case class QuantizeStats(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "quantize_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"expected array<float>, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    VectorOps.quantizeStats(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = VectorOps.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, c => s"$helper.quantizeStats($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeStats =
+    copy(child = newChild)
 }
 
 /** Evaluation barrier: identity on its child that optimizer rules must

@@ -543,24 +543,24 @@ object Similarity {
 
   /** Frame-in form of [[embedQuantize]] over any (vec_id, embedding)
     * frame — stateless projections only, so it is streaming-safe and
-    * unit-testable on crafted vectors.
+    * unit-testable on crafted vectors. The arithmetic runs in the
+    * compiled one-pass [[graft.functions.QuantizeStats]] kernel (the
+    * declarative twin — floor-to-e6, max-abs scale, truncating
+    * `(v*127) div m6` codes, `(c*m6) div 127` reconstruction — is what
+    * the DuckDB oracle states and QuantizeSpec's pure-Scala model
+    * re-derives).
     */
   def quantizeFrames(emb: DataFrame): DataFrame =
     emb
-      .select(col("vec_id"), expr(Ve6Expr).as("ve6"))
-      .withColumn("m6", expr("array_max(transform(ve6, v -> abs(v)))"))
-      .withColumn("codes", expr(
-        "transform(ve6, v -> CASE WHEN m6 = 0 THEN 0L ELSE (v * 127) div m6 END)"))
+      .select(col("vec_id"),
+        graft.functions.GraftFunctions.quantize_stats(col("embedding")).as("qs"))
       .select(
         col("vec_id"),
-        col("m6").as("scale_e6"),
-        expr(s"aggregate(zip_with(codes, sequence(1L, ${Dims}L), (c, i) -> c * i), 0L, (a, x) -> a + x)")
-          .as("code_checksum"),
-        expr("array_min(codes)").as("code_min"),
-        expr("array_max(codes)").as("code_max"),
-        expr("""aggregate(zip_with(ve6, codes,
-          (v, c) -> abs(v - (CASE WHEN m6 = 0 THEN 0L ELSE (c * m6) div 127 END))),
-          0L, (a, x) -> a + x)""").as("err_e6_sum"))
+        col("qs").getItem(0).as("scale_e6"),
+        col("qs").getItem(1).as("code_checksum"),
+        col("qs").getItem(2).as("code_min"),
+        col("qs").getItem(3).as("code_max"),
+        col("qs").getItem(4).as("err_e6_sum"))
 
   val embedQuantizeSql: String =
     s"""WITH eq AS (SELECT vec_id,

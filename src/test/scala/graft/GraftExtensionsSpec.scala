@@ -67,7 +67,8 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
         |    uint256_encode(CAST(6 AS DECIMAL(38,0))),
         |    uint256_encode(CAST(7 AS DECIMAL(38,0))))) AS STRING) AS mul,
         |  overlap_stats(array('x', 'y', 'y'), array('y', 'z')) AS ov,
-        |  zorder_key(3L, 5L) AS zk
+        |  zorder_key(3L, 5L) AS zk,
+        |  quantize_stats(array(CAST(1 AS FLOAT), CAST(-0.5 AS FLOAT))) AS qs
         |""".stripMargin).head()
     assert(row.getAs[String]("enc").endsWith("FF"))
     assert(row.getAs[String]("rt") === "7")
@@ -94,6 +95,9 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     // x=3 (bits 0,1 -> even slots 0,2), y=5 (bits 0,2 -> odd slots 1,5):
     // 1 + 4 + 2 + 32 = 39
     assert(row.getAs[Long]("zk") === 39L)
+    // [1.0, -0.5]: scale 1e6, codes [127, -63], checksum 127 - 126 = 1,
+    // err = |1e6 - 1e6| + |-5e5 - (-496062)| = 3938
+    assert(row.getAs[Seq[Long]]("qs") === Seq(1000000L, 1L, -63L, 127L, 3938L))
   }
 
   test("extension class is instantiable the way spark.sql.extensions needs") {
