@@ -726,7 +726,65 @@ object EventAnalytics {
       |    (((x >> k) & 1) << (2 * k)) + (((y >> k) & 1) << (2 * k + 1)))) AS BIGINT) AS zkey
       |FROM z ORDER BY zkey, event_id""".stripMargin
 
+  /** The event-type vocabulary, fixed in the fixtures. PIVOT always
+    * receives it EXPLICITLY: without a values list Spark runs a
+    * distinct-scan job first to discover the columns — an extra corpus
+    * pass, and a nondeterministic schema if a new type ever lands
+    * mid-pipeline. At scale the vocabulary is config, not discovery.
+    */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** PIVOT: daily event counts reshaped wide, one column per event
+    * type — the long→wide face of the reporting/feature-matrix
+    * reshape. Missing cells densified to 0 so the wide frame is a
+    * total function of (day × type).
+    *
+    * Scale: one shuffle on the grouping key with map-side partial
+    * pivot aggregation (Spark plans pivot-with-values as one
+    * aggregate of |values| conditional counts — no explode, no second
+    * pass); |days| rows out.
+    */
+  def pivotDaily(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .select(expr("ts_ns div 86400000000000").as("day"), col("event_type"))
+      .groupBy("day")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("day")
+
+  val pivotDailySql: String =
+    s"""SELECT epoch_ns(ts) // 86400000000000 AS day,
+       |${EventTypes.map(t =>
+            s"  CAST(count(*) FILTER (WHERE event_type = '$t') AS BIGINT) AS $t")
+          .mkString(",\n")}
+       |FROM events GROUP BY day ORDER BY day""".stripMargin
+
+  /** UNPIVOT: the wide daily matrix melted back to (day, event_type,
+    * n_events) long form — the wide→long face (Spark's native
+    * `unpivot`/MELT operator, a zero-shuffle row fan-out). Zero cells
+    * from the densified pivot are KEPT: the round trip is the identity
+    * on the dense matrix, which is the property the pair test pins.
+    */
+  def unpivotDaily(spark: SparkSession, d: String): DataFrame =
+    pivotDaily(spark, d)
+      .unpivot(Array(col("day")), EventTypes.map(col(_)).toArray,
+        "event_type", "n_events")
+      .orderBy("day", "event_type")
+
+  val unpivotDailySql: String =
+    s"""WITH c AS (SELECT epoch_ns(ts) // 86400000000000 AS day, event_type,
+       |             count(*) AS n FROM events GROUP BY 1, 2),
+       |dd AS (SELECT DISTINCT day FROM c),
+       |tt AS (SELECT unnest([${EventTypes.map(t => s"'$t'").mkString(", ")}]) AS event_type)
+       |SELECT dd.day, tt.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+       |FROM dd CROSS JOIN tt
+       |LEFT JOIN c ON c.day = dd.day AND c.event_type = tt.event_type
+       |ORDER BY dd.day, tt.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pivot_daily" -> (pivotDaily _),
+    "q_unpivot_daily" -> (unpivotDaily _),
     "q_skew_diagnostics" -> ((s, d) => skewDiagnostics(s, d)),
     "q_zorder_layout" -> (zorderLayout _),
     "q5_local_supplier" -> (q5LocalSupplier _),
@@ -749,6 +807,8 @@ object EventAnalytics {
     "q3_shipping" -> (q3Shipping _))
 
   val oracles: Map[String, String] = Map(
+    "q_pivot_daily" -> pivotDailySql,
+    "q_unpivot_daily" -> unpivotDailySql,
     "q_skew_diagnostics" -> skewDiagnosticsSql,
     "q_zorder_layout" -> zorderLayoutSql,
     "q5_local_supplier" -> q5LocalSupplierSql,

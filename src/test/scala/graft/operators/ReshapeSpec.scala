@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Pivot/unpivot reshape pair: the wide matrix is a total function of
+  * (day × type), and melting it back is the identity on the dense form.
+  */
+class ReshapeSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val model: Map[(Long, String), Long] =
+    graft.sources.Tables.events(spark, sf)
+      .selectExpr("ts_ns div 86400000000000 as day", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+
+  test("pivot cells match per-(day, type) counts; absent cells are 0") {
+    val rows = EventAnalytics.pivotDaily(spark, sf).collect()
+    val days = model.keys.map(_._1).toSet
+    assert(rows.map(_.getLong(0)).toSet === days)
+    rows.foreach { r =>
+      val day = r.getLong(0)
+      EventAnalytics.EventTypes.zipWithIndex.foreach { case (t, i) =>
+        assert(r.getLong(i + 1) === model.getOrElse((day, t), 0L),
+          s"cell ($day, $t)")
+      }
+    }
+  }
+
+  test("unpivot is the identity on the dense matrix") {
+    val long = EventAnalytics.unpivotDaily(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2)))
+    val days = model.keys.map(_._1).toSet
+    assert(long.length === days.size * EventAnalytics.EventTypes.size)
+    long.foreach { case ((day, t), n) =>
+      assert(n === model.getOrElse((day, t), 0L), s"cell ($day, $t)")
+    }
+  }
+}
