@@ -407,9 +407,18 @@ object Curation {
     * fragment per shard in `pos` order.
     */
   def shuffleShards(spark: SparkSession, d: String,
+      numShards: Int = 8, salt: String = "epoch0"): DataFrame =
+    shardFrames(Tables.documents(spark, d), numShards, salt)
+      .orderBy("shard", "pos")
+
+  /** Frame-in form of [[shuffleShards]] over any frame with a `doc_id`
+    * column — the same permutation applied to whatever corpus face is
+    * being emitted (the capstone composes it over the final corpus).
+    */
+  def shardFrames(docs: DataFrame,
       numShards: Int = 8, salt: String = "epoch0"): DataFrame = {
     require(numShards >= 1, s"numShards must be >= 1, got $numShards")
-    Tables.documents(spark, d)
+    docs
       .select(col("doc_id"),
         substring(sha2(concat(lit(s"$salt:"),
           col("doc_id").cast(StringType)), 256), 1, 16).as("h"))
@@ -419,8 +428,33 @@ object Curation {
         org.apache.spark.sql.expressions.Window
           .partitionBy("shard").orderBy("h", "doc_id")).cast(LongType))
       .select(col("shard"), col("pos"), col("doc_id"))
-      .orderBy("shard", "pos")
   }
+
+  /** The capstone, SHARDED: the final training corpus ([[corpusEmit]] —
+    * cluster canonicals passing the verdict) run through the
+    * deterministic epoch shuffle — (shard, pos, doc_id) is the manifest
+    * a trainer reads, and because both stages are key-pure, any single
+    * shard can be re-materialized alone from the raw corpus.
+    *
+    * Scale: corpusEmit's own shape plus one shuffle on the shard key;
+    * positions are per-shard ranks over corpus/numShards-sized strata.
+    */
+  def corpusShards(spark: SparkSession, d: String,
+      numShards: Int = 8, salt: String = "epoch0"): DataFrame =
+    shardFrames(corpusEmit(spark, d).select("doc_id"), numShards, salt)
+      .orderBy("shard", "pos")
+
+  val corpusShardsSql: String =
+    s"""WITH kept AS (SELECT doc_id FROM (${corpusEmitSql.replace("ORDER BY d.doc_id", "")})),
+       |hh AS (SELECT doc_id,
+       |  substr(sha256('epoch0:' || CAST(doc_id AS VARCHAR)), 1, 16) AS h
+       |  FROM kept)
+       |SELECT ('0x' || substr(h, 1, 8))::BIGINT % 8 AS shard,
+       |  CAST(row_number() OVER (
+       |    PARTITION BY ('0x' || substr(h, 1, 8))::BIGINT % 8
+       |    ORDER BY h, doc_id) AS BIGINT) AS pos,
+       |  doc_id
+       |FROM hh ORDER BY shard, pos""".stripMargin
 
   val shuffleShardsSql: String =
     """WITH h AS (SELECT doc_id,
@@ -527,6 +561,7 @@ object Curation {
     "q_curation_stats" -> (curationStats _),
     "q_corpus_emit" -> (corpusEmit _),
     "q_shuffle_shards" -> ((s, d) => shuffleShards(s, d)),
+    "q_corpus_shards" -> ((s, d) => corpusShards(s, d)),
     "q_pii_scrub" -> (piiScrub _))
 
   val oracles: Map[String, String] = Map(
@@ -539,5 +574,6 @@ object Curation {
     "q_curation_stats" -> curationStatsSql,
     "q_corpus_emit" -> corpusEmitSql,
     "q_shuffle_shards" -> shuffleShardsSql,
+    "q_corpus_shards" -> corpusShardsSql,
     "q_pii_scrub" -> piiScrubSql)
 }

@@ -47,6 +47,22 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(a.toSeq !== b.toSeq) // 2^-something chance of colliding on 500 docs
   }
 
+  test("corpus shards cover exactly the emitted corpus with the same permutation rule") {
+    val kept = Curation.corpusEmit(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val rows = Curation.corpusShards(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._3).toSet === kept)
+    rows.groupBy(_._1).foreach { case (shard, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === (1L to rs.length.toLong),
+        s"shard $shard positions not contiguous")
+    }
+    rows.foreach { case (shard, _, docId) =>
+      val h = sha256Hex(s"epoch0:$docId").take(16)
+      assert(shard === java.lang.Long.parseLong(h.take(8), 16) % 8)
+    }
+  }
+
   test("pii scrub counts the planted spans and redacts them all") {
     val byDoc = Curation.piiScrub(spark, sf).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
