@@ -226,6 +226,36 @@ object EventAnalytics {
       |GROUP BY ROLLUP (r_name, n_name)
       |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
 
+  /** CUBE grouping sets — the full 2^k lattice where [[aggRollup]]
+    * walks only the hierarchy: per-(source × lang) corpus volumes with
+    * every marginal, the cross-dimension report a mixture dashboard
+    * reads. NULL group labels are coalesced to '<all>' so the total
+    * ORDER BY needs no engine-specific NULLS placement, with the
+    * grouping-bit vector kept to disambiguate.
+    *
+    * Scale: Spark plans CUBE as one Expand (4 rows per input here) into
+    * the same partial+final hash agg — group count is |sources|·|langs|
+    * sized, tiny at any corpus scale.
+    */
+  def aggCube(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .cube("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        expr("CAST(grouping_id() AS BIGINT)").as("gid"))
+      .select(
+        coalesce(col("source"), lit("<all>")).as("source"),
+        coalesce(col("lang"), lit("<all>")).as("lang"),
+        col("n_docs"), col("sum_chars"), col("gid"))
+      .orderBy("gid", "source", "lang")
+
+  val aggCubeSql: String =
+    """SELECT coalesce(source, '<all>') AS source,
+      |  coalesce(lang, '<all>') AS lang,
+      |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(GROUPING(source, lang) AS BIGINT) AS gid
+      |FROM documents GROUP BY CUBE (source, lang)
+      |ORDER BY gid, source, lang""".stripMargin
+
   /** Set operations (§2.8): INTERSECT / EXCEPT / UNION ALL in one
     * result — market-segment customers split by purchase activity.
     */
@@ -803,6 +833,7 @@ object EventAnalytics {
     "q_events_user_stats" -> (eventsUserStats _),
     "q_join_asof" -> (joinAsof _),
     "q_agg_rollup" -> (aggRollup _),
+    "q_agg_cube" -> (aggCube _),
     "q_set_ops" -> (setOps _),
     "q3_shipping" -> (q3Shipping _))
 
@@ -827,6 +858,7 @@ object EventAnalytics {
     "q_events_user_stats" -> eventsUserStatsSql,
     "q_join_asof" -> joinAsofSql,
     "q_agg_rollup" -> aggRollupSql,
+    "q_agg_cube" -> aggCubeSql,
     "q_set_ops" -> setOpsSql,
     "q3_shipping" -> q3ShippingSql)
 }
