@@ -445,10 +445,19 @@ object Curation {
       .orderBy("shard", "pos")
 
   val corpusShardsSql: String =
-    s"""WITH kept AS (SELECT doc_id FROM (${corpusEmitSql.replace("ORDER BY d.doc_id", "")})),
-       |hh AS (SELECT doc_id,
+    // subquery ORDER BY is legal (and ignored) in DuckDB, so the
+    // emission SQL embeds verbatim — no fragile string surgery
+    s"""WITH kept AS (SELECT doc_id FROM ($corpusEmitSql)),
+       |${shardSqlOver("kept")}""".stripMargin
+
+  /** Shard/pos SQL over any relation exposing `doc_id` — the single
+    * oracle twin of [[shardFrames]], so a hash/salt/shard-count edit
+    * cannot desynchronize the two oracles that embed it.
+    */
+  private def shardSqlOver(relation: String): String =
+    s"""hh AS (SELECT doc_id,
        |  substr(sha256('epoch0:' || CAST(doc_id AS VARCHAR)), 1, 16) AS h
-       |  FROM kept)
+       |  FROM $relation)
        |SELECT ('0x' || substr(h, 1, 8))::BIGINT % 8 AS shard,
        |  CAST(row_number() OVER (
        |    PARTITION BY ('0x' || substr(h, 1, 8))::BIGINT % 8
@@ -456,16 +465,7 @@ object Curation {
        |  doc_id
        |FROM hh ORDER BY shard, pos""".stripMargin
 
-  val shuffleShardsSql: String =
-    """WITH h AS (SELECT doc_id,
-      |  substr(sha256('epoch0:' || CAST(doc_id AS VARCHAR)), 1, 16) AS h
-      |  FROM documents)
-      |SELECT ('0x' || substr(h, 1, 8))::BIGINT % 8 AS shard,
-      |  CAST(row_number() OVER (
-      |    PARTITION BY ('0x' || substr(h, 1, 8))::BIGINT % 8
-      |    ORDER BY h, doc_id) AS BIGINT) AS pos,
-      |  doc_id
-      |FROM h ORDER BY shard, pos""".stripMargin
+  val shuffleShardsSql: String = s"WITH ${shardSqlOver("documents")}"
 
   /** PII detection + redaction: email / IPv4 / phone patterns counted
     * and replaced with typed placeholders — the scrubbing pass a corpus

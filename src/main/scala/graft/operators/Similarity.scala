@@ -499,9 +499,14 @@ object Similarity {
         .groupBy("node")
         .agg(expr("150000L + (85 * sum(flow)) div 100").as("r_e6"))
     }
-    ranks.join(deg.withColumnRenamed("src", "node"), Seq("node"))
+    val out = ranks.join(deg.withColumnRenamed("src", "node"), Seq("node"))
       .select(col("node"), col("r_e6"), col("deg"))
       .orderBy("node")
+      .persist()
+    out.count() // materialize so the edge/degree caches can be released
+    edges.unpersist()
+    deg.unpersist()
+    out
   }
 
   /** Unrolled PageRank oracle over the same mutual-kNN edges. */
@@ -614,11 +619,15 @@ object Similarity {
       .where(col("cos_e6") >= minCosE6)
       .select("vec_id").distinct()
       .withColumn("dropped", lit(true))
-    assigned.select(col("vec_id"), col("cent_id"), col("bucket"))
+    val out = assigned.select(col("vec_id"), col("cent_id"), col("bucket"))
       .join(broadcast(drops), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cent_id"), col("bucket"),
         coalesce(!col("dropped"), lit(true)).as("keep"))
       .orderBy("vec_id")
+      .persist()
+    out.count() // materialize so the assignment cache can be released
+    assigned.unpersist()
+    out
   }
 
   val dedupSemanticSql: String =
