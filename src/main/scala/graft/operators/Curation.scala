@@ -154,6 +154,55 @@ object Curation {
       |SELECT source, rank, doc_id, lang FROM r WHERE rank <= 10
       |ORDER BY source, rank""".stripMargin
 
+  /** QUALITY-WEIGHTED sampling: each document is kept with probability
+    * proportional to a quality score (here: its stopword ratio, capped
+    * — the cheap LM-quality proxy), implemented as a key-pure hash
+    * threshold — `hash_ppm(doc_id) < base_ppm · score/cap` — rather
+    * than an RNG draw, so the sample is reproducible across runs,
+    * engines, and partitionings AND monotone in the score (raising a
+    * doc's score can only move it INTO the sample). This is the soft
+    * curation between hard keep/drop verdicts and uniform sampling:
+    * high-quality docs are over-represented at a controlled rate.
+    *
+    * Scale: one map-side projection (compiled TextStats kernel + sha
+    * threshold), no shuffle before the presentation sort — the
+    * [[sampleHash]] plan shape with a data-dependent rate.
+    */
+  def sampleWeighted(spark: SparkSession, d: String,
+      basePpm: Long = 600000L): DataFrame = {
+    require(basePpm >= 0 && basePpm <= 1000000L,
+      s"basePpm must be in [0, 1e6], got $basePpm")
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"),
+        graft.functions.GraftFunctions.text_stats(col("text"),
+          graft.functions.GraftFunctions.DefaultStopwords).as("st"))
+      .withColumn("score_e4", expr(
+        "CASE WHEN st[0] > 0 THEN least(st[2] * 10000L div st[0], 2500L) ELSE 0L END"))
+      .withColumn("hash_ppm", expr(
+        "cast(conv(substring(sha2(cast(doc_id as string), 256), 1, 8), 16, 10) as bigint) % 1000000"))
+      .withColumn("kept", col("hash_ppm") < expr(s"$basePpm * score_e4 div 2500"))
+      .select(col("doc_id"), col("source"), col("score_e4"), col("kept"))
+      .orderBy("doc_id")
+  }
+
+  val sampleWeightedSql: String = {
+    val stops = graft.functions.GraftFunctions.DefaultStopwords
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, source, ${TextAnalysis.tokensDuck} AS toks
+       |           FROM documents),
+       |sc AS (SELECT doc_id, source,
+       |         CASE WHEN len(toks) > 0
+       |           THEN least(CAST(len(list_filter(toks, tk -> tk IN ($stops))) AS BIGINT)
+       |                        * 10000 // len(toks), 2500)
+       |           ELSE 0 END AS score_e4,
+       |         ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |           % 1000000 AS hash_ppm
+       |       FROM t)
+       |SELECT doc_id, source, CAST(score_e4 AS BIGINT) AS score_e4,
+       |  hash_ppm < 600000 * score_e4 // 2500 AS kept
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
   /** Bloom-filter twin of [[decontaminate]] — the probe that wins once
     * the benchmark set outgrows a broadcast hash table: a Bloom filter
     * over the benchmark shingles (built DISTRIBUTED by Spark's
@@ -553,6 +602,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_hash" -> (sampleHash _),
+    "q_sample_weighted" -> ((s, d) => sampleWeighted(s, d)),
     "q_split_assign" -> (splitAssign _),
     "q_decontaminate" -> (decontaminate _),
     "q_decontaminate_bloom" -> ((s, d) => decontaminateBloom(s, d)),
@@ -566,6 +616,7 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     "q_sample_hash" -> sampleHashSql,
+    "q_sample_weighted" -> sampleWeightedSql,
     "q_split_assign" -> splitAssignSql,
     "q_decontaminate" -> decontaminateSql,
     "q_decontaminate_bloom" -> decontaminateBloomSql,

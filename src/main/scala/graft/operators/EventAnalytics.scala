@@ -769,10 +769,12 @@ object EventAnalytics {
     * reshape. Missing cells densified to 0 so the wide frame is a
     * total function of (day × type).
     *
-    * Scale: one shuffle on the grouping key with map-side partial
-    * pivot aggregation (Spark plans pivot-with-values as one
-    * aggregate of |values| conditional counts — no explode, no second
-    * pass); |days| rows out.
+    * Scale: Spark lowers pivot-with-values to TWO aggregates — a
+    * (day, type) count with map-side partials (the only exchange the
+    * raw events cross), then a day-keyed pivot over the pre-aggregated
+    * |days|·|types| rows, whose exchange is negligible by
+    * construction. No Expand, no discovery scan; pinned in
+    * PlanContractSpec.
     */
   def pivotDaily(spark: SparkSession, d: String): DataFrame =
     Tables.events(spark, d)

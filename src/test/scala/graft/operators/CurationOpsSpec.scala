@@ -63,6 +63,24 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("weighted sample is the hash-threshold function of the score") {
+    val rows = Curation.sampleWeighted(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty && rows.exists(_._3) && rows.exists(!_._3))
+    rows.foreach { case (id, score, kept) =>
+      val ppm = java.lang.Long.parseLong(
+        sha256Hex(id.toString).take(8), 16) % 1000000L
+      assert(kept === (ppm < 600000L * score / 2500L), s"doc $id verdict")
+      assert(score >= 0L && score <= 2500L, s"doc $id score cap")
+    }
+    // monotone in the score: at base rate 1e6 the threshold can only rise
+    val full = Curation.sampleWeighted(spark, sf, basePpm = 1000000L)
+      .collect().map(r => (r.getLong(0), r.getBoolean(3))).toMap
+    rows.filter(_._3).foreach { case (id, _, _) =>
+      assert(full(id), s"doc $id fell OUT of the sample at a higher base rate")
+    }
+  }
+
   test("pii scrub counts the planted spans and redacts them all") {
     val byDoc = Curation.piiScrub(spark, sf).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),

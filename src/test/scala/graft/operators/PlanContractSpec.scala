@@ -195,4 +195,22 @@ class PlanContractSpec extends AnyFunSuite with SparkTestBase {
     assert(tokenShuffles.size == 1,
       s"expected exactly one token-keyed exchange, got ${tokenShuffles.size}:\n$plan")
   }
+
+  test("q_pivot_daily crosses the raw events through ONE exchange, no Expand") {
+    val plan = stripAqe(
+      EventAnalytics.pivotDaily(spark, sf).queryExecution.executedPlan)
+    // pivot-with-values lowers to (day, type) partial counts — the only
+    // exchange the raw events cross — then a day-keyed pivot of the
+    // pre-aggregated |days|·|types| rows; values given explicitly, so no
+    // Expand and no distinct values-discovery job
+    val hashShuffles = streamedShuffles(plan).map(
+      _.asInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]
+        .outputPartitioning.toString).filter(_.contains("hashpartitioning"))
+    assert(hashShuffles.size == 2,
+      s"expected the two-stage pivot agg, got ${hashShuffles.size}:\n$plan")
+    assert(hashShuffles.count(_.contains("event_type")) == 1,
+      s"raw events must cross exactly one (day, type) exchange:\n$plan")
+    assert(!plan.toString.contains("Expand"),
+      s"pivot-with-values must not Expand the input:\n$plan")
+  }
 }
