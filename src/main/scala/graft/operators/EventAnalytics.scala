@@ -226,6 +226,31 @@ object EventAnalytics {
       |GROUP BY ROLLUP (r_name, n_name)
       |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
 
+  /** Batch face of the stream-stream interval join (see
+    * [[graft.streaming.EventStream.clickAttribution]] — every purchase
+    * matched to the same user's clicks in the preceding 30 minutes, the
+    * attribution join). Shared expression with the streaming twin
+    * (StreamingJoinSpec pins stream == batch); in batch the watermarks
+    * are no-ops and the plan is an equi-join on user_id with the time
+    * band as a residual predicate — NOT a pure range join, so no
+    * quadratic blowup: pairs only form within a user's partition.
+    */
+  def joinAttribution(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    graft.streaming.EventStream.clickAttribution(ev, ev)
+      .orderBy("purchase_id", "click_id")
+  }
+
+  val joinAttributionSql: String =
+    """WITH c AS (SELECT user_id, epoch_ns(ts) // 1000 AS c_us, event_id AS click_id
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, epoch_ns(ts) // 1000 AS p_us, event_id AS purchase_id
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT p.purchase_id, c.click_id, p.user_id, p.p_us, c.c_us
+      |FROM p JOIN c ON p.user_id = c.user_id
+      |  AND c.c_us <= p.p_us AND c.c_us >= p.p_us - 1800000000
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   /** CUBE grouping sets — the full 2^k lattice where [[aggRollup]]
     * walks only the hierarchy: per-(source × lang) corpus volumes with
     * every marginal, the cross-dimension report a mixture dashboard
@@ -834,6 +859,7 @@ object EventAnalytics {
     "q_events_session_window" -> (eventsSessionWindow _),
     "q_events_user_stats" -> (eventsUserStats _),
     "q_join_asof" -> (joinAsof _),
+    "q_join_attribution" -> (joinAttribution _),
     "q_agg_rollup" -> (aggRollup _),
     "q_agg_cube" -> (aggCube _),
     "q_set_ops" -> (setOps _),
@@ -859,6 +885,7 @@ object EventAnalytics {
     "q_events_session_window" -> eventsSessionWindowSql,
     "q_events_user_stats" -> eventsUserStatsSql,
     "q_join_asof" -> joinAsofSql,
+    "q_join_attribution" -> joinAttributionSql,
     "q_agg_rollup" -> aggRollupSql,
     "q_agg_cube" -> aggCubeSql,
     "q_set_ops" -> setOpsSql,

@@ -172,6 +172,36 @@ object EventStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** STREAM-STREAM interval join: each purchase matched to the same
+    * user's clicks in the preceding 30 minutes — the two-sided stateful
+    * join (attribution, funnel stitching) that only works bounded when
+    * BOTH sides carry a watermark and the join condition carries a time
+    * band: Spark then knows a click older than (purchase watermark −
+    * 30 min) can never match again and evicts it, so state is
+    * O(rate × window), not O(stream). In batch the same expression
+    * degenerates to a plain range join (watermarks are no-ops) — one
+    * shared plan, pinned stream==batch by StreamingJoinSpec.
+    *
+    * Inputs are the same normalized events frame (batch or stream),
+    * filtered per side HERE so both faces split identically.
+    */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "2 hours")
+    val p = purchases.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "2 hours")
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
+        unix_micros(col("p_ts")).as("p_us"), unix_micros(col("c_ts")).as("c_us"))
+  }
+
   /** Run a streaming DataFrame to an in-memory table until all
     * currently-available input is processed (catch-up semantics — the
     * streaming analog of the reference's incremental batch run).
