@@ -122,6 +122,44 @@ object Dedup {
       |            ON a.band_id = b.band_id AND a.band_val = b.band_val
       |           AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** LSH TUNING report: per band, the bucket population profile —
+    * bucket count, the largest bucket, how many buckets actually
+    * collide, and Σ C(size, 2) — the exact candidate-pair work this
+    * band contributes to the verify stage. This is the knob-tuning
+    * input for `DefaultNumHashes`/`DefaultNumBands` (the skew
+    * diagnostics of the dedup funnel): candidate pairs growing
+    * super-linearly with the corpus means the band key is too coarse —
+    * more bands × fewer rows per band (or a larger signature) is the
+    * correction, and this report quantifies it BEFORE a 100 TB run
+    * commits to a configuration.
+    *
+    * Scale: band rows are numBands short rows per doc (map-side), then
+    * two cheap aggregations — (band, bucket) sizes and the per-band
+    * rollup; nothing quadratic runs here, which is the point: the
+    * report prices the quadratic stage without executing it.
+    */
+  def lshTuning(spark: SparkSession, d: String): DataFrame =
+    bands(signatures(spark, d))
+      .groupBy("band_id", "band_val").agg(count(lit(1)).as("sz"))
+      .groupBy("band_id")
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        max("sz").as("max_bucket"),
+        sum(when(col("sz") > 1, 1L).otherwise(0L)).as("n_colliding"),
+        sum(expr("sz * (sz - 1) div 2")).as("cand_pairs"))
+      .orderBy("band_id")
+
+  val lshTuningSql: String =
+    s"""WITH ${signaturesDuckCte()},
+       |${bandsDuckCte()},
+       |bk AS (SELECT band_id, band_val, count(*) AS sz
+       |       FROM bands GROUP BY band_id, band_val)
+       |SELECT band_id, count(*) AS n_buckets,
+       |  CAST(max(sz) AS BIGINT) AS max_bucket,
+       |  CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_colliding,
+       |  CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS cand_pairs
+       |FROM bk GROUP BY band_id ORDER BY band_id""".stripMargin
+
   /** Exact dedup: hash-group on normalized content (token-joined, so
     * whitespace/punctuation differences collapse); keep the smallest
     * doc_id as the canonical representative.
@@ -675,6 +713,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (dedupExact _),
+    "q_lsh_tuning" -> (lshTuning _),
     "q_dedup_incremental" -> (dedupIncremental _),
     "q_dedup_keep_canonical" -> (dedupKeepCanonical _),
     "q_dedup_minhash_lsh" -> ((s, d) => dedupMinhashLsh(s, d)),
@@ -688,6 +727,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactSql,
+    "q_lsh_tuning" -> lshTuningSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
     "q_dedup_keep_canonical" -> dedupKeepCanonicalSql,
     "q_dedup_minhash_lsh" -> dedupMinhashLshSql,

@@ -534,6 +534,53 @@ object TextAnalysis {
        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
        |FROM p GROUP BY token HAVING count(*) >= 5 ORDER BY token""".stripMargin
 
+  /** Shingle NOVELTY score: per document, the fraction of its distinct
+    * 3-gram shingles that occur in NO other document (corpus df = 1) —
+    * high novelty marks genuinely fresh text, low novelty marks
+    * boilerplate/templated content even when no single document is a
+    * near-duplicate (the aggregate-overlap signal the pairwise dedup
+    * family can't see, and a memorization-risk proxy: low-novelty text
+    * is what a model sees many times under different doc_ids).
+    *
+    * Scale: explode distinct shingles (the compiled ShingleSet kernel),
+    * one shuffle for the shingle df with map-side partials, join the
+    * exploded rows back on the shingle key, one per-doc aggregate —
+    * the tf-idf plan shape. The shingle-df frame is corpus-sized; at
+    * 100 TB the df side stays a shuffle join (never broadcast) and AQE
+    * splits hot boilerplate shingles.
+    */
+  def textNovelty(spark: SparkSession, d: String): DataFrame = {
+    val sets = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.shingle_set(col("text")).as("sset"))
+      .where(col("sset").isNotNull)
+      .select(col("doc_id"), explode(col("sset")).as("shingle"))
+      .persist()
+    val df = sets.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val out = sets.join(df, Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty_e4", expr("n_unique * 10000L div n_shingles"))
+      .orderBy("doc_id")
+      .persist()
+    out.count() // materialize so the exploded-shingle cache can be released
+    sets.unpersist()
+    out
+  }
+
+  val textNoveltySql: String =
+    s"""WITH t AS (SELECT doc_id, $tokensDuck AS toks FROM documents),
+       |sx AS (SELECT doc_id, unnest(list_distinct($shinglesDuck)) AS shingle
+       |       FROM t WHERE len($shinglesDuck) > 0),
+       |sdf AS (SELECT shingle, count(*) AS df FROM sx GROUP BY shingle)
+       |SELECT doc_id, count(*) AS n_shingles,
+       |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS novelty_e4
+       |FROM sx JOIN sdf USING (shingle)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Count-min-sketch HEAVY HITTERS: the corpus token stream feeds
     * Spark's distributed CountMinSketchAgg (map-side partial sketches,
     * associative merge — the frequency path when the vocabulary itself
@@ -577,6 +624,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_inverted_index" -> ((s, d) => invertedIndex(s, d)),
+    "q_text_novelty" -> (textNovelty _),
     "q_cms_topk" -> ((s, d) => cmsTopk(s, d)),
     "q_text_vocab" -> (textVocab _),
     "q_text_vocab_hll" -> (textVocabHll _),
@@ -593,6 +641,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "q_inverted_index" -> invertedIndexSql,
+    "q_text_novelty" -> textNoveltySql,
     "q_cms_topk" -> cmsTopkSql,
     "q_text_vocab" -> textVocabSql,
     "q_text_vocab_hll" -> textVocabHllSql,
