@@ -177,13 +177,42 @@ object Multimodal {
       |  CAST((height * scale_e6) // 1000000 AS INT) AS out_h
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** BYTE-IDENTICAL asset dedup: group media payloads by their sha256 —
+    * the first dedup pass of any multimodal pipeline (re-hosted copies
+    * of the same image/video are byte-identical far more often than
+    * text is), run on the digest BEFORE any decode so duplicate assets
+    * never reach the expensive decoder. Distinct from q_dedup_exact:
+    * that one token-normalizes text; this is raw-payload equality.
+    *
+    * Scale: digest map-side over the binary column, one shuffle on the
+    * 64-hex key with map-side partials — the exact-dedup plan at asset
+    * granularity; the keeper list then LEFT SEMI-gates the decode.
+    */
+  def multimodalDedup(spark: SparkSession, d: String): DataFrame =
+    graft.sources.Tables.documents(spark, d)
+      .select(col("doc_id"),
+        sha2(encode(col("text"), "utf-8"), 256).as("payload_sha"),
+        length(encode(col("text"), "utf-8")).cast("long").as("n_bytes"))
+      .groupBy("payload_sha")
+      .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"),
+        max("n_bytes").as("n_bytes"))
+      .orderBy("keeper_doc_id")
+
+  val multimodalDedupSql: String =
+    """SELECT sha256(text) AS payload_sha,
+      |  min(doc_id) AS keeper_doc_id, count(*) AS n_copies,
+      |  CAST(max(octet_length(encode(text))) AS BIGINT) AS n_bytes
+      |FROM documents GROUP BY payload_sha ORDER BY keeper_doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_dedup" -> (multimodalDedup _),
     "q_multimodal_decode" -> (multimodalDecode _),
     "q_multimodal_frames" -> (multimodalFrames _),
     "q_multimodal_features" -> (multimodalFeatures _),
     "q_multimodal_resize" -> (multimodalResize _))
 
   val oracles: Map[String, String] = Map(
+    "q_multimodal_dedup" -> multimodalDedupSql,
     "q_multimodal_decode" -> multimodalDecodeSql,
     "q_multimodal_frames" -> multimodalFramesSql,
     "q_multimodal_features" -> multimodalFeaturesSql,
