@@ -281,6 +281,49 @@ object EventAnalytics {
       |FROM documents GROUP BY CUBE (source, lang)
       |ORDER BY gid, source, lang""".stripMargin
 
+  /** MERGE / UPSERT semantics (the lakehouse write pattern, expressed
+    * engine-neutrally): an incoming batch is merged into a base
+    * snapshot by key — matched rows take the incoming version
+    * (`update`), unmatched incoming rows are inserted, unmatched base
+    * rows survive (`keep`). Base = even doc_ids, incoming = every
+    * third doc with a modified payload, so all three actions occur.
+    * The per-row action tag is what a MERGE audit log materializes.
+    *
+    * Scale: one full-outer shuffle join on the key — Spark plans
+    * sort-merge with map-side partials on both scans; on a partitioned
+    * base table the same expression runs per-partition and dynamic
+    * partition overwrite rewrites only touched partitions (the
+    * ExtractPipeline bulk path already demonstrates that write side).
+    */
+  def mergeUpsert(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val base = docs.where(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("n_chars").as("base_chars"))
+    val incoming = docs.where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), (col("n_chars") + 7).as("new_chars"))
+    base.join(incoming, Seq("doc_id"), "full_outer")
+      .select(
+        col("doc_id"),
+        when(col("new_chars").isNotNull && col("base_chars").isNotNull, "update")
+          .when(col("new_chars").isNotNull, "insert")
+          .otherwise("keep").as("action"),
+        coalesce(col("new_chars"), col("base_chars")).as("n_chars_final"))
+      .orderBy("doc_id")
+  }
+
+  val mergeUpsertSql: String =
+    """WITH base AS (SELECT doc_id, n_chars AS base_chars FROM documents
+      |              WHERE doc_id % 2 = 0),
+      |inc AS (SELECT doc_id, n_chars + 7 AS new_chars FROM documents
+      |        WHERE doc_id % 3 = 0)
+      |SELECT coalesce(base.doc_id, inc.doc_id) AS doc_id,
+      |  CASE WHEN inc.doc_id IS NOT NULL AND base.doc_id IS NOT NULL THEN 'update'
+      |       WHEN inc.doc_id IS NOT NULL THEN 'insert'
+      |       ELSE 'keep' END AS action,
+      |  CAST(coalesce(inc.new_chars, base.base_chars) AS BIGINT) AS n_chars_final
+      |FROM base FULL OUTER JOIN inc ON base.doc_id = inc.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Set operations (§2.8): INTERSECT / EXCEPT / UNION ALL in one
     * result — market-segment customers split by purchase activity.
     */
@@ -863,6 +906,7 @@ object EventAnalytics {
     "q_agg_rollup" -> (aggRollup _),
     "q_agg_cube" -> (aggCube _),
     "q_set_ops" -> (setOps _),
+    "q_merge_upsert" -> (mergeUpsert _),
     "q3_shipping" -> (q3Shipping _))
 
   val oracles: Map[String, String] = Map(
@@ -889,5 +933,6 @@ object EventAnalytics {
     "q_agg_rollup" -> aggRollupSql,
     "q_agg_cube" -> aggCubeSql,
     "q_set_ops" -> setOpsSql,
+    "q_merge_upsert" -> mergeUpsertSql,
     "q3_shipping" -> q3ShippingSql)
 }
