@@ -301,15 +301,26 @@ object EventAnalytics {
       .select(col("doc_id"), col("n_chars").as("base_chars"))
     val incoming = docs.where(col("doc_id") % 3 === 0)
       .select(col("doc_id"), (col("n_chars") + 7).as("new_chars"))
-    base.join(incoming, Seq("doc_id"), "full_outer")
+    mergeFrames(base, incoming).orderBy("doc_id")
+  }
+
+  /** Frame-in MERGE over (doc_id, base_chars) × (doc_id, new_chars).
+    * Classification and the final value are keyed on ROW PRESENCE, not
+    * payload nullness: MERGE matches on the key, so a matched incoming
+    * row with a NULL payload is still an `update` and its (null)
+    * payload wins — the oracle classifies by join-key presence the same
+    * way. Unit-tested on crafted NULL payloads in ReshapeSpec.
+    */
+  def mergeFrames(base: DataFrame, incoming: DataFrame): DataFrame =
+    base.withColumn("in_base", lit(true))
+      .join(incoming.withColumn("in_inc", lit(true)), Seq("doc_id"), "full_outer")
       .select(
         col("doc_id"),
-        when(col("new_chars").isNotNull && col("base_chars").isNotNull, "update")
-          .when(col("new_chars").isNotNull, "insert")
+        when(col("in_inc") && col("in_base"), "update")
+          .when(col("in_inc"), "insert")
           .otherwise("keep").as("action"),
-        coalesce(col("new_chars"), col("base_chars")).as("n_chars_final"))
-      .orderBy("doc_id")
-  }
+        when(col("in_inc"), col("new_chars"))
+          .otherwise(col("base_chars")).as("n_chars_final"))
 
   val mergeUpsertSql: String =
     """WITH base AS (SELECT doc_id, n_chars AS base_chars FROM documents
@@ -320,7 +331,8 @@ object EventAnalytics {
       |  CASE WHEN inc.doc_id IS NOT NULL AND base.doc_id IS NOT NULL THEN 'update'
       |       WHEN inc.doc_id IS NOT NULL THEN 'insert'
       |       ELSE 'keep' END AS action,
-      |  CAST(coalesce(inc.new_chars, base.base_chars) AS BIGINT) AS n_chars_final
+      |  CAST(CASE WHEN inc.doc_id IS NOT NULL THEN inc.new_chars
+      |            ELSE base.base_chars END AS BIGINT) AS n_chars_final
       |FROM base FULL OUTER JOIN inc ON base.doc_id = inc.doc_id
       |ORDER BY doc_id""".stripMargin
 

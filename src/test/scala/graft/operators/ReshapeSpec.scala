@@ -30,6 +30,22 @@ class ReshapeSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("merge classifies by key presence, even with NULL payloads") {
+    import spark.implicits._
+    val base = Seq((1L, Some(10L)), (2L, Some(20L)), (6L, None: Option[Long]))
+      .toDF("doc_id", "base_chars")
+    val inc = Seq((2L, None: Option[Long]), (3L, Some(37L)), (6L, Some(66L)))
+      .toDF("doc_id", "new_chars")
+    val got = EventAnalytics.mergeFrames(base, inc).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(got.toSeq === Seq(
+      (1L, "keep", Some(10L)),   // base-only survives
+      (2L, "update", None),      // matched: NULL incoming payload WINS
+      (3L, "insert", Some(37L)), // incoming-only inserts
+      (6L, "update", Some(66L)))) // NULL base payload still an update
+  }
+
   test("unpivot is the identity on the dense matrix") {
     val long = EventAnalytics.unpivotDaily(spark, sf).collect()
       .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2)))
