@@ -364,8 +364,51 @@ object TrainingPrep {
        |  CAST(sum(p_e6) // count(*) AS BIGINT) AS score_e6
        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Token-length HISTOGRAM: fixed-width buckets (50 tokens wide, last
+    * bucket open-ended) per source with counts and corpus share — the
+    * length-distribution profile behind context-length / truncation
+    * decisions, where [[quantileStats]] gives point quantiles this
+    * gives the whole shape. Bucketing is integer floor-division, so
+    * both engines agree exactly.
+    *
+    * Scale: one shuffle on (source, bucket) with map-side partials —
+    * |sources|·|buckets| rows out regardless of corpus size.
+    */
+  def lengthHistogram(spark: SparkSession, d: String,
+      bucketTokens: Int = 50, maxBucket: Int = 19): DataFrame = {
+    require(bucketTokens >= 1 && maxBucket >= 1,
+      s"need bucketTokens >= 1 and maxBucket >= 1, got ($bucketTokens, $maxBucket)")
+    val per = Tables.documents(spark, d)
+      .select(col("source"),
+        graft.functions.GraftFunctions.text_stats(col("text"), Nil)
+          .getItem(0).as("n_tok"))
+      .withColumn("bucket",
+        expr(s"least(n_tok div $bucketTokens, ${maxBucket}L)"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = per.groupBy("source").agg(sum("n_docs").as("src_docs"))
+    per.join(tot, Seq("source"))
+      .select(col("source"), col("bucket"),
+        (col("bucket") * bucketTokens).as("from_tok"),
+        col("n_docs"),
+        expr("n_docs * 10000L div src_docs").as("share_e4"))
+      .orderBy("source", "bucket")
+  }
+
+  val lengthHistogramSql: String =
+    s"""WITH t AS (SELECT source, CAST(len($toksDuck) AS BIGINT) AS n_tok
+       |           FROM documents),
+       |b AS (SELECT source, least(n_tok // 50, 19) AS bucket, count(*) AS n_docs
+       |      FROM t GROUP BY source, bucket),
+       |st AS (SELECT source, sum(n_docs) AS src_docs FROM b GROUP BY source)
+       |SELECT b.source, b.bucket, CAST(b.bucket * 50 AS BIGINT) AS from_tok,
+       |  b.n_docs, CAST(b.n_docs * 10000 // st.src_docs AS BIGINT) AS share_e4
+       |FROM b JOIN st ON b.source = st.source
+       |ORDER BY b.source, b.bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk_sliding" -> ((s, d) => chunkSliding(s, d)),
+    "q_length_histogram" -> ((s, d) => lengthHistogram(s, d)),
     "q_chunk_dedup" -> ((s, d) => chunkDedup(s, d)),
     "q_mix_weights" -> (mixWeights _),
     "q_quantile_stats" -> (quantileStats _),
@@ -375,6 +418,7 @@ object TrainingPrep {
 
   val oracles: Map[String, String] = Map(
     "q_chunk_sliding" -> chunkSlidingSql,
+    "q_length_histogram" -> lengthHistogramSql,
     "q_chunk_dedup" -> chunkDedupSql,
     "q_mix_weights" -> mixWeightsSql,
     "q_quantile_stats" -> quantileStatsSql,
