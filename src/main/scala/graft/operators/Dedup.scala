@@ -446,6 +446,65 @@ object Dedup {
        |FROM pairs JOIN sets sa ON sa.doc_id = doc_a JOIN sets sb ON sb.doc_id = doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** MinHash estimator-quality AUDIT: the signature-agreement estimate
+    * (matching components / numHashes) beside the exact Jaccard, with
+    * the signed error — the measurement that decides whether a
+    * signature family can RANK candidates without materializing
+    * shingle sets.
+    *
+    * What it shows for THIS family (and the reason this audit exists):
+    * the arithmetic family `h1 + j·h2` is cheap (one sha256 per
+    * shingle) and perfectly serviceable for LSH banding, but its per-j
+    * minimizers are CORRELATED — a shared shingle with a small (h1, h2)
+    * tends to win the min for MANY j at once — so the agreement
+    * fraction is a BIASED per-pair estimator (this corpus exhibits
+    * pairs with agreement 0.8 at true Jaccard 0.01; pinned in
+    * NoveltyTuningSpec). Production per-pair estimation therefore uses
+    * k independent hash functions or one-permutation MinHash with
+    * densification, at k× (or 1×) the hashing cost; the audit is how a
+    * pipeline catches that distinction empirically instead of
+    * discovering it as silent dedup over-deletion.
+    *
+    * Scale: the signature lookups join on the already-shuffled
+    * candidate keys; the estimate is a 16-element zip — no corpus pass
+    * beyond the exact verify it is scored against.
+    */
+  def minhashEstAudit(spark: SparkSession, d: String,
+      numHashes: Int = DefaultNumHashes,
+      numBands: Int = DefaultNumBands): DataFrame = {
+    val (_, sigs, joined) = candidatePairSets(spark, d, numHashes, numBands)
+    joined
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr(s"""aggregate(zip_with(sig_a, sig_b,
+          (x, y) -> CASE WHEN x = y THEN 1L ELSE 0L END),
+          0L, (a, v) -> a + v) * 10000 div $numHashes""").as("est_e4"),
+        graft.functions.GraftFunctions.jaccard_e4(col("set_a"), col("set_b"))
+          .as("exact_e4"))
+      .withColumn("err_e4", col("est_e4") - col("exact_e4"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val minhashEstAuditSql: String =
+    s"""WITH ${signaturesDuckCte()},
+       |${bandsDuckCte()},
+       |$candidatePairsDuckCte,
+       |sets AS (SELECT doc_id, list_distinct(shingles) AS sset
+       |         FROM sh WHERE len(shingles) > 0),
+       |sc AS (SELECT doc_a, doc_b,
+       |         CAST(len(list_filter(range(1, $DefaultNumHashes + 1),
+       |           i -> ga.sig[i] = gb.sig[i])) * 10000 // $DefaultNumHashes AS BIGINT) AS est_e4,
+       |         CAST(len(list_intersect(sa.sset, sb.sset)) * 10000 AS BIGINT)
+       |           // len(list_distinct(list_concat(sa.sset, sb.sset))) AS exact_e4
+       |       FROM pairs JOIN g ga ON ga.doc_id = doc_a
+       |                  JOIN g gb ON gb.doc_id = doc_b
+       |                  JOIN sets sa ON sa.doc_id = doc_a
+       |                  JOIN sets sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, est_e4, exact_e4,
+       |  est_e4 - exact_e4 AS err_e4
+       |FROM sc ORDER BY doc_a, doc_b""".stripMargin
+
   /** Asymmetric CONTAINMENT on the LSH candidate pairs: c(A→B) =
     * |A∩B| / |A| (and the reverse direction) over distinct shingle sets.
     * Jaccard dilutes a short document fully embedded in a long one
@@ -720,6 +779,7 @@ object Dedup {
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_simhash64" -> ((s, d) => dedupSimhash64(s, d)),
     "q_dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(s, d)),
+    "q_minhash_est_audit" -> ((s, d) => minhashEstAudit(s, d)),
     "q_dedup_containment" -> ((s, d) => dedupContainment(s, d)),
     "q_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
     "q_dedup_clusters_star" -> ((s, d) => dedupClustersStar(s, d)),
@@ -734,6 +794,7 @@ object Dedup {
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_simhash64" -> dedupSimhash64Sql,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "q_minhash_est_audit" -> minhashEstAuditSql,
     "q_dedup_containment" -> dedupContainmentSql,
     "q_dedup_clusters" -> dedupClustersSql,
     // same clusters, different algorithm — the oracle is shared

@@ -39,6 +39,26 @@ class NoveltyTuningSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_._4).distinct.length > 1)
   }
 
+  test("minhash estimator audit exposes the affine-family bias it documents") {
+    val rows = Dedup.minhashEstAudit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, est, exact, err) =>
+      assert(est >= 0L && est <= 10000L, s"pair ($a,$b) est out of range")
+      assert(exact >= 0L && exact <= 10000L, s"pair ($a,$b) exact out of range")
+      assert(err === est - exact, s"pair ($a,$b) err arithmetic")
+      // identical shingle sets agree on every component — est must be 1.0
+      if (exact == 10000L) assert(est === 10000L, s"pair ($a,$b) exact dup")
+    }
+    // the operator's raison d'être: the h1 + j*h2 family's correlated
+    // minimizers make the agreement fraction a BIASED per-pair
+    // estimator — this corpus must exhibit the divergence the scaladoc
+    // documents (if this ever fails, the family changed; re-read the doc)
+    assert(rows.exists(r => math.abs(r._5) > 4000L),
+      "expected at least one high-bias pair under the affine family")
+  }
+
   test("lsh tuning report equals a driver-side aggregation of the band rows") {
     // band values derived through the same compiled kernel the operator
     // uses (kernel itself is pinned by TextHashSpec); the report's
