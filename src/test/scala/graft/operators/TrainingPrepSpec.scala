@@ -115,4 +115,30 @@ class TrainingPrepSpec extends AnyFunSuite with SparkTestBase {
         s"doc ${r.getLong(0)}")
     }
   }
+
+  test("length histogram buckets every doc once with floor-exact shares") {
+    val bySource = graft.sources.Tables.documents(spark, sf)
+      .select("source", "doc_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val model = bySource.map { case (src, ids) =>
+      val buckets = ids.map(id => math.min(docs(id).size / 50, 19).toLong)
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      src -> buckets
+    }
+    val rows = TrainingPrep.lengthHistogram(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    rows.foreach { case (src, bucket, fromTok, n, share) =>
+      assert(n === model(src)(bucket), s"($src, $bucket) count")
+      assert(fromTok === bucket * 50, s"($src, $bucket) lower edge")
+      assert(share === n * 10000L / bySource(src).length, s"($src, $bucket) share")
+    }
+    // every doc lands in exactly one bucket
+    model.foreach { case (src, buckets) =>
+      assert(rows.filter(_._1 == src).map(_._4).sum === bySource(src).length.toLong,
+        s"$src coverage")
+      assert(rows.filter(_._1 == src).map(_._2).toSet === buckets.keySet, s"$src buckets")
+    }
+  }
 }
