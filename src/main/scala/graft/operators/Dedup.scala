@@ -122,6 +122,18 @@ object Dedup {
       |            ON a.band_id = b.band_id AND a.band_val = b.band_val
       |           AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** Signature-agreement estimate over (sig_a, sig_b) — ONE definition
+    * shared by the LSH query and the estimator audit, so the audit can
+    * never silently diverge from the expression it audits. Expects the
+    * joined pair frame aliases used by both callers.
+    */
+  private def sigAgreementExpr(numHashes: Int): String =
+    s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) * 10000L div $numHashes"
+
+  /** DuckDB twin of [[sigAgreementExpr]] over `g ga` / `g gb`. */
+  private def sigAgreementDuck(numHashes: Int): String =
+    s"CAST(len(list_filter(range(0, $numHashes), j -> ga.sig[j+1] = gb.sig[j+1])) * 10000 AS BIGINT) // $numHashes"
+
   /** LSH TUNING report: per band, the bucket population profile —
     * bucket count, the largest bucket, how many buckets actually
     * collide, and Σ C(size, 2) — the exact candidate-pair work this
@@ -269,8 +281,7 @@ object Dedup {
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .select(
         col("doc_a"), col("doc_b"),
-        expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) * 10000L div $numHashes")
-          .as("est_jaccard_e4"))
+        expr(sigAgreementExpr(numHashes)).as("est_jaccard_e4"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -280,7 +291,7 @@ object Dedup {
        |${bandsDuckCte()},
        |$candidatePairsDuckCte
        |SELECT doc_a, doc_b,
-       |  CAST(len(list_filter(range(0, $n), j -> ga.sig[j+1] = gb.sig[j+1])) * 10000 AS BIGINT) // $n AS est_jaccard_e4
+       |  ${sigAgreementDuck(n)} AS est_jaccard_e4
        |FROM pairs JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
   }
@@ -477,9 +488,7 @@ object Dedup {
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        expr(s"""aggregate(zip_with(sig_a, sig_b,
-          (x, y) -> CASE WHEN x = y THEN 1L ELSE 0L END),
-          0L, (a, v) -> a + v) * 10000 div $numHashes""").as("est_e4"),
+        expr(sigAgreementExpr(numHashes)).as("est_e4"),
         graft.functions.GraftFunctions.jaccard_e4(col("set_a"), col("set_b"))
           .as("exact_e4"))
       .withColumn("err_e4", col("est_e4") - col("exact_e4"))
@@ -493,8 +502,7 @@ object Dedup {
        |sets AS (SELECT doc_id, list_distinct(shingles) AS sset
        |         FROM sh WHERE len(shingles) > 0),
        |sc AS (SELECT doc_a, doc_b,
-       |         CAST(len(list_filter(range(1, $DefaultNumHashes + 1),
-       |           i -> ga.sig[i] = gb.sig[i])) * 10000 // $DefaultNumHashes AS BIGINT) AS est_e4,
+       |         ${sigAgreementDuck(DefaultNumHashes)} AS est_e4,
        |         CAST(len(list_intersect(sa.sset, sb.sset)) * 10000 AS BIGINT)
        |           // len(list_distinct(list_concat(sa.sset, sb.sset))) AS exact_e4
        |       FROM pairs JOIN g ga ON ga.doc_id = doc_a

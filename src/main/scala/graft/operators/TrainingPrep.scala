@@ -378,7 +378,10 @@ object TrainingPrep {
       bucketTokens: Int = 50, maxBucket: Int = 19): DataFrame = {
     require(bucketTokens >= 1 && maxBucket >= 1,
       s"need bucketTokens >= 1 and maxBucket >= 1, got ($bucketTokens, $maxBucket)")
-    val per = Tables.documents(spark, d)
+    // per-source total via a window over the tiny aggregated frame —
+    // one pass, no self-join forking the unpersisted plan (the
+    // quantileStats pattern in this file)
+    Tables.documents(spark, d)
       .select(col("source"),
         graft.functions.GraftFunctions.text_stats(col("text"), Nil)
           .getItem(0).as("n_tok"))
@@ -386,8 +389,7 @@ object TrainingPrep {
         expr(s"least(n_tok div $bucketTokens, ${maxBucket}L)"))
       .groupBy("source", "bucket")
       .agg(count(lit(1)).as("n_docs"))
-    val tot = per.groupBy("source").agg(sum("n_docs").as("src_docs"))
-    per.join(tot, Seq("source"))
+      .withColumn("src_docs", sum("n_docs").over(Window.partitionBy("source")))
       .select(col("source"), col("bucket"),
         (col("bucket") * bucketTokens).as("from_tok"),
         col("n_docs"),

@@ -39,17 +39,38 @@ class NoveltyTuningSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_._4).distinct.length > 1)
   }
 
-  test("minhash estimator audit exposes the affine-family bias it documents") {
+  /** Driver-side MinHash signature: the h1 + j*h2 family over sha256
+    * halves — the cross-engine contract re-derived in pure Scala.
+    */
+  private def sigModel(shingleSet: Seq[String], numHashes: Int = 16): Seq[Long] = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val halves = shingleSet.map { s =>
+      val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex.substring(0, 14), 16),
+        java.lang.Long.parseLong(hex.substring(14, 28), 16))
+    }
+    (0 until numHashes).map(j => halves.map { case (h1, h2) => h1 + j * h2 }.min)
+  }
+
+  test("minhash estimator audit matches driver models and exposes the affine-family bias") {
+    val sets = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> shingles(tokens(r.getString(1))).distinct)
+      .filter(_._2.nonEmpty).toMap
+    val sigsModel = sets.map { case (id, ss) => id -> sigModel(ss) }
     val rows = Dedup.minhashEstAudit(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4)))
     assert(rows.nonEmpty)
     rows.foreach { case (a, b, est, exact, err) =>
-      assert(est >= 0L && est <= 10000L, s"pair ($a,$b) est out of range")
-      assert(exact >= 0L && exact <= 10000L, s"pair ($a,$b) exact out of range")
-      assert(err === est - exact, s"pair ($a,$b) err arithmetic")
-      // identical shingle sets agree on every component — est must be 1.0
-      if (exact == 10000L) assert(est === 10000L, s"pair ($a,$b) exact dup")
+      // est against an independent driver-side signature recomputation
+      val matches = sigsModel(a).zip(sigsModel(b)).count { case (x, y) => x == y }
+      assert(est === matches.toLong * 10000L / 16L, s"pair ($a,$b) est model")
+      // exact against an independent driver-side Jaccard
+      val (sa, sb) = (sets(a).toSet, sets(b).toSet)
+      assert(exact === (sa & sb).size.toLong * 10000L / (sa | sb).size,
+        s"pair ($a,$b) exact model")
+      assert(err === est - exact, s"pair ($a,$b) err column")
     }
     // the operator's raison d'être: the h1 + j*h2 family's correlated
     // minimizers make the agreement fraction a BIASED per-pair
