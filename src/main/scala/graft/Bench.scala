@@ -84,7 +84,16 @@ object Bench {
     // total covers successful queries only (failed ones report -1)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failed = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median_of_interleaved_passes","failed":$failed,"metric":"total","unit":"sec","value":${s3(total)}}""")
+    val line = s"""{"queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median_of_interleaved_passes","failed":$failed,"metric":"total","unit":"sec","value":${s3(total)}}"""
+    println(line)
+    // the harness keeps only the log TAIL, which truncates the per-query
+    // map once the suite grows past ~70 queries — persist the full line
+    // to its own small file so every per-query timing survives the round
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
     if (failures.nonEmpty) {
       System.err.println(s"BENCH FAILURES: ${failures.mkString(", ")}")

@@ -47,7 +47,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .filter(kv => only.forall(_(kv._1)))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // a VERIFY_ONLY subset writes to a DISTINCT filename: a later full
+    // comparison pointed at this outDir must not silently consume a
+    // filtered manifest and read green on a fraction of the suite
+    val manifest =
+      if (only.isDefined) "oracle_sql.partial.json" else "oracle_sql.json"
+    Files.writeString(Paths.get(s"$outDir/$manifest"), json)
     spark.stop()
   }
 }

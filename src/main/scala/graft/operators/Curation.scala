@@ -168,8 +168,13 @@ object Curation {
     * threshold), no shuffle before the presentation sort — the
     * [[sampleHash]] plan shape with a data-dependent rate.
     */
+  /** Base keep-rate (ppm) shared by [[sampleWeighted]]'s default and
+    * its SQL oracle — interpolated into both so they cannot drift.
+    */
+  val DefaultBasePpm = 600000L
+
   def sampleWeighted(spark: SparkSession, d: String,
-      basePpm: Long = 600000L): DataFrame = {
+      basePpm: Long = DefaultBasePpm): DataFrame = {
     require(basePpm >= 0 && basePpm <= 1000000L,
       s"basePpm must be in [0, 1e6], got $basePpm")
     Tables.documents(spark, d)
@@ -199,7 +204,7 @@ object Curation {
        |           % 1000000 AS hash_ppm
        |       FROM t)
        |SELECT doc_id, source, CAST(score_e4 AS BIGINT) AS score_e4,
-       |  hash_ppm < 600000 * score_e4 // 2500 AS kept
+       |  hash_ppm < $DefaultBasePpm * score_e4 // 2500 AS kept
        |FROM sc ORDER BY doc_id""".stripMargin
   }
 
@@ -455,8 +460,18 @@ object Curation {
     * corpus_bytes / desired_shard_bytes, and the sink writes one
     * fragment per shard in `pos` order.
     */
+  /** Shard knobs shared by the Scala defaults AND the SQL oracles below
+    * (interpolated into [[shardSqlOver]]) — one definition, so editing a
+    * default cannot leave the oracle stale. Calls with NON-default
+    * salt/shard-count are production entry points whose results the
+    * embedded oracles do not describe.
+    */
+  val DefaultNumShards = 8
+  val DefaultShardSalt = "epoch0"
+
   def shuffleShards(spark: SparkSession, d: String,
-      numShards: Int = 8, salt: String = "epoch0"): DataFrame =
+      numShards: Int = DefaultNumShards,
+      salt: String = DefaultShardSalt): DataFrame =
     shardFrames(Tables.documents(spark, d), numShards, salt)
       .orderBy("shard", "pos")
 
@@ -465,7 +480,8 @@ object Curation {
     * being emitted (the capstone composes it over the final corpus).
     */
   def shardFrames(docs: DataFrame,
-      numShards: Int = 8, salt: String = "epoch0"): DataFrame = {
+      numShards: Int = DefaultNumShards,
+      salt: String = DefaultShardSalt): DataFrame = {
     require(numShards >= 1, s"numShards must be >= 1, got $numShards")
     docs
       .select(col("doc_id"),
@@ -489,7 +505,8 @@ object Curation {
     * positions are per-shard ranks over corpus/numShards-sized strata.
     */
   def corpusShards(spark: SparkSession, d: String,
-      numShards: Int = 8, salt: String = "epoch0"): DataFrame =
+      numShards: Int = DefaultNumShards,
+      salt: String = DefaultShardSalt): DataFrame =
     shardFrames(corpusEmit(spark, d).select("doc_id"), numShards, salt)
       .orderBy("shard", "pos")
 
@@ -500,16 +517,18 @@ object Curation {
        |${shardSqlOver("kept")}""".stripMargin
 
   /** Shard/pos SQL over any relation exposing `doc_id` — the single
-    * oracle twin of [[shardFrames]], so a hash/salt/shard-count edit
-    * cannot desynchronize the two oracles that embed it.
+    * oracle twin of [[shardFrames]] AT THE DEFAULT KNOBS (salt and
+    * shard count interpolated from the same constants the Scala
+    * defaults read), so neither a hash/salt/shard-count edit nor a
+    * default change can desynchronize the two oracles that embed it.
     */
   private def shardSqlOver(relation: String): String =
     s"""hh AS (SELECT doc_id,
-       |  substr(sha256('epoch0:' || CAST(doc_id AS VARCHAR)), 1, 16) AS h
+       |  substr(sha256('$DefaultShardSalt:' || CAST(doc_id AS VARCHAR)), 1, 16) AS h
        |  FROM $relation)
-       |SELECT ('0x' || substr(h, 1, 8))::BIGINT % 8 AS shard,
+       |SELECT ('0x' || substr(h, 1, 8))::BIGINT % $DefaultNumShards AS shard,
        |  CAST(row_number() OVER (
-       |    PARTITION BY ('0x' || substr(h, 1, 8))::BIGINT % 8
+       |    PARTITION BY ('0x' || substr(h, 1, 8))::BIGINT % $DefaultNumShards
        |    ORDER BY h, doc_id) AS BIGINT) AS pos,
        |  doc_id
        |FROM hh ORDER BY shard, pos""".stripMargin

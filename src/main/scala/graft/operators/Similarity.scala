@@ -444,12 +444,16 @@ object Similarity {
       .where(col("rank") <= k)
       .select("src", "dst", "cos_e6")
       .persist()
-    topk.as("x").join(topk.as("y"),
+    val out = topk.as("x").join(topk.as("y"),
         col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
       .where(col("x.src") < col("x.dst"))
       .select(col("x.src").as("vec_a"), col("x.dst").as("vec_b"),
         col("x.cos_e6").as("cos_e6"))
       .orderBy("vec_a", "vec_b")
+      .persist()
+    out.count() // materialize so the top-k cache can be released
+    topk.unpersist()
+    out
   }
 
   val knnGraphSql: String =
@@ -483,7 +487,14 @@ object Similarity {
     * degrees are persisted once). Production runs O(10) iterations or
     * a convergence fingerprint; 3 here keeps the unrolled oracle sane.
     */
-  def graphPagerank(spark: SparkSession, d: String, iters: Int = 3): DataFrame = {
+  /** Iteration count shared by [[graphPagerank]]'s default and the SQL
+    * unroll in [[graphPagerankSql]] — one constant so changing the
+    * default cannot desynchronize the oracle.
+    */
+  val DefaultPagerankIters = 3
+
+  def graphPagerank(spark: SparkSession, d: String,
+      iters: Int = DefaultPagerankIters): DataFrame = {
     require(iters >= 1 && iters <= 8, s"iters must be in [1, 8], got $iters")
     val mutual = knnGraph(spark, d)
     val edges = mutual.select(col("vec_a").as("src"), col("vec_b").as("dst"))
@@ -503,15 +514,16 @@ object Similarity {
       .select(col("node"), col("r_e6"), col("deg"))
       .orderBy("node")
       .persist()
-    out.count() // materialize so the edge/degree caches can be released
+    out.count() // materialize so the edge/degree/graph caches can be released
     edges.unpersist()
     deg.unpersist()
+    mutual.unpersist() // knnGraph's own result cache — this consumer owns it
     out
   }
 
   /** Unrolled PageRank oracle over the same mutual-kNN edges. */
   val graphPagerankSql: String = {
-    val steps = (0 until 3).map { t =>
+    val steps = (0 until DefaultPagerankIters).map { t =>
       s"""r${t + 1} AS (SELECT ed.dst AS node,
          |  CAST(150000 + (85 * sum(r$t.r_e6 // dg.deg)) // 100 AS BIGINT) AS r_e6
          |  FROM ed JOIN r$t ON ed.src = r$t.node JOIN dg ON ed.src = dg.src
@@ -523,7 +535,8 @@ object Similarity {
        |dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
        |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r_e6 FROM dg),
        |$steps
-       |SELECT r3.node, r3.r_e6, dg.deg FROM r3 JOIN dg ON r3.node = dg.src
+       |SELECT r$DefaultPagerankIters.node, r$DefaultPagerankIters.r_e6, dg.deg
+       |FROM r$DefaultPagerankIters JOIN dg ON r$DefaultPagerankIters.node = dg.src
        |ORDER BY node""".stripMargin
   }
 

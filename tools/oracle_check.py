@@ -54,7 +54,15 @@ def main(out_dir: str, sf_dir: str) -> int:
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    with open(f"{out_dir}/oracle_sql.json") as f:
+    # a SPARK_GRAFT_VERIFY_ONLY run writes oracle_sql.partial.json so a
+    # full-gate comparison can never silently consume a filtered manifest;
+    # prefer the full manifest, fall back to the partial one LOUDLY
+    import os
+    manifest = f"{out_dir}/oracle_sql.json"
+    if not os.path.exists(manifest):
+        manifest = f"{out_dir}/oracle_sql.partial.json"
+        print(f"NOTE: using PARTIAL manifest {manifest} — subset run only")
+    with open(manifest) as f:
         oracles = json.load(f)
     failures = 0
     for name, sql in sorted(oracles.items()):
