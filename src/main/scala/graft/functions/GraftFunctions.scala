@@ -88,6 +88,9 @@ object GraftFunctions {
     toCol(Uint256Sum(toExpr(c)).toAggregateExpression())
 
   /** text → sorted winnowing fingerprints over a rolling 3-gram hash. */
+  /** Positional rolling 3-gram hashes (array index = token offset). */
+  def rolling_hashes(c: Column): Column = toCol(RollingHashes(toExpr(c)))
+
   def winnow_fps(c: Column, window: Int = 4): Column =
     toCol(WinnowFps(toExpr(c), window))
 
@@ -189,6 +192,8 @@ object GraftFunctions {
       "winnow_fps" -> arity("winnow_fps", 1, 2)(exprs =>
         WinnowFps(exprs.head,
           if (exprs.size > 1) int(exprs(1), "winnow_fps window") else 4)),
+      "rolling_hashes" -> arity("rolling_hashes", 1, 1)(exprs =>
+        RollingHashes(exprs.head)),
       "zorder_key" -> arity("zorder_key", 2, 2)(exprs =>
         ZOrderKey(exprs.head, exprs(1))),
       "quantize_stats" -> arity("quantize_stats", 1, 1)(exprs =>

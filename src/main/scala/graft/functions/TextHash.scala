@@ -152,26 +152,50 @@ object TextHash {
     * sorted ascending. Integer-exact and reproducible in plain SQL, so
     * the DuckDB oracle matches bit-for-bit. Null when no shingles.
     */
-  def winnowFps(text: UTF8String, w: Int): ArrayData = {
-    require(w >= 1, s"winnow window must be >= 1, got $w")
-    val M = 1000000007L
-    val B = 131L
-    val toks = tokens(text.toString)
+  private val RollM = 1000000007L
+  private val RollB = 131L
+
+  /** Rolling 3-gram hash array over the token stream (null when fewer
+    * than 3 tokens): rh(i) = ((t_i*B + t_{i+1}) mod M * B + t_{i+2})
+    * mod M with t = first 32 sha-hex bits mod M — index i IS the
+    * 0-based token offset of the shingle. Shared by the winnow sampler
+    * and the positional span-dedup kernel.
+    */
+  def rollingHashArray(toks: Array[String]): Array[Long] = {
     if (toks.length < 3) return null
     val tv = new Array[Long](toks.length)
     var i = 0
     while (i < toks.length) {
-      tv(i) = java.lang.Long.parseLong(sha256Hex(toks(i)).substring(0, 8), 16) % M
+      tv(i) = java.lang.Long.parseLong(sha256Hex(toks(i)).substring(0, 8), 16) % RollM
       i += 1
     }
     val n = toks.length - 2
     val rh = new Array[Long](n)
     i = 0
     while (i < n) {
-      rh(i) = ((tv(i) * B + tv(i + 1)) % M * B + tv(i + 2)) % M
+      rh(i) = ((tv(i) * RollB + tv(i + 1)) % RollM * RollB + tv(i + 2)) % RollM
       i += 1
     }
+    rh
+  }
+
+  /** Positional form: the full rolling-hash array (no winnow
+    * min-sampling) — the span-merge operator reads the array INDEX as
+    * the token offset. Null when no shingles.
+    */
+  def rollingHashes(text: UTF8String): ArrayData = {
+    val rh = rollingHashArray(tokens(text.toString))
+    if (rh == null) return null
+    new GenericArrayData(rh)
+  }
+
+  def winnowFps(text: UTF8String, w: Int): ArrayData = {
+    require(w >= 1, s"winnow window must be >= 1, got $w")
+    val rh = rollingHashArray(tokens(text.toString))
+    if (rh == null) return null
+    val n = rh.length
     val fps = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
     if (n <= w) {
       var mn = rh(0)
       i = 1
@@ -387,6 +411,25 @@ case class WinnowFps(child: Expression, window: Int)
          |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin
     })
   override protected def withNewChildInternal(newChild: Expression): WinnowFps =
+    copy(child = newChild)
+}
+
+/** text → array<long> of POSITIONAL rolling 3-gram hashes (index =
+  * 0-based token offset; null when no shingles) — the span-dedup input.
+  */
+case class RollingHashes(child: Expression)
+    extends UnaryExpression with TextStringInput {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "rolling_hashes"
+  override def nullSafeEval(v: Any): Any =
+    TextHash.rollingHashes(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""${ev.value} = $helperName.rollingHashes($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): RollingHashes =
     copy(child = newChild)
 }
 

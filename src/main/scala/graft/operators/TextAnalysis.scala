@@ -258,17 +258,145 @@ object TextAnalysis {
     * length (drop fps occurring in > K docs, the classic stop-fp rule).
     */
   def winnowPairs(spark: SparkSession, d: String,
-      minShared: Long = 3L): DataFrame = {
+      minShared: Long = 3L): DataFrame =
+    winnowPairFunnel(spark, d, minShared).orderBy("doc_a", "doc_b")
+
+  /** The shared candidate-pair funnel: (doc_a, doc_b, n_shared_fps)
+    * pairs sharing >= minShared winnow fingerprints, MATERIALIZED (the
+    * returned frame is the persisted lineage root; the exploded
+    * fingerprint cache is released before returning). Feeds both the
+    * pair report and the span merger.
+    */
+  private def winnowPairFunnel(spark: SparkSession, d: String,
+      minShared: Long): DataFrame = {
     // persisted: the frame feeds both join sides, and exchange reuse
     // verifiably does not dedupe identical subtrees (see tfidfTopTerms)
     val fps = winnowFpRows(spark, d).persist()
-    fps.as("a").join(fps.as("b"),
+    val out = fps.as("a").join(fps.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_fps"))
       .where(col("n_shared_fps") >= minShared)
-      .orderBy("doc_a", "doc_b")
+      .persist()
+    out.count() // materialize so the fingerprint cache can be released
+    fps.unpersist()
+    out
   }
+
+  /** Span-merge knobs shared by the Scala defaults and the SQL oracle.
+    * minSpanTokens = 6 means a span must cover >= 4 consecutive 3-gram
+    * matches — long enough that a random single-hash collision cannot
+    * fabricate one.
+    */
+  val DefaultMinSharedFps = 3L
+  val DefaultMinSpanTokens = 6L
+
+  /** Cross-document REPEATED-SPAN detection (Lee et al.-style exact
+    * substring dedup at 3-gram-hash granularity): for each candidate
+    * pair from the winnow funnel, positional rolling-hash matches are
+    * merged into MAXIMAL shared spans — runs of consecutive matching
+    * positions on the same alignment diagonal (pos_a - pos_b) — and
+    * emitted as (doc_a, doc_b, start_a, start_b, span_tokens) with
+    * 0-based token offsets. This catches boilerplate sentences inside
+    * otherwise-unique documents, the granularity between whole-document
+    * MinHash and chunk-level dedup.
+    *
+    * Scale shape — the winnow funnel, never all-pairs:
+    *  1. candidate pairs come from the SAMPLED fingerprint join
+    *     ([[winnowPairFunnel]] — the q_winnow_pairs economics);
+    *  2. only documents that appear in a candidate pair are re-hashed
+    *     positionally (semi-join against the broadcast candidate doc
+    *     list — a sliver of the corpus, hashing is map-side per doc);
+    *  3. the match join keys on (doc, hash), so positional rows shuffle
+    *     ONCE; per-pair work is bounded by matched positions, not doc
+    *     length squared;
+    *  4. the island merge windows over (pair, diagonal) — partitions
+    *     are per-candidate-pair match lists, never corpus-sized.
+    * A doc shared across MANY pairs (viral boilerplate) fans its
+    * positional rows out per pair; production caps pair fanout per doc
+    * (the stop-fp rule upstream already trims the hottest hashes).
+    *
+    * Correctness contract: hash collisions (P = 1e9+7) could in
+    * principle fabricate a match, but both engines compute identical
+    * hashes, so results stay bit-identical; the minSpanTokens filter
+    * (>= 4 consecutive matches) makes a fabricated SPAN astronomically
+    * unlikely.
+    */
+  def spanDedup(spark: SparkSession, d: String,
+      minShared: Long = DefaultMinSharedFps,
+      minSpanTokens: Long = DefaultMinSpanTokens): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = winnowPairFunnel(spark, d, minShared)
+    val pairs = cand.select("doc_a", "doc_b")
+    val candDocs = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val pos = Tables.documents(spark, d)
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        posexplode(graft.functions.GraftFunctions.rolling_hashes(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("h"))
+    val matches = broadcast(pairs)
+      .join(pos.as("pa"), col("doc_a") === col("pa.doc_id"))
+      .join(pos.as("pb"),
+        col("doc_b") === col("pb.doc_id") && col("pa.h") === col("pb.h"))
+      .select(col("doc_a"), col("doc_b"),
+        col("pa.pos").as("pos_a"), col("pb.pos").as("pos_b"))
+    val diagW = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    val out = matches
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+      // island break = this match does not extend the previous one;
+      // running sum of breaks numbers the maximal runs
+      .withColumn("brk",
+        when(col("pos_a") - lag("pos_a", 1).over(diagW) === 1, 0L).otherwise(1L))
+      .withColumn("island", sum("brk").over(diagW))
+      .groupBy("doc_a", "doc_b", "diag", "island")
+      .agg(
+        min("pos_a").cast(LongType).as("start_a"),
+        min("pos_b").cast(LongType).as("start_b"),
+        (count(lit(1)) + 2).as("span_tokens"))
+      .where(col("span_tokens") >= minSpanTokens)
+      .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
+      .orderBy("doc_a", "doc_b", "start_a", "start_b")
+      .persist()
+    out.count() // materialize so the candidate-pair cache can be released
+    cand.unpersist()
+    out
+  }
+
+  /** DuckDB twin of [[spanDedup]]: same funnel (winnow pairs), same
+    * positional hashes (rhs array index = 0-based offset), same
+    * diagonal-island merge via window functions.
+    */
+  val spanDedupSql: String =
+    s"""WITH $winnowDuckCtes,
+       |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM fpx a JOIN fpx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $DefaultMinSharedFps),
+       |cdocs AS (SELECT DISTINCT doc_id FROM (
+       |  SELECT doc_a AS doc_id FROM cand UNION ALL SELECT doc_b FROM cand)),
+       |prh AS (SELECT doc_id,
+       |  CAST(unnest(range(0, len(rhs))) AS BIGINT) AS pos,
+       |  unnest(rhs) AS h
+       |  FROM rh JOIN cdocs USING (doc_id)),
+       |mt AS (SELECT c.doc_a, c.doc_b, pa.pos AS pos_a, pb.pos AS pos_b
+       |  FROM cand c JOIN prh pa ON pa.doc_id = c.doc_a
+       |              JOIN prh pb ON pb.doc_id = c.doc_b AND pb.h = pa.h),
+       |di AS (SELECT doc_a, doc_b, pos_a - pos_b AS diag, pos_a, pos_b,
+       |  CASE WHEN pos_a - lag(pos_a) OVER (
+       |    PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) = 1
+       |    THEN 0 ELSE 1 END AS brk
+       |  FROM mt),
+       |isl AS (SELECT doc_a, doc_b, diag, pos_a, pos_b,
+       |  sum(brk) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS island
+       |  FROM di)
+       |SELECT doc_a, doc_b,
+       |  CAST(min(pos_a) AS BIGINT) AS start_a,
+       |  CAST(min(pos_b) AS BIGINT) AS start_b,
+       |  CAST(count(*) + 2 AS BIGINT) AS span_tokens
+       |FROM isl GROUP BY doc_a, doc_b, diag, island
+       |HAVING count(*) + 2 >= $DefaultMinSpanTokens
+       |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin
 
   val winnowPairsSql: String =
     s"""WITH $winnowDuckCtes
@@ -647,6 +775,7 @@ object TextAnalysis {
     "q_pack_sequences" -> ((s, d) => packSequences(s, d)),
     "q_text_winnow" -> (textWinnow _),
     "q_winnow_pairs" -> ((s, d) => winnowPairs(s, d)),
+    "q_span_dedup" -> ((s, d) => spanDedup(s, d)),
     "q_text_repetition" -> (textRepetition _),
     "q_text_tokens" -> (textTokens _),
     "q_text_quality" -> (textQuality _),
@@ -664,6 +793,7 @@ object TextAnalysis {
     "q_pack_sequences" -> packSequencesSql,
     "q_text_winnow" -> textWinnowSql,
     "q_winnow_pairs" -> winnowPairsSql,
+    "q_span_dedup" -> spanDedupSql,
     "q_text_repetition" -> textRepetitionSql,
     "q_text_tokens" -> textTokensSql,
     "q_text_quality" -> textQualitySql,

@@ -44,6 +44,25 @@ class TextHashSpec extends AnyFunSuite with SparkTestBase {
     assert(compiled.length === 4) // docs 3 and 4 have no shingles
   }
 
+  test("RollingHashes equals the declarative rolling-hash pipeline") {
+    val declarative = docs
+      .withColumn("toks", expr(TextAnalysis.tokensSpark))
+      .where(size(col("toks")) >= 3)
+      .withColumn("tvs", expr(
+        "transform(toks, tk -> cast(conv(substring(sha2(tk, 256), 1, 8), 16, 10) as long) % 1000000007)"))
+      .select(col("doc_id"), expr(
+        """transform(sequence(0, size(tvs) - 3), i ->
+          |  ((element_at(tvs, i+1) * 131 + element_at(tvs, i+2)) % 1000000007
+          |   * 131 + element_at(tvs, i+3)) % 1000000007)""".stripMargin).as("rh"))
+      .orderBy("doc_id").collect()
+    val compiled = docs
+      .select(col("doc_id"), GraftFunctions.rolling_hashes(col("text")).as("rh"))
+      .where(col("rh").isNotNull)
+      .orderBy("doc_id").collect()
+    assert(compiled.map(_.toString) === declarative.map(_.toString))
+    assert(compiled.length === 4) // docs 3 and 4 have no shingles
+  }
+
   test("TextFingerprint equals the declarative min/max hash pipeline") {
     val declarative = docs
       .withColumn("toks", expr(TextAnalysis.tokensSpark))

@@ -213,4 +213,22 @@ class PlanContractSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.toString.contains("Expand"),
       s"pivot-with-values must not Expand the input:\n$plan")
   }
+
+  test("q_span_dedup hashes only candidate docs and never goes all-pairs") {
+    // the returned frame is the persisted lineage root; the cached plan
+    // (InMemoryRelation inner child) still renders in the tree string
+    val plan = stripAqe(
+      TextAnalysis.spanDedup(spark, sf).queryExecution.executedPlan)
+    val s = plan.toString
+    assert(s.contains("BroadcastHashJoin") && s.contains("LeftSemi"),
+      s"expected a broadcast semi-join pruning the corpus to candidate docs:\n$s")
+    assert(!s.contains("CartesianProduct"),
+      s"span merge must stay within the candidate funnel, not all-pairs:\n$s")
+    // positional hashing (the posexplode Generate) must sit ABOVE the
+    // candidate-doc prune, so only the sliver of candidate docs is hashed
+    val gen = s.linesIterator.indexWhere(_.contains("Generate posexplode"))
+    val semi = s.linesIterator.indexWhere(_.contains("LeftSemi"))
+    assert(gen >= 0 && semi > gen,
+      s"posexplode must consume the semi-joined (pruned) corpus:\n$s")
+  }
 }

@@ -60,4 +60,53 @@ class TextIndexSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(exact.nonEmpty) // corpus sanity
   }
+
+  test("span dedup matches a brute-force driver model on the real corpus") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val texts: Map[Long, String] = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // candidate pairs: same winnow funnel (>= 3 shared fingerprints)
+    def fps(t: String): Set[Long] = {
+      val a = graft.functions.TextHash.winnowFps(UTF8String.fromString(t), 4)
+      if (a == null) Set.empty else a.toLongArray().toSet
+    }
+    val fpsByDoc = texts.view.mapValues(fps).toMap
+    val ids = texts.keys.toSeq.sorted
+    val cand = for {
+      a <- ids; b <- ids if a < b
+      if (fpsByDoc(a) intersect fpsByDoc(b)).size >= 3
+    } yield (a, b)
+    // brute-force maximal diagonal runs over the positional hashes
+    def rh(t: String): Array[Long] = {
+      val r = graft.functions.TextHash.rollingHashArray(
+        graft.functions.TextHash.tokens(t))
+      if (r == null) Array.empty else r
+    }
+    val expected = cand.flatMap { case (a, b) =>
+      val (ra, rb) = (rh(texts(a)), rh(texts(b)))
+      val matches = for {
+        i <- ra.indices; j <- rb.indices if ra(i) == rb(j)
+      } yield (i, j)
+      matches.groupBy { case (i, j) => i - j }.values.flatMap { diag =>
+        // maximal runs of consecutive i within one diagonal
+        val sorted = diag.map(_._1).sorted
+        val runs = sorted.foldLeft(List.empty[List[Int]]) {
+          case (acc @ (run @ (h :: _)) :: rest, i) if i == h + 1 =>
+            (i :: run) :: rest
+          case (acc, i) => List(i) :: acc
+        }
+        runs.map { run =>
+          val start = run.last
+          (a, b, start.toLong, (start - (diag.head._1 - diag.head._2)).toLong,
+            run.size.toLong + 2)
+        }.filter(_._5 >= 6L)
+      }
+    }.toSet
+    val got = TextAnalysis.spanDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture should contain at least one shared span")
+  }
 }
