@@ -597,6 +597,237 @@ object Similarity {
        |    i -> abs(ve6[i] - (CASE WHEN m6 = 0 THEN 0 ELSE (codes[i] * m6) // 127 END)))) AS BIGINT) AS err_e6_sum
        |FROM cq ORDER BY vec_id""".stripMargin
 
+  /** PRODUCT QUANTIZATION (IVF-PQ's fine quantizer): the vector is cut
+    * into [[PqM]] subvectors of [[PqSubDims]] dims; each subvector space
+    * gets its own k-means codebook ([[PqK]] codes, trained by the same
+    * deterministic Lloyd's protocol as [[fitIvfCentroids]]); a vector
+    * compresses to one code per subvector (here 8 codes × 2 bits — at
+    * production scale 8-16 subvectors × 256 codes = 8-16 bytes per
+    * vector, a 16-32× compression the ANN index pays reconstruction
+    * error for).
+    *
+    * Determinism contract (the k-means one): e6 fixed-point BIGINT
+    * coordinates, seeds = the k hash-smallest vec_ids' slices,
+    * assignment by INTEGER squared-L2 argmin with ties to the smallest
+    * code, truncating-division centroid updates, empty cells keep their
+    * previous centroid. Squared-L2 in e6 stays far below 2^63 for any
+    * |coordinate| < ~3e8 (|x| < 340 in float — embeddings are O(1)).
+    *
+    * Scale shape: the codebook is a model artifact (PqM·PqK rows of
+    * PqSubDims longs) broadcast as ONE row; fit aggregates the exploded
+    * (vec, m) frame into PqM·PqK groups per iteration (map-side partial
+    * agg — the exchange carries group aggregates, not vectors); encoding
+    * is a PURE MAP-SIDE projection (all subvector argmins inside one
+    * transform), so codes stream at scan speed like [[embedQuantize]].
+    */
+  val PqM = 8
+  val PqK = 4
+  val PqIters = 2
+  private val PqSubDims = Dims / PqM
+
+  /** Integer squared-L2 between two BIGINT-array expressions. */
+  private def l2e6(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
+
+  private def l1e6(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> abs(x - y)), 0L, (acc, v) -> acc + v)"
+
+  /** Trained PQ codebooks as ONE broadcastable row: array of
+    * (m, code, ce6) structs under the alias `cb`.
+    */
+  private def pqCbRow(spark: SparkSession,
+      cb: Seq[(Int, Long, Seq[Long])]): DataFrame = {
+    import spark.implicits._
+    cb.toDF("m", "code", "ce6")
+      .agg(collect_list(struct(col("m"), col("code"), col("ce6"))).as("cb"))
+  }
+
+  /** Best code for the (m, sub6) row in scope against the broadcast
+    * `cb` array: integer-L2 argmin, ties to the smallest code.
+    */
+  private val PqBestCodeExpr: String =
+    s"""array_min(transform(filter(cb, c -> c.m = m),
+       |  c -> named_struct('dist', ${l2e6("c.ce6", "sub6")}, 'code', c.code))).code"""
+      .stripMargin.replace("\n", " ")
+
+  /** Deterministic per-subvector k-means: returns (m, code, ce6-slice)
+    * for every cell. Same per-iteration plan as [[fitIvfCentroids]]:
+    * ONE broadcast out, map-side argmin, one PqM·PqK-group partial-agg
+    * back; the collected update is k·Dims longs — a model artifact.
+    */
+  def fitPqCodebooks(spark: SparkSession, d: String, k: Int = PqK,
+      iters: Int = PqIters): Seq[(Int, Long, Seq[Long])] = {
+    require(k >= 1 && iters >= 0, s"need k >= 1 and iters >= 0, got ($k, $iters)")
+    val emb = Tables.embeddings(spark, d)
+      .select(col("vec_id"), expr(Ve6Expr).as("ve6"))
+    val sub = emb.select(col("vec_id"), explode(expr(
+        s"""transform(sequence(0, ${PqM - 1}), mm -> named_struct(
+           |  'm', mm, 'sub6', slice(ve6, mm * $PqSubDims + 1, $PqSubDims)))"""
+          .stripMargin)).as("e"))
+      .select(col("vec_id"), col("e.m").as("m"), col("e.sub6").as("sub6"))
+      .persist()
+    try {
+      val seeds = emb
+        .select(col("ve6"),
+          substring(sha2(col("vec_id").cast(StringType), 256), 1, 16).as("h"),
+          col("vec_id"))
+        .orderBy("h", "vec_id").limit(k)
+        .collect()
+      var cb: Seq[(Int, Long, Seq[Long])] = for {
+        (r, c) <- seeds.toSeq.zipWithIndex
+        m <- 0 until PqM
+      } yield (m, c.toLong,
+        r.getSeq[Long](0).slice(m * PqSubDims, (m + 1) * PqSubDims))
+      for (_ <- 0 until iters) {
+        val assigned = sub.crossJoin(broadcast(pqCbRow(spark, cb)))
+          .select(col("m"), col("sub6"), expr(PqBestCodeExpr).as("code"))
+        val aggCols = count(lit(1)).as("n") +: (0 until PqSubDims).map(i =>
+          sum(element_at(col("sub6"), i + 1)).as(s"s$i"))
+        val upd = assigned.groupBy("m", "code")
+          .agg(aggCols.head, aggCols.tail: _*)
+          .collect().map { r =>
+            val n = r.getLong(2)
+            (r.getInt(0), r.getLong(1)) ->
+              (0 until PqSubDims).map(i => r.getLong(i + 3) / n)
+          }.toMap
+        cb = cb.map { case (m, c, old) => (m, c, upd.getOrElse((m, c), old)) }
+      }
+      cb
+    } finally sub.unpersist()
+  }
+
+  /** Codebook audit query: every (m, code) cell with its member count
+    * under the final assignment and integer-exact centroid digests —
+    * the PQ twin of [[ivfCentroids]].
+    */
+  def pqCodebook(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val cb = fitPqCodebooks(spark, d)
+    val assigned = Tables.embeddings(spark, d)
+      .select(col("vec_id"), expr(Ve6Expr).as("ve6"))
+      .crossJoin(broadcast(pqCbRow(spark, cb)))
+      .select(explode(expr(PqAssignExpr)).as("a"))
+      .select(col("a.m").as("m"), col("a.pick.code").as("code"))
+      .groupBy("m", "code").agg(count(lit(1)).as("n_assigned"))
+    cb.toDF("mi", "code", "ce6")
+      .withColumn("m", col("mi").cast(LongType))
+      .join(assigned, Seq("m", "code"), "left")
+      .select(col("m"), col("code"),
+        coalesce(col("n_assigned"), lit(0L)).as("n_assigned"),
+        expr(s"aggregate(zip_with(ce6, sequence(1, $PqSubDims), (v, i) -> v * i), 0L, (a, x) -> a + x)")
+          .as("c_checksum"),
+        expr("array_min(ce6)").as("c_min"),
+        expr("array_max(ce6)").as("c_max"))
+      .orderBy("m", "code")
+  }
+
+  /** All-subvector assignment in ONE map-side expression (expects `ve6`
+    * and the broadcast `cb` in scope): per subvector, the integer-L2
+    * argmin cell as (m, pick(dist, code, ce6)). The ce6 field sits
+    * AFTER code in the lexicographic min and codes are unique per m, so
+    * it never decides a tie — it rides along for the error term.
+    */
+  private val PqAssignExpr: String =
+    s"""transform(sequence(0, ${PqM - 1}), mm ->
+       |  named_struct(
+       |    'm', cast(mm as bigint),
+       |    'pick', array_min(transform(filter(cb, c -> c.m = mm),
+       |      c -> named_struct('dist', ${l2e6("c.ce6", s"slice(ve6, mm * $PqSubDims + 1, $PqSubDims)")},
+       |                        'code', c.code, 'ce6', c.ce6)))))"""
+      .stripMargin.replace("\n", " ")
+
+  /** Per-vector PQ codes: the compressed representation (codes joined
+    * for a stable cross-engine rendering), a position-weighted code
+    * checksum, and the exact e6 L1 reconstruction-error sum — the
+    * quality metric a quantizer sweep monitors (same contract as
+    * [[embedQuantize]]).
+    *
+    * Scale: the codebook broadcasts as one row; everything else is a
+    * map-side projection — the corpus never shuffles before the
+    * presentation sort (pinned in PlanContractSpec).
+    */
+  def pqCodes(spark: SparkSession, d: String): DataFrame = {
+    val cb = fitPqCodebooks(spark, d)
+    Tables.embeddings(spark, d)
+      .select(col("vec_id"), expr(Ve6Expr).as("ve6"))
+      .crossJoin(broadcast(pqCbRow(spark, cb)))
+      .select(col("vec_id"), expr(PqAssignExpr).as("arr"), col("ve6"))
+      .select(
+        col("vec_id"),
+        expr("array_join(transform(arr, x -> cast(x.pick.code as string)), ',')")
+          .as("codes"),
+        expr(s"aggregate(zip_with(arr, sequence(1, $PqM), (x, i) -> x.pick.code * i), 0L, (a, v) -> a + v)")
+          .as("code_checksum"),
+        expr(s"""aggregate(transform(arr, x ->
+             |  ${l1e6("x.pick.ce6", s"slice(ve6, cast(x.m as int) * $PqSubDims + 1, $PqSubDims)")}),
+             |  0L, (a, v) -> a + v)""".stripMargin.replace("\n", " "))
+          .as("err_e6_sum"))
+      .orderBy("vec_id")
+  }
+
+  /** Unrolled per-subvector k-means CTE chain ending in `pc$iters(m,
+    * code, ce6)` — the oracle twin of [[fitPqCodebooks]], plus the
+    * exploded subvector relation `psub(vec_id, m, sub6)`.
+    */
+  private def pqDuckCtes(k: Int = PqK, iters: Int = PqIters): String = {
+    def l2Duck(a: String, b: String) =
+      s"list_sum(list_transform(range(1, ${PqSubDims + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    val base =
+      s"""pe AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS ve6
+         |  FROM embeddings),
+         |psub AS (SELECT vec_id, g.m AS m,
+         |    ve6[g.m * $PqSubDims + 1 : g.m * $PqSubDims + $PqSubDims] AS sub6
+         |  FROM pe, generate_series(0, ${PqM - 1}) g(m)),
+         |pseed AS (SELECT code, ve6 FROM (
+         |  SELECT CAST(row_number() OVER (ORDER BY substr(sha256(CAST(vec_id AS VARCHAR)), 1, 16), vec_id) - 1 AS BIGINT) AS code,
+         |    ve6 FROM pe) WHERE code < $k),
+         |pc0 AS (SELECT g.m AS m, s.code,
+         |    s.ve6[g.m * $PqSubDims + 1 : g.m * $PqSubDims + $PqSubDims] AS ce6
+         |  FROM pseed s, generate_series(0, ${PqM - 1}) g(m))""".stripMargin
+    val steps = (0 until iters).map { t =>
+      s"""pa$t AS (SELECT vec_id, m, sub6, code FROM (
+         |  SELECT b.vec_id, b.m, b.sub6, c.code,
+         |    row_number() OVER (PARTITION BY b.vec_id, b.m
+         |      ORDER BY ${l2Duck("b.sub6", "c.ce6")}, c.code) AS rn
+         |  FROM psub b JOIN pc$t c ON c.m = b.m) WHERE rn = 1),
+         |ps$t AS (SELECT a.m, a.code, g.d, CAST(sum(a.sub6[g.d]) AS BIGINT) AS sv, count(*) AS n
+         |  FROM pa$t a, generate_series(1, $PqSubDims) g(d) GROUP BY a.m, a.code, g.d),
+         |pu$t AS (SELECT m, code, list(sv // n ORDER BY d) AS ce6 FROM ps$t GROUP BY m, code),
+         |pc${t + 1} AS (SELECT p.m, p.code, coalesce(u.ce6, p.ce6) AS ce6
+         |  FROM pc$t p LEFT JOIN pu$t u ON u.m = p.m AND u.code = p.code)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
+
+  private def pqFinalAssignDuck: String =
+    s"""paf AS (SELECT vec_id, m, sub6, code, ce6 FROM (
+       |  SELECT b.vec_id, b.m, b.sub6, c.code, c.ce6,
+       |    row_number() OVER (PARTITION BY b.vec_id, b.m
+       |      ORDER BY list_sum(list_transform(range(1, ${PqSubDims + 1}), i -> (b.sub6[i] - c.ce6[i]) * (b.sub6[i] - c.ce6[i]))), c.code) AS rn
+       |  FROM psub b JOIN pc$PqIters c ON c.m = b.m) WHERE rn = 1)""".stripMargin
+
+  val pqCodebookSql: String =
+    s"""WITH ${pqDuckCtes()},
+       |$pqFinalAssignDuck,
+       |pcnt AS (SELECT m, code, count(*) AS n_assigned FROM paf GROUP BY m, code)
+       |SELECT CAST(c.m AS BIGINT) AS m, c.code,
+       |  coalesce(pcnt.n_assigned, 0) AS n_assigned,
+       |  CAST(list_sum(list_transform(range(1, ${PqSubDims + 1}), i -> ce6[i] * i)) AS BIGINT) AS c_checksum,
+       |  CAST(list_aggregate(ce6, 'min') AS BIGINT) AS c_min,
+       |  CAST(list_aggregate(ce6, 'max') AS BIGINT) AS c_max
+       |FROM pc$PqIters c LEFT JOIN pcnt ON pcnt.m = c.m AND pcnt.code = c.code
+       |ORDER BY 1, 2""".stripMargin
+
+  val pqCodesSql: String =
+    s"""WITH ${pqDuckCtes()},
+       |$pqFinalAssignDuck
+       |SELECT vec_id,
+       |  array_to_string(list(code ORDER BY m), ',') AS codes,
+       |  CAST(sum(code * (m + 1)) AS BIGINT) AS code_checksum,
+       |  CAST(sum(list_sum(list_transform(range(1, ${PqSubDims + 1}), i -> abs(sub6[i] - ce6[i])))) AS BIGINT) AS err_e6_sum
+       |FROM paf GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   /** SEMANTIC DEDUP (SemDeDup-style): embeddings are assigned to their
     * TRAINED k-means centroid (the [[fitIvfCentroids]] model — map-side
     * argmax over one broadcast centroid row, the corpus never shuffles
@@ -668,6 +899,8 @@ object Similarity {
     "q_ivf_centroids" -> (ivfCentroids _),
     "q_dedup_embedding" -> ((s, d) => dedupEmbedding(s, d)),
     "q_embed_quantize" -> (embedQuantize _),
+    "q_pq_codebook" -> (pqCodebook _),
+    "q_pq_codes" -> (pqCodes _),
     "q_dedup_semantic" -> ((s, d) => dedupSemantic(s, d)),
     "q_graph_pagerank" -> ((s, d) => graphPagerank(s, d)))
 
@@ -679,6 +912,8 @@ object Similarity {
     "q_ivf_centroids" -> ivfCentroidsSql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
     "q_embed_quantize" -> embedQuantizeSql,
+    "q_pq_codebook" -> pqCodebookSql,
+    "q_pq_codes" -> pqCodesSql,
     "q_dedup_semantic" -> dedupSemanticSql,
     "q_graph_pagerank" -> graphPagerankSql)
 }

@@ -214,6 +214,18 @@ class PlanContractSpec extends AnyFunSuite with SparkTestBase {
       s"pivot-with-values must not Expand the input:\n$plan")
   }
 
+  test("q_pq_codes corpus is never shuffled: encode is map-side") {
+    val plan = stripAqe(
+      Similarity.pqCodes(spark, sf).queryExecution.executedPlan)
+    // the codebook travels as one broadcast row; the only exchange the
+    // corpus may cross is the presentation sort's range partitioning
+    val hashShuffles = streamedShuffles(plan).map(
+      _.asInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]
+        .outputPartitioning.toString).filter(_.contains("hashpartitioning"))
+    assert(hashShuffles.isEmpty,
+      s"PQ encoding must be a pure map-side projection:\n$plan")
+  }
+
   test("q_span_dedup hashes only candidate docs and never goes all-pairs") {
     // the returned frame is the persisted lineage root; the cached plan
     // (InMemoryRelation inner child) still renders in the tree string

@@ -43,6 +43,64 @@ class QuantizeSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("product quantization matches a pure-Scala fit + encode model") {
+    val pqM = Similarity.PqM
+    val pqK = Similarity.PqK
+    val subDims = 64 / pqM
+    val vecs: Seq[(Long, Array[Long])] = graft.sources.Tables
+      .embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e6).toLong).toArray)
+      .sortBy(_._1)
+    def slice(v: Array[Long], m: Int): Array[Long] =
+      v.slice(m * subDims, (m + 1) * subDims)
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // seeds: the pqK hash-smallest vec_ids' slices
+    val seeds = vecs
+      .sortBy { case (id, _) =>
+        (graft.functions.TextHash.sha256Hex(id.toString).substring(0, 16), id)
+      }.take(pqK).map(_._2)
+    var cb: Map[(Int, Long), Array[Long]] = (for {
+      (v, c) <- seeds.zipWithIndex; m <- 0 until pqM
+    } yield (m, c.toLong) -> slice(v, m)).toMap
+    def assign(v: Array[Long], m: Int): Long =
+      (0L until pqK.toLong).minBy(c => (l2(slice(v, m), cb((m, c))), c))
+    for (_ <- 0 until Similarity.PqIters) {
+      val members = vecs.flatMap { case (_, v) =>
+        (0 until pqM).map(m => (m, assign(v, m)) -> slice(v, m))
+      }.groupBy(_._1)
+      cb = cb.map { case (key, old) =>
+        key -> members.get(key).map { ms =>
+          val n = ms.size
+          (0 until subDims).map(i => ms.map(_._2(i)).sum / n).toArray
+        }.getOrElse(old)
+      }
+    }
+    // the Spark fit must equal the model codebook cell-for-cell
+    val fitted = Similarity.fitPqCodebooks(spark, sf)
+    assert(fitted.size === pqM * pqK)
+    fitted.foreach { case (m, c, ce6) =>
+      assert(ce6.toArray === cb((m, c)), s"codebook cell ($m, $c)")
+    }
+    // and the encoded output must equal the model encode
+    val rows = Similarity.pqCodes(spark, sf).collect()
+    assert(rows.length === vecs.size)
+    val byId = vecs.toMap
+    rows.foreach { r =>
+      val v = byId(r.getLong(0))
+      val codes = (0 until pqM).map(m => assign(v, m))
+      assert(r.getString(1) === codes.mkString(","), s"vec ${r.getLong(0)} codes")
+      assert(r.getLong(2) === codes.zipWithIndex.map { case (c, m) => c * (m + 1) }.sum,
+        s"vec ${r.getLong(0)} checksum")
+      val err = (0 until pqM).map { m =>
+        slice(v, m).zip(cb((m, codes(m)))).map { case (x, y) => math.abs(x - y) }.sum
+      }.sum
+      assert(r.getLong(3) === err, s"vec ${r.getLong(0)} reconstruction error")
+    }
+  }
+
   test("zero and constant vectors take the guarded paths") {
     import spark.implicits._
     val dims = 64
