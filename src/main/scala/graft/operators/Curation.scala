@@ -154,6 +154,52 @@ object Curation {
       |SELECT source, rank, doc_id, lang FROM r WHERE rank <= 10
       |ORDER BY source, rank""".stripMargin
 
+  /** Per-source cap shared by the Scala default and the SQL oracle. */
+  val DefaultSourceCap = 60L
+
+  /** PER-DOMAIN CAPS — the Common-Crawl curation rule that no single
+    * source (domain) may dominate the corpus: keep the `cap`
+    * hash-smallest documents per source (key-pure, so reproducible
+    * across engines/partitionings and stable under corpus growth — a
+    * doc's verdict can only flip when its stratum crosses the cap), and
+    * emit the per-stratum overflow accounting beside each verdict
+    * (n_in_source, n_dropped) — the report a curation run reviews to
+    * size caps.
+    *
+    * Scale: both windows (rank, stratum count) share ONE exchange on
+    * `source`; AQE's skew split covers hot domains. Unlike
+    * [[stratifiedSample]] the rank window cannot be WindowGroupLimit-
+    * bounded (every row needs its verdict, not just the top k) — for
+    * pathological strata the count side can instead be a broadcast
+    * per-source aggregate, the same trade [[decontaminate]] makes.
+    */
+  def sourceCaps(spark: SparkSession, d: String,
+      cap: Long = DefaultSourceCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySource = Window.partitionBy("source")
+    Tables.documents(spark, d)
+      .withColumn("h", substring(sha2(col("doc_id").cast(StringType), 256), 1, 16))
+      .withColumn("rank",
+        row_number().over(bySource.orderBy("h", "doc_id")).cast(LongType))
+      .withColumn("n_in_source", count(lit(1)).over(bySource))
+      .select(col("source"), col("doc_id"), col("rank"), col("n_in_source"),
+        (col("rank") <= cap).as("kept"),
+        greatest(col("n_in_source") - cap, lit(0L)).as("n_dropped"))
+      .orderBy("doc_id")
+  }
+
+  val sourceCapsSql: String =
+    s"""WITH r AS (SELECT source, doc_id,
+       |  row_number() OVER (PARTITION BY source
+       |    ORDER BY substr(sha256(CAST(doc_id AS VARCHAR)), 1, 16), doc_id) AS rank,
+       |  count(*) OVER (PARTITION BY source) AS n_in_source
+       |  FROM documents)
+       |SELECT source, doc_id, CAST(rank AS BIGINT) AS rank,
+       |  CAST(n_in_source AS BIGINT) AS n_in_source,
+       |  rank <= $DefaultSourceCap AS kept,
+       |  CAST(greatest(n_in_source - $DefaultSourceCap, 0) AS BIGINT) AS n_dropped
+       |FROM r ORDER BY doc_id""".stripMargin
+
   /** QUALITY-WEIGHTED sampling: each document is kept with probability
     * proportional to a quality score (here: its stopword ratio, capped
     * — the cheap LM-quality proxy), implemented as a key-pure hash
@@ -626,6 +672,7 @@ object Curation {
     "q_decontaminate" -> (decontaminate _),
     "q_decontaminate_bloom" -> ((s, d) => decontaminateBloom(s, d)),
     "q_stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
+    "q_source_caps" -> ((s, d) => sourceCaps(s, d)),
     "q_curation_verdict" -> (curationVerdict _),
     "q_curation_stats" -> (curationStats _),
     "q_corpus_emit" -> (corpusEmit _),
@@ -640,6 +687,7 @@ object Curation {
     "q_decontaminate" -> decontaminateSql,
     "q_decontaminate_bloom" -> decontaminateBloomSql,
     "q_stratified_sample" -> stratifiedSampleSql,
+    "q_source_caps" -> sourceCapsSql,
     "q_curation_verdict" -> curationVerdictSql,
     "q_curation_stats" -> curationStatsSql,
     "q_corpus_emit" -> corpusEmitSql,

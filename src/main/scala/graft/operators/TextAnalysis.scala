@@ -185,6 +185,51 @@ object TextAnalysis {
        |  CAST(len(shingles) AS BIGINT) AS n_shingles
        |FROM s WHERE len(shingles) > 0 ORDER BY doc_id""".stripMargin
 
+  /** Merge-candidate count shared by the Scala default and the SQL
+    * oracle.
+    */
+  val DefaultBpePairs = 30
+
+  /** BPE PAIR-MERGE counting — the inner-loop scoring step of
+    * byte-pair-encoding tokenizer training: adjacent character-pair
+    * frequencies over the corpus symbol stream (initially, characters
+    * within words weighted by word frequency), whose argmax is the next
+    * merge rule. Emits the top candidates with their corpus-weighted
+    * count and the distinct words containing them.
+    *
+    * Scale shape: the corpus crosses ONE explode→groupBy(token)
+    * exchange (map-side partial counts — the q_text_vocab economics);
+    * pair explosion then runs over the DISTINCT VOCABULARY, which is
+    * orders of magnitude smaller than the corpus (Heaps' law), so the
+    * second aggregation is negligible at any scale. A full BPE trainer
+    * iterates: apply the merge to the vocab (vocab-sized, corpus
+    * untouched) and re-count — each round costs only the vocab pass.
+    */
+  def bpePairs(spark: SparkSession, d: String,
+      topK: Int = DefaultBpePairs): DataFrame =
+    Tables.documents(spark, d)
+      .select(explode(expr(tokensSpark)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cf"))
+      .where(length(col("word")) >= 2)
+      .select(col("word"), col("cf"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy("pair")
+      .agg(sum("cf").as("pair_count"), countDistinct("word").as("n_words"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(topK)
+
+  val bpePairsSql: String =
+    s"""WITH wf AS (SELECT token AS word, count(*) AS cf
+       |  FROM (SELECT unnest($tokensDuck) AS token FROM documents) GROUP BY token),
+       |px AS (SELECT word, cf,
+       |  unnest(list_transform(range(1, length(word)), i -> substr(word, i, 2))) AS pair
+       |  FROM wf WHERE length(word) >= 2)
+       |SELECT pair, CAST(sum(cf) AS BIGINT) AS pair_count,
+       |  count(DISTINCT word) AS n_words
+       |FROM px GROUP BY pair
+       |ORDER BY pair_count DESC, pair LIMIT $DefaultBpePairs""".stripMargin
+
   /** Corpus vocabulary: token document-frequency and collection-
     * frequency, top-50 — the explode→groupBy shape (one shuffle on the
     * token; map-side partial counts keep the explosion from ever being
@@ -770,6 +815,7 @@ object TextAnalysis {
     "q_cms_topk" -> ((s, d) => cmsTopk(s, d)),
     "q_text_vocab" -> (textVocab _),
     "q_text_vocab_hll" -> (textVocabHll _),
+    "q_bpe_pairs" -> ((s, d) => bpePairs(s, d)),
     "q_tfidf_topterms" -> ((s, d) => tfidfTopTerms(s, d)),
     "q_bm25_rank" -> ((s, d) => bm25Rank(s, d)),
     "q_pack_sequences" -> ((s, d) => packSequences(s, d)),
@@ -788,6 +834,7 @@ object TextAnalysis {
     "q_cms_topk" -> cmsTopkSql,
     "q_text_vocab" -> textVocabSql,
     "q_text_vocab_hll" -> textVocabHllSql,
+    "q_bpe_pairs" -> bpePairsSql,
     "q_tfidf_topterms" -> tfidfTopTermsSql,
     "q_bm25_rank" -> bm25RankSql,
     "q_pack_sequences" -> packSequencesSql,

@@ -139,7 +139,14 @@ object TrainingPrep {
     * the ppm share is computed in Decimal(38,0) floor-division so a
     * 10^14-token corpus cannot overflow the BIGINT intermediate.
     */
-  def mixWeights(spark: SparkSession, d: String): DataFrame = {
+  def mixWeights(spark: SparkSession, d: String): DataFrame =
+    mixShares(spark, d).orderBy("source")
+
+  /** The shared per-source share frame (source, n_docs, n_tokens,
+    * weight_ppm) — [[mixWeights]] presents it, [[mixTemperature]]
+    * reweights it.
+    */
+  private def mixShares(spark: SparkSession, d: String): DataFrame = {
     val per = Tables.documents(spark, d)
       .select(col("source"),
         graft.functions.GraftFunctions.text_stats(col("text"), Nil)
@@ -151,8 +158,57 @@ object TrainingPrep {
       .select(col("source"), col("n_docs"), col("n_tokens"),
         expr("CAST((CAST(n_tokens AS DECIMAL(38,0)) * 1000000) div tot AS BIGINT)")
           .as("weight_ppm"))
+  }
+
+  /** TEMPERATURE-SCALED mixture weights — the actual data-mixing knob
+    * trainers turn: p_i ∝ share_i^(1/T) flattens the natural token
+    * distribution (T→∞ = uniform, T=1 = natural), up-sampling
+    * low-resource sources at a controlled rate. Emitted for T=2 and
+    * T=4, renormalized to ppm.
+    *
+    * Determinism contract: arbitrary 1/T would need pow(), whose
+    * rounding is UNSPECIFIED across engines — but IEEE-754 sqrt is
+    * correctly rounded everywhere, so the powers of 1/2 are the
+    * reproducible family: w_T2 = floor(sqrt(share_ppm·1e6)) (a
+    * ppm-scaled sqrt — inputs ≤ 1e12 are exact in double) and
+    * w_T4 = floor(sqrt(w_T2·1e6)) (the nested-floor spec BOTH engines
+    * state; the double floor deviates from exact ^(1/4) by <1 ulp-of-
+    * ppm, irrelevant to a mixing knob). Renormalization is integer
+    * floor-division; w values are ≤ 1e6 by construction so BIGINT
+    * arithmetic cannot overflow at any corpus size.
+    *
+    * Scale: the per-source frame is |sources| rows — everything after
+    * the one corpus aggregate ([[mixShares]]) is model-sized.
+    */
+  def mixTemperature(spark: SparkSession, d: String): DataFrame = {
+    val w = mixShares(spark, d)
+      .withColumn("w2_raw",
+        expr("cast(floor(sqrt(cast(weight_ppm * 1000000 as double))) as bigint)"))
+      .withColumn("w4_raw",
+        expr("cast(floor(sqrt(cast(w2_raw * 1000000 as double))) as bigint)"))
+    val tot = w.agg(sum("w2_raw").as("tot2"), sum("w4_raw").as("tot4"))
+    w.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"), col("weight_ppm"),
+        expr("(w2_raw * 1000000) div tot2").as("t2_ppm"),
+        expr("(w4_raw * 1000000) div tot4").as("t4_ppm"))
       .orderBy("source")
   }
+
+  val mixTemperatureSql: String =
+    s"""WITH s AS (SELECT source, count(*) AS n_docs,
+       |             CAST(sum(len($toksDuck)) AS BIGINT) AS n_tokens
+       |           FROM documents GROUP BY source),
+       |t AS (SELECT sum(n_tokens) AS tot FROM s),
+       |w AS (SELECT source, n_tokens,
+       |        CAST(n_tokens * 1000000 // tot AS BIGINT) AS weight_ppm
+       |      FROM s, t),
+       |w2 AS (SELECT *, CAST(floor(sqrt(CAST(weight_ppm * 1000000 AS DOUBLE))) AS BIGINT) AS w2_raw FROM w),
+       |w4 AS (SELECT *, CAST(floor(sqrt(CAST(w2_raw * 1000000 AS DOUBLE))) AS BIGINT) AS w4_raw FROM w2),
+       |tt AS (SELECT sum(w2_raw) AS tot2, sum(w4_raw) AS tot4 FROM w4)
+       |SELECT source, n_tokens, weight_ppm,
+       |  CAST(w2_raw * 1000000 // tot2 AS BIGINT) AS t2_ppm,
+       |  CAST(w4_raw * 1000000 // tot4 AS BIGINT) AS t4_ppm
+       |FROM w4, tt ORDER BY source""".stripMargin
 
   val mixWeightsSql: String =
     s"""WITH s AS (SELECT source, count(*) AS n_docs,
@@ -413,6 +469,7 @@ object TrainingPrep {
     "q_length_histogram" -> ((s, d) => lengthHistogram(s, d)),
     "q_chunk_dedup" -> ((s, d) => chunkDedup(s, d)),
     "q_mix_weights" -> (mixWeights _),
+    "q_mix_temperature" -> (mixTemperature _),
     "q_quantile_stats" -> (quantileStats _),
     "q_quantile_sketch" -> (quantileSketch _),
     "q_bigram_coherence" -> (bigramCoherence _),
@@ -423,6 +480,7 @@ object TrainingPrep {
     "q_length_histogram" -> lengthHistogramSql,
     "q_chunk_dedup" -> chunkDedupSql,
     "q_mix_weights" -> mixWeightsSql,
+    "q_mix_temperature" -> mixTemperatureSql,
     "q_quantile_stats" -> quantileStatsSql,
     "q_quantile_sketch" -> quantileSketchSql,
     "q_bigram_coherence" -> bigramCoherenceSql,

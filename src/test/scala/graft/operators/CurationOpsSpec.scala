@@ -63,6 +63,29 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("source caps keep exactly the cap hash-smallest docs per stratum") {
+    val cap = Curation.DefaultSourceCap
+    val byDoc = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val strata = byDoc.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val rows = Curation.sourceCaps(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getLong(5)))
+    assert(rows.length === byDoc.length, "every doc gets a verdict")
+    val kept = rows.filter(_._5).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    strata.foreach { case (s, ids) =>
+      val expected = ids.sortBy(id => (sha256Hex(id.toString).take(16), id))
+        .take(cap.toInt).toSet
+      assert(kept.getOrElse(s, Set.empty) === expected, s"stratum $s keep set")
+    }
+    rows.foreach { case (s, id, rank, n, isKept, dropped) =>
+      assert(n === strata(s).length.toLong, s"doc $id stratum size")
+      assert(dropped === math.max(n - cap, 0L), s"doc $id overflow accounting")
+      assert(isKept === (rank <= cap), s"doc $id verdict consistency")
+    }
+  }
+
   test("weighted sample is the hash-threshold function of the score") {
     val rows = Curation.sampleWeighted(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))

@@ -76,6 +76,51 @@ class TrainingPrepSpec extends AnyFunSuite with SparkTestBase {
       s"floor shares must sum to (1e6 - #sources, 1e6]: $ppmSum")
   }
 
+  test("temperature reweighting flattens the mix monotonically") {
+    val natural = TrainingPrep.mixWeights(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val rows = TrainingPrep.mixTemperature(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSet === natural.keySet)
+    // model: the nested floor-sqrt spec + floor renormalization
+    val w2 = rows.map { case (s, _, ppm, _, _) =>
+      s -> math.floor(math.sqrt(ppm.toDouble * 1e6)).toLong
+    }.toMap
+    val w4 = w2.view.mapValues(w => math.floor(math.sqrt(w.toDouble * 1e6)).toLong).toMap
+    val (tot2, tot4) = (w2.values.sum, w4.values.sum)
+    rows.foreach { case (s, _, ppm, t2, t4) =>
+      assert(ppm === natural(s), s"source $s natural share")
+      assert(t2 === w2(s) * 1000000L / tot2, s"source $s t2")
+      assert(t4 === w4(s) * 1000000L / tot4, s"source $s t4")
+    }
+    // flattening: spread (max-min) strictly shrinks as T grows, and the
+    // share ORDER is preserved (reweighting is monotone in the share)
+    def spread(xs: Seq[Long]) = xs.max - xs.min
+    assert(spread(rows.map(_._4).toSeq) <= spread(rows.map(_._3).toSeq))
+    assert(spread(rows.map(_._5).toSeq) <= spread(rows.map(_._4).toSeq))
+    val byNatural = rows.sortBy(_._3)
+    assert(byNatural.map(_._4).toSeq === byNatural.map(_._4).sorted.toSeq, "t2 order")
+    assert(byNatural.map(_._5).toSeq === byNatural.map(_._5).sorted.toSeq, "t4 order")
+  }
+
+  test("bpe pair counts equal a driver recount over the vocabulary") {
+    val rows = TextAnalysis.bpePairs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val vocab = docs.toSeq.flatMap(_._2)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pairCounts = vocab.toSeq.filter(_._1.length >= 2).flatMap { case (w, cf) =>
+      w.sliding(2).map(p => (p, w, cf))
+    }
+    val model = pairCounts.groupBy(_._1).map { case (p, xs) =>
+      p -> (xs.map(_._3).sum, xs.map(_._2).distinct.size.toLong)
+    }
+    val top = model.toSeq.sortBy { case (p, (n, _)) => (-n, p) }.take(30)
+    assert(rows.map(_._1).toSeq === top.map(_._1))
+    rows.foreach { case (p, n, nw) =>
+      assert((n, nw) === model(p), s"pair $p")
+    }
+  }
+
   test("quantiles equal the rank-arithmetic model and are monotone") {
     val bySource = graft.sources.Tables.documents(spark, sf)
       .select("doc_id", "source").collect()
