@@ -828,6 +828,83 @@ object Similarity {
        |  CAST(sum(list_sum(list_transform(range(1, ${PqSubDims + 1}), i -> abs(sub6[i] - ce6[i])))) AS BIGINT) AS err_e6_sum
        |FROM paf GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  /** IVF-PQ SEARCH — the composed ANN stack: the coarse quantizer
+    * ([[fitIvfCentroids]]) routes queries to their nprobe nearest cells,
+    * and candidates are ranked by ASYMMETRIC DISTANCE (ADC): exact query
+    * vector vs the candidate's PQ RECONSTRUCTION (the sum over
+    * subvectors of L2 to the candidate's chosen codewords — here
+    * materialized as the flattened reconstruction so the ADC is one
+    * integer L2; a production index stores only codes and reads the
+    * per-subvector distances from an LUT, same arithmetic).
+    *
+    * Scale shape: both models (centroids + codebooks) travel as single
+    * broadcast rows; cell assignment and PQ reconstruction are map-side
+    * projections over the streamed corpus (the corpus never shuffles —
+    * same contract as [[simTopkIvf]], pinned in PlanContractSpec); the
+    * probe set is tiny and broadcast; only in-cell candidates reach the
+    * bounded top-k window. The ADC ranking touches NO raw candidate
+    * vectors — exactly why IVF-PQ serves 10^11-vector indexes from RAM.
+    */
+  def simTopkIvfPq(spark: SparkSession, d: String,
+      nprobe: Int = 2, k: Int = K): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    val centArr = centroidRow(spark, fitIvfCentroids(spark, d))
+    val cbRow = pqCbRow(spark, fitPqCodebooks(spark, d))
+    val corpus = emb.crossJoin(broadcast(centArr)).crossJoin(broadcast(cbRow))
+      .withColumn("ve6", expr(Ve6Expr))
+      .select(col("vec_id"),
+        bestCentId(col("embedding")).as("cent_id"),
+        expr(s"flatten(transform($PqAssignExpr, x -> x.pick.ce6))").as("recon6"))
+    val probes = emb.where(col("vec_id") < NumQueries)
+      .crossJoin(broadcast(centArr))
+      .withColumn("ve6", expr(Ve6Expr))
+      .select(col("vec_id").as("q_id"), col("ve6").as("q_ve6"),
+        explode(slice(reverse(array_sort(centScored(col("embedding")))), 1, nprobe))
+          .as("probe"))
+      .select(col("q_id"), col("q_ve6"), (-col("probe.neg_id")).as("cent_id"))
+    broadcast(probes).join(corpus, Seq("cent_id"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        expr(l2e6("q_ve6", "recon6")).as("adc_e6"))
+      .groupBy("q_id", "vec_id").agg(min("adc_e6").as("adc_e6")) // dedupe multi-probe hits
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("adc_e6"), col("vec_id"))))
+      .where(col("rank") <= k)
+      .orderBy("q_id", "rank")
+  }
+
+  val simTopkIvfPqSql: String =
+    s"""WITH ${kmeansDuckCtes()},
+       |${pqDuckCtes()},
+       |$pqFinalAssignDuck,
+       |xcents AS (SELECT cent_id, list_transform(ce6, v -> CAST(v / 1000000.0 AS FLOAT)) AS cent_emb FROM c$IvfIters),
+       |xassign AS (SELECT vec_id, cent_id FROM (
+       |  SELECT e2.vec_id, c.cent_id,
+       |    row_number() OVER (PARTITION BY e2.vec_id
+       |      ORDER BY ${cosE6Duck("e2.embedding", "c.cent_emb")} DESC, c.cent_id) AS crank
+       |  FROM embeddings e2, xcents c) WHERE crank = 1),
+       |xprobes AS (SELECT q_id, cent_id FROM (
+       |  SELECT e2.vec_id AS q_id, c.cent_id,
+       |    row_number() OVER (PARTITION BY e2.vec_id
+       |      ORDER BY ${cosE6Duck("e2.embedding", "c.cent_emb")} DESC, c.cent_id) AS crank
+       |  FROM embeddings e2, xcents c WHERE e2.vec_id < $NumQueries) WHERE crank <= 2),
+       |xrecon AS (SELECT vec_id, flatten(list(ce6 ORDER BY m)) AS recon6 FROM paf GROUP BY vec_id),
+       |xqv AS (SELECT vec_id AS q_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS ve6
+       |  FROM embeddings WHERE vec_id < $NumQueries),
+       |xcand AS (SELECT p.q_id, a.vec_id,
+       |    min(list_sum(list_transform(range(1, ${Dims + 1}),
+       |      i -> (q.ve6[i] - r.recon6[i]) * (q.ve6[i] - r.recon6[i])))) AS adc_e6
+       |  FROM xprobes p JOIN xassign a ON p.cent_id = a.cent_id
+       |  JOIN xrecon r ON r.vec_id = a.vec_id
+       |  JOIN xqv q ON q.q_id = p.q_id
+       |  WHERE a.vec_id <> p.q_id GROUP BY p.q_id, a.vec_id),
+       |xr AS (SELECT q_id, vec_id, CAST(adc_e6 AS BIGINT) AS adc_e6,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc_e6, vec_id) AS rank
+       |  FROM xcand)
+       |SELECT q_id, vec_id, adc_e6, rank FROM xr WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin
+
   /** SEMANTIC DEDUP (SemDeDup-style): embeddings are assigned to their
     * TRAINED k-means centroid (the [[fitIvfCentroids]] model — map-side
     * argmax over one broadcast centroid row, the corpus never shuffles
@@ -901,6 +978,7 @@ object Similarity {
     "q_embed_quantize" -> (embedQuantize _),
     "q_pq_codebook" -> (pqCodebook _),
     "q_pq_codes" -> (pqCodes _),
+    "q_sim_topk_ivfpq" -> ((s, d) => simTopkIvfPq(s, d)),
     "q_dedup_semantic" -> ((s, d) => dedupSemantic(s, d)),
     "q_graph_pagerank" -> ((s, d) => graphPagerank(s, d)))
 
@@ -914,6 +992,7 @@ object Similarity {
     "q_embed_quantize" -> embedQuantizeSql,
     "q_pq_codebook" -> pqCodebookSql,
     "q_pq_codes" -> pqCodesSql,
+    "q_sim_topk_ivfpq" -> simTopkIvfPqSql,
     "q_dedup_semantic" -> dedupSemanticSql,
     "q_graph_pagerank" -> graphPagerankSql)
 }

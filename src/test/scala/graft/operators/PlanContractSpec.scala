@@ -214,6 +214,18 @@ class PlanContractSpec extends AnyFunSuite with SparkTestBase {
       s"pivot-with-values must not Expand the input:\n$plan")
   }
 
+  test("q_sim_topk_ivfpq corpus is never shuffled before the probe join") {
+    val plan = stripAqe(
+      Similarity.simTopkIvfPq(spark, sf).queryExecution.executedPlan)
+    val probeJoin = plan.collectFirst { case j: BroadcastHashJoinExec => j }
+    assert(probeJoin.nonEmpty, s"expected a broadcast probe join in:\n$plan")
+    // streamed side = the corpus with its map-side cell argmax + PQ
+    // reconstruction; both models live in broadcast build sides
+    val shuffles = streamedShuffles(probeJoin.get.children.last)
+    assert(shuffles.isEmpty,
+      s"corpus side of the IVF-PQ probe join must not shuffle:\n${probeJoin.get}")
+  }
+
   test("q_pq_codes corpus is never shuffled: encode is map-side") {
     val plan = stripAqe(
       Similarity.pqCodes(spark, sf).queryExecution.executedPlan)
