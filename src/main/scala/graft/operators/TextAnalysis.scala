@@ -376,11 +376,15 @@ object TextAnalysis {
     val candDocs = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id")))
       .distinct()
+    // persisted: the frame feeds both join sides under DIFFERENT keys
+    // (doc_a, then (doc_b, h)), so exchange reuse cannot share them —
+    // without the cache the candidate docs are sha256-hashed twice
     val pos = Tables.documents(spark, d)
       .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         posexplode(graft.functions.GraftFunctions.rolling_hashes(col("text"))))
       .select(col("doc_id"), col("pos"), col("col").as("h"))
+      .persist()
     val matches = broadcast(pairs)
       .join(pos.as("pa"), col("doc_a") === col("pa.doc_id"))
       .join(pos.as("pb"),
@@ -404,8 +408,9 @@ object TextAnalysis {
       .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
       .orderBy("doc_a", "doc_b", "start_a", "start_b")
       .persist()
-    out.count() // materialize so the candidate-pair cache can be released
+    out.count() // materialize so the pair/positional caches can be released
     cand.unpersist()
+    pos.unpersist()
     out
   }
 
