@@ -414,6 +414,59 @@ object TextAnalysis {
     out
   }
 
+  /** SPAN COVERAGE — the removal decision the span detector feeds: per
+    * document, the fraction of its tokens covered by the UNION of all
+    * shared spans it participates in (either side of any pair). A doc
+    * that is mostly covered is boilerplate assembled from repeated
+    * passages even when no single pair flags it whole — the drop rule
+    * Lee et al.-style pipelines apply after span detection.
+    *
+    * The interval union is the classic running-max sweep: intervals
+    * sorted by start; a new island begins where start exceeds every
+    * previous end; covered = Σ per-island (max end − min start). All
+    * integer token offsets — exact on both engines.
+    *
+    * Scale: the span frame is the (already funneled) detector output —
+    * tiny vs the corpus; the sweep windows partition per doc. The
+    * corpus-side token counts are one map-side kernel pass, and the
+    * final join keys on doc_id once.
+    */
+  def spanCoverage(spark: SparkSession, d: String,
+      minShared: Long = DefaultMinSharedFps,
+      minSpanTokens: Long = DefaultMinSpanTokens): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = spanDedup(spark, d, minShared, minSpanTokens)
+    val iv = spans.select(col("doc_a").as("doc_id"),
+        col("start_a").as("s"), (col("start_a") + col("span_tokens")).as("e"))
+      .unionByName(spans.select(col("doc_b").as("doc_id"),
+        col("start_b").as("s"), (col("start_b") + col("span_tokens")).as("e")))
+    val byDoc = Window.partitionBy("doc_id").orderBy("s", "e")
+    val covered = iv
+      .withColumn("prev_max",
+        max("e").over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("is_new",
+        when(col("prev_max").isNull || col("s") > col("prev_max"), 1L).otherwise(0L))
+      .withColumn("island", sum("is_new").over(byDoc))
+      .groupBy("doc_id", "island")
+      .agg((max("e") - min("s")).as("ilen"))
+      .groupBy("doc_id")
+      .agg(sum("ilen").as("covered_tokens"))
+    val out = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.text_stats(col("text"), Nil)
+          .getItem(0).as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        expr("CASE WHEN n_tokens > 0 THEN coalesce(covered_tokens, 0L) * 10000L div n_tokens ELSE 0L END")
+          .as("coverage_e4"))
+      .orderBy("doc_id")
+      .persist()
+    out.count() // materialize so the span detector's cache can be released
+    spans.unpersist()
+    out
+  }
+
   /** DuckDB twin of [[spanDedup]]: same funnel (winnow pairs), same
     * positional hashes (rhs array index = 0-based offset), same
     * diagonal-island merge via window functions.
@@ -447,6 +500,32 @@ object TextAnalysis {
        |FROM isl GROUP BY doc_a, doc_b, diag, island
        |HAVING count(*) + 2 >= $DefaultMinSpanTokens
        |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin
+
+  val spanCoverageSql: String =
+    s"""WITH sp AS (SELECT * FROM ($spanDedupSql)),
+       |iv AS (SELECT doc_a AS doc_id, start_a AS s, start_a + span_tokens AS e FROM sp
+       |       UNION ALL
+       |       SELECT doc_b, start_b, start_b + span_tokens FROM sp),
+       |sw AS (SELECT doc_id, s, e,
+       |  max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+       |  FROM iv),
+       |il AS (SELECT doc_id, s, e,
+       |  sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY doc_id ORDER BY s, e) AS island
+       |  FROM sw),
+       |cv AS (SELECT doc_id, CAST(sum(ilen) AS BIGINT) AS covered_tokens FROM (
+       |  SELECT doc_id, island, max(e) - min(s) AS ilen FROM il GROUP BY doc_id, island)
+       |  GROUP BY doc_id),
+       |nt AS (SELECT doc_id, CAST(len($tokensDuck) AS BIGINT) AS n_tokens FROM documents)
+       |SELECT nt.doc_id, nt.n_tokens,
+       |  coalesce(cv.covered_tokens, 0) AS covered_tokens,
+       |  CASE WHEN nt.n_tokens > 0
+       |    THEN coalesce(cv.covered_tokens, 0) * 10000 // nt.n_tokens
+       |    ELSE 0 END AS coverage_e4
+       |FROM nt LEFT JOIN cv ON cv.doc_id = nt.doc_id
+       |ORDER BY nt.doc_id""".stripMargin
+
 
   val winnowPairsSql: String =
     s"""WITH $winnowDuckCtes
@@ -827,6 +906,7 @@ object TextAnalysis {
     "q_text_winnow" -> (textWinnow _),
     "q_winnow_pairs" -> ((s, d) => winnowPairs(s, d)),
     "q_span_dedup" -> ((s, d) => spanDedup(s, d)),
+    "q_span_coverage" -> ((s, d) => spanCoverage(s, d)),
     "q_text_repetition" -> (textRepetition _),
     "q_text_tokens" -> (textTokens _),
     "q_text_quality" -> (textQuality _),
@@ -846,6 +926,7 @@ object TextAnalysis {
     "q_text_winnow" -> textWinnowSql,
     "q_winnow_pairs" -> winnowPairsSql,
     "q_span_dedup" -> spanDedupSql,
+    "q_span_coverage" -> spanCoverageSql,
     "q_text_repetition" -> textRepetitionSql,
     "q_text_tokens" -> textTokensSql,
     "q_text_quality" -> textQualitySql,

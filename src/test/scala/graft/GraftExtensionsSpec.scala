@@ -60,6 +60,7 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
         |            array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))) AS cos,
         |  lang_scores('der hund und die katze') AS ls,
         |  size(winnow_fps('a b c d e f g h')) AS wf,
+        |  size(rolling_hashes('a b c d e')) AS rh,
         |  jaccard_e4(array('x', 'y'), array('y', 'z')) AS jac,
         |  hex(uint256_sum(uint256_encode(CAST(3 AS DECIMAL(38,0))))) AS us,
         |  size(winnow_fps('a b c d e f g h', 2)) AS wf2,
@@ -87,6 +88,7 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     // 8 tokens -> 6 shingle hashes; w=4 -> 3 windows (<=3 distinct mins),
     // w=2 -> 5 windows; both at least 1
     assert(row.getAs[Int]("wf") >= 1 && row.getAs[Int]("wf") <= 3)
+    assert(row.getAs[Int]("rh") === 3) // 5 tokens -> 3 positional hashes
     assert(row.getAs[Long]("jac") === 3333L) // |{y}| / |{x,y,z}|
     assert(BigInt(row.getAs[String]("us"), 16) === BigInt(3))
     assert(row.getAs[Int]("wf2") >= 1 && row.getAs[Int]("wf2") <= 5)

@@ -109,4 +109,39 @@ class TextIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(got === expected)
     assert(got.nonEmpty, "fixture should contain at least one shared span")
   }
+
+  test("span coverage equals the interval union of the detected spans") {
+    val spans = TextAnalysis.spanDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val ivs: Map[Long, Seq[(Long, Long)]] = spans.toSeq
+      .flatMap { case (a, b, sa, sb, n) =>
+        Seq(a -> (sa, sa + n), b -> (sb, sb + n))
+      }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def union(iv: Seq[(Long, Long)]): Long = {
+      var tot, curS, curE = 0L
+      var open = false
+      for ((s, e) <- iv.sorted) {
+        if (!open) { curS = s; curE = e; open = true }
+        else if (s > curE) { tot += curE - curS; curS = s; curE = e }
+        else curE = math.max(curE, e)
+      }
+      if (open) tot += curE - curS
+      tot
+    }
+    val nTokens = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        graft.functions.TextHash.tokens(r.getString(1)).length.toLong).toMap
+    val rows = TextAnalysis.spanCoverage(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === nTokens.size, "every doc gets a coverage row")
+    rows.foreach { case (id, n, cov, e4) =>
+      val expected = union(ivs.getOrElse(id, Nil))
+      assert(n === nTokens(id), s"doc $id token count")
+      assert(cov === expected, s"doc $id covered tokens")
+      assert(e4 === (if (n > 0) cov * 10000L / n else 0L), s"doc $id ratio")
+      assert(cov <= n, s"doc $id coverage cannot exceed its length")
+    }
+    assert(rows.exists(_._3 > 0), "fixture should contain covered docs")
+  }
 }
