@@ -230,6 +230,77 @@ object TextAnalysis {
        |FROM px GROUP BY pair
        |ORDER BY pair_count DESC, pair LIMIT $DefaultBpePairs""".stripMargin
 
+  /** BPE MERGE APPLICATION — one training iteration: the argmax pair
+    * from [[bpePairs]] becomes a merge rule, every word re-segments
+    * with the merged symbol fused, and the NEW adjacent-symbol pairs
+    * are re-counted — the loop body a BPE trainer runs vocab_size
+    * times. Re-segmentation uses regex alternation `<pair>|.`, whose
+    * leftmost-first scan IS greedy non-overlapping BPE merging
+    * (verified identical in Java regex and RE2: 'xxx' + merge 'xx' →
+    * [xx, x]); round-2 pairs render as `sym1+sym2` so multi-char
+    * symbols stay unambiguous.
+    *
+    * The merge rule is a MODEL ARTIFACT (one row) — collected
+    * driver-side like the k-means centroids, then inlined as a regex
+    * literal (Spark's regexp_extract_all requires a foldable pattern);
+    * the oracle derives the identical rule in SQL and applies it as a
+    * dynamic pattern. Scale: two corpus exchanges (the token count
+    * feeding the rule, re-used for the apply) and a vocab-sized
+    * re-segmentation — each further round costs only the vocab pass.
+    */
+  def bpeApply(spark: SparkSession, d: String,
+      topK: Int = DefaultBpePairs): DataFrame = {
+    val wf = Tables.documents(spark, d)
+      .select(explode(expr(tokensSpark)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cf"))
+      .persist()
+    val top1 = wf.where(length(col("word")) >= 2)
+      .select(col("cf"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum("cf").as("pc"))
+      .orderBy(col("pc").desc, col("pair")).limit(1)
+      .collect()(0).getString(0)
+    require(top1.matches("[a-z0-9]{2}"), s"merge rule must be alphanumeric: $top1")
+    val out = wf
+      .select(col("word"), col("cf"),
+        expr(s"regexp_extract_all(word, '$top1|.', 0)").as("syms"))
+      .where(size(col("syms")) >= 2)
+      .select(col("word"), col("cf"), explode(expr(
+        "transform(sequence(1, size(syms) - 1), i -> concat(element_at(syms, i), '+', element_at(syms, i + 1)))"))
+        .as("pair"))
+      .groupBy("pair")
+      .agg(sum("cf").as("pair_count"), countDistinct("word").as("n_words"))
+      .select(lit(top1).as("merged_pair"), col("pair"),
+        col("pair_count"), col("n_words"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(topK)
+      .persist()
+    out.count() // materialize so the vocabulary cache can be released
+    wf.unpersist()
+    out
+  }
+
+  val bpeApplySql: String =
+    s"""WITH wf AS (SELECT token AS word, count(*) AS cf
+       |  FROM (SELECT unnest($tokensDuck) AS token FROM documents) GROUP BY token),
+       |px AS (SELECT word, cf,
+       |  unnest(list_transform(range(1, length(word)), i -> substr(word, i, 2))) AS pair
+       |  FROM wf WHERE length(word) >= 2),
+       |top1 AS (SELECT pair FROM (
+       |  SELECT pair, sum(cf) AS pc FROM px GROUP BY pair
+       |  ORDER BY pc DESC, pair LIMIT 1)),
+       |sy AS (SELECT word, cf, regexp_extract_all(word, t.pair || '|.') AS syms
+       |  FROM wf, top1 t),
+       |p2 AS (SELECT word, cf,
+       |  unnest(list_transform(range(1, len(syms)), i -> syms[i] || '+' || syms[i+1])) AS pair
+       |  FROM sy WHERE len(syms) >= 2)
+       |SELECT (SELECT pair FROM top1) AS merged_pair, pair,
+       |  CAST(sum(cf) AS BIGINT) AS pair_count,
+       |  count(DISTINCT word) AS n_words
+       |FROM p2 GROUP BY pair
+       |ORDER BY pair_count DESC, pair LIMIT $DefaultBpePairs""".stripMargin
+
   /** Corpus vocabulary: token document-frequency and collection-
     * frequency, top-50 — the explode→groupBy shape (one shuffle on the
     * token; map-side partial counts keep the explosion from ever being
@@ -900,6 +971,7 @@ object TextAnalysis {
     "q_text_vocab" -> (textVocab _),
     "q_text_vocab_hll" -> (textVocabHll _),
     "q_bpe_pairs" -> ((s, d) => bpePairs(s, d)),
+    "q_bpe_apply" -> ((s, d) => bpeApply(s, d)),
     "q_tfidf_topterms" -> ((s, d) => tfidfTopTerms(s, d)),
     "q_bm25_rank" -> ((s, d) => bm25Rank(s, d)),
     "q_pack_sequences" -> ((s, d) => packSequences(s, d)),
@@ -920,6 +992,7 @@ object TextAnalysis {
     "q_text_vocab" -> textVocabSql,
     "q_text_vocab_hll" -> textVocabHllSql,
     "q_bpe_pairs" -> bpePairsSql,
+    "q_bpe_apply" -> bpeApplySql,
     "q_tfidf_topterms" -> tfidfTopTermsSql,
     "q_bm25_rank" -> bm25RankSql,
     "q_pack_sequences" -> packSequencesSql,

@@ -121,6 +121,43 @@ class TrainingPrepSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("bpe apply re-segments greedily and recounts like the driver model") {
+    val vocab = docs.toSeq.flatMap(_._2)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // round 1: argmax character pair (ties to the smallest pair)
+    val round1 = vocab.toSeq.filter(_._1.length >= 2).flatMap { case (w, cf) =>
+      w.sliding(2).map(_ -> cf)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val merge = round1.toSeq.minBy { case (p, n) => (-n, p) }._1
+    // greedy left-to-right re-segmentation
+    def segment(w: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        if (i + 1 < w.length && w.substring(i, i + 2) == merge) {
+          out += merge; i += 2
+        } else { out += w.substring(i, i + 1); i += 1 }
+      }
+      out.result()
+    }
+    val round2 = vocab.toSeq.flatMap { case (w, cf) =>
+      val syms = segment(w)
+      syms.zip(syms.drop(1)).map { case (a, b) => (s"$a+$b", w, cf) }
+    }
+    val model = round2.groupBy(_._1).map { case (p, xs) =>
+      p -> (xs.map(_._3).sum, xs.map(_._2).distinct.size.toLong)
+    }
+    val top = model.toSeq.sortBy { case (p, (n, _)) => (-n, p) }.take(30)
+    val rows = TextAnalysis.bpeApply(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.forall(_._1 == merge), "applied rule must be the argmax pair")
+    assert(rows.map(_._2).toSeq === top.map(_._1))
+    rows.foreach { case (_, p, n, nw) => assert((n, nw) === model(p), s"pair $p") }
+    // the applied merge must no longer exist as a char+char pair
+    assert(!model.contains(s"${merge(0)}+${merge(1)}"),
+      "merged symbol must be fused everywhere")
+  }
+
   test("quantiles equal the rank-arithmetic model and are monotone") {
     val bySource = graft.sources.Tables.documents(spark, sf)
       .select("doc_id", "source").collect()
