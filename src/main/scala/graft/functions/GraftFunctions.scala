@@ -88,11 +88,13 @@ object GraftFunctions {
     toCol(Uint256Sum(toExpr(c)).toAggregateExpression())
 
   /** text → sorted winnowing fingerprints over a rolling 3-gram hash. */
-  /** Positional rolling 3-gram hashes (array index = token offset). */
-  def rolling_hashes(c: Column): Column = toCol(RollingHashes(toExpr(c)))
-
   def winnow_fps(c: Column, window: Int = 4): Column =
     toCol(WinnowFps(toExpr(c), window))
+
+  /** text → positional rolling 3-gram hashes (array index = 0-based
+    * token offset; null when no shingles) — the span-dedup input.
+    */
+  def rolling_hashes(c: Column): Column = toCol(RollingHashes(toExpr(c)))
 
   /** (bigint, bigint) → Morton interleave of the low 16 bits (Z-order
     * layout key).

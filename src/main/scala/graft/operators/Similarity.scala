@@ -276,6 +276,12 @@ object Similarity {
   val IvfK = 8
   val IvfIters = 2
 
+  /** Probe-cell count shared by the Scala defaults of [[simTopkIvf]] /
+    * [[simTopkIvfPq]] and both SQL oracles' `crank <=` bounds — one
+    * constant so a default change cannot desynchronize the oracles.
+    */
+  val DefaultNprobe = 2
+
   /** Trained-centroid audit query: final centroids (integer-exact e6
     * coordinates digested to a weighted checksum + min/max) and the
     * member count each attracts under the final assignment — the
@@ -332,7 +338,7 @@ object Similarity {
     * the top-k shuffle.
     */
   def simTopkIvf(spark: SparkSession, d: String,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = DefaultNprobe): DataFrame = {
     val emb = Tables.embeddings(spark, d)
     val centArr = centroidRow(spark, fitIvfCentroids(spark, d))
     val assign = emb.crossJoin(broadcast(centArr))
@@ -370,7 +376,7 @@ object Similarity {
        |    SELECT e.vec_id AS q_id, e.embedding AS q_emb, c.cent_id,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${cosE6Duck("e.embedding", "c.cent_emb")} DESC, c.cent_id) AS crank
-       |    FROM embeddings e, cents c WHERE e.vec_id < $NumQueries) WHERE crank <= 2),
+       |    FROM embeddings e, cents c WHERE e.vec_id < $NumQueries) WHERE crank <= $DefaultNprobe),
        |cand AS (
        |  SELECT p.q_id, a.vec_id,
        |    max(${cosE6Duck("p.q_emb", "a.embedding")}) AS cos_e6
@@ -846,7 +852,7 @@ object Similarity {
     * vectors — exactly why IVF-PQ serves 10^11-vector indexes from RAM.
     */
   def simTopkIvfPq(spark: SparkSession, d: String,
-      nprobe: Int = 2, k: Int = K): DataFrame = {
+      nprobe: Int = DefaultNprobe, k: Int = K): DataFrame = {
     val emb = Tables.embeddings(spark, d)
     val centArr = centroidRow(spark, fitIvfCentroids(spark, d))
     val cbRow = pqCbRow(spark, fitPqCodebooks(spark, d))
@@ -887,7 +893,7 @@ object Similarity {
        |  SELECT e2.vec_id AS q_id, c.cent_id,
        |    row_number() OVER (PARTITION BY e2.vec_id
        |      ORDER BY ${cosE6Duck("e2.embedding", "c.cent_emb")} DESC, c.cent_id) AS crank
-       |  FROM embeddings e2, xcents c WHERE e2.vec_id < $NumQueries) WHERE crank <= 2),
+       |  FROM embeddings e2, xcents c WHERE e2.vec_id < $NumQueries) WHERE crank <= $DefaultNprobe),
        |xrecon AS (SELECT vec_id, flatten(list(ce6 ORDER BY m)) AS recon6 FROM paf GROUP BY vec_id),
        |xqv AS (SELECT vec_id AS q_id,
        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS ve6

@@ -205,17 +205,30 @@ object TextAnalysis {
     * iterates: apply the merge to the vocab (vocab-sized, corpus
     * untouched) and re-count — each round costs only the vocab pass.
     */
-  def bpePairs(spark: SparkSession, d: String,
-      topK: Int = DefaultBpePairs): DataFrame =
+  /** Corpus-weighted word frequencies — the shared first exchange of
+    * both BPE faces.
+    */
+  private def wordFreq(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
       .select(explode(expr(tokensSpark)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cf"))
-      .where(length(col("word")) >= 2)
+
+  /** Adjacent-character-pair scoring over a (word, cf) vocabulary —
+    * ONE definition feeding both [[bpePairs]]' report and [[bpeApply]]'s
+    * merge-rule selection, so the two faces of the trainer iteration
+    * cannot drift.
+    */
+  private def charPairCounts(wf: DataFrame): DataFrame =
+    wf.where(length(col("word")) >= 2)
       .select(col("word"), col("cf"), explode(expr(
         "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
         .as("pair"))
       .groupBy("pair")
       .agg(sum("cf").as("pair_count"), countDistinct("word").as("n_words"))
+
+  def bpePairs(spark: SparkSession, d: String,
+      topK: Int = DefaultBpePairs): DataFrame =
+    charPairCounts(wordFreq(spark, d))
       .orderBy(col("pair_count").desc, col("pair"))
       .limit(topK)
 
@@ -250,16 +263,9 @@ object TextAnalysis {
     */
   def bpeApply(spark: SparkSession, d: String,
       topK: Int = DefaultBpePairs): DataFrame = {
-    val wf = Tables.documents(spark, d)
-      .select(explode(expr(tokensSpark)).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("cf"))
-      .persist()
-    val top1 = wf.where(length(col("word")) >= 2)
-      .select(col("cf"), explode(expr(
-        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
-        .as("pair"))
-      .groupBy("pair").agg(sum("cf").as("pc"))
-      .orderBy(col("pc").desc, col("pair")).limit(1)
+    val wf = wordFreq(spark, d).persist()
+    val top1 = charPairCounts(wf)
+      .orderBy(col("pair_count").desc, col("pair")).limit(1)
       .collect()(0).getString(0)
     require(top1.matches("[a-z0-9]{2}"), s"merge rule must be alphanumeric: $top1")
     val out = wf
@@ -374,8 +380,16 @@ object TextAnalysis {
     * length (drop fps occurring in > K docs, the classic stop-fp rule).
     */
   def winnowPairs(spark: SparkSession, d: String,
-      minShared: Long = 3L): DataFrame =
-    winnowPairFunnel(spark, d, minShared).orderBy("doc_a", "doc_b")
+      minShared: Long = 3L): DataFrame = {
+    // the RETURNED frame must be the persisted lineage root (an orderBy
+    // wrapper over the funnel's cache would make unpersist() a no-op for
+    // callers — Dataset.unpersist only drops the dataset's own plan)
+    val funnel = winnowPairFunnel(spark, d, minShared)
+    val out = funnel.orderBy("doc_a", "doc_b").persist()
+    out.count() // materialize so the funnel cache can be released
+    funnel.unpersist()
+    out
+  }
 
   /** The shared candidate-pair funnel: (doc_a, doc_b, n_shared_fps)
     * pairs sharing >= minShared winnow fingerprints, MATERIALIZED (the

@@ -142,23 +142,34 @@ object TrainingPrep {
   def mixWeights(spark: SparkSession, d: String): DataFrame =
     mixShares(spark, d).orderBy("source")
 
+  /** Whole-frame window over an already-aggregated tiny frame: the input
+    * is |sources| rows (post-aggregation), never the corpus, so the
+    * single partition is model-sized at any corpus scale — the pattern
+    * that lets the totals come from the SAME corpus pass instead of a
+    * second aggregate over a duplicated subtree (exchange reuse
+    * verifiably does not dedupe identical subtrees — see
+    * TextAnalysis.winnowPairFunnel).
+    */
+  private val AllRows = org.apache.spark.sql.expressions.Window
+    .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+
   /** The shared per-source share frame (source, n_docs, n_tokens,
     * weight_ppm) — [[mixWeights]] presents it, [[mixTemperature]]
-    * reweights it.
+    * reweights it. ONE corpus aggregate: the grand total is a window sum
+    * over the |sources|-row result, not a second corpus pass.
     */
-  private def mixShares(spark: SparkSession, d: String): DataFrame = {
-    val per = Tables.documents(spark, d)
+  private def mixShares(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
       .select(col("source"),
         graft.functions.GraftFunctions.text_stats(col("text"), Nil)
           .getItem(0).as("n_tok"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
-    val total = per.agg(sum("n_tokens").as("tot"))
-    per.crossJoin(broadcast(total))
+      .withColumn("tot", sum("n_tokens").over(AllRows))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         expr("CAST((CAST(n_tokens AS DECIMAL(38,0)) * 1000000) div tot AS BIGINT)")
           .as("weight_ppm"))
-  }
 
   /** TEMPERATURE-SCALED mixture weights — the actual data-mixing knob
     * trainers turn: p_i ∝ share_i^(1/T) flattens the natural token
@@ -180,19 +191,20 @@ object TrainingPrep {
     * Scale: the per-source frame is |sources| rows — everything after
     * the one corpus aggregate ([[mixShares]]) is model-sized.
     */
-  def mixTemperature(spark: SparkSession, d: String): DataFrame = {
-    val w = mixShares(spark, d)
+  def mixTemperature(spark: SparkSession, d: String): DataFrame =
+    mixShares(spark, d)
       .withColumn("w2_raw",
         expr("cast(floor(sqrt(cast(weight_ppm * 1000000 as double))) as bigint)"))
       .withColumn("w4_raw",
         expr("cast(floor(sqrt(cast(w2_raw * 1000000 as double))) as bigint)"))
-    val tot = w.agg(sum("w2_raw").as("tot2"), sum("w4_raw").as("tot4"))
-    w.crossJoin(broadcast(tot))
+      // renormalization totals: window sums over the |sources|-row frame
+      // (the AllRows pattern) — the corpus is scanned exactly once
+      .withColumn("tot2", sum("w2_raw").over(AllRows))
+      .withColumn("tot4", sum("w4_raw").over(AllRows))
       .select(col("source"), col("n_tokens"), col("weight_ppm"),
         expr("(w2_raw * 1000000) div tot2").as("t2_ppm"),
         expr("(w4_raw * 1000000) div tot4").as("t4_ppm"))
       .orderBy("source")
-  }
 
   val mixTemperatureSql: String =
     s"""WITH s AS (SELECT source, count(*) AS n_docs,

@@ -55,13 +55,22 @@ def main(out_dir: str, sf_dir: str) -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     # a SPARK_GRAFT_VERIFY_ONLY run writes oracle_sql.partial.json so a
-    # full-gate comparison can never silently consume a filtered manifest;
-    # prefer the full manifest, fall back to the partial one LOUDLY
+    # full-gate comparison can never silently consume a filtered manifest.
+    # When BOTH manifests exist (a subset rerun into a previously-used
+    # out_dir), the NEWER one reflects the latest Verify run — silently
+    # preferring a stale full manifest would re-greenlight stale parquet
+    # and check edited oracles against old SQL.
     import os
-    manifest = f"{out_dir}/oracle_sql.json"
-    if not os.path.exists(manifest):
-        manifest = f"{out_dir}/oracle_sql.partial.json"
-        print(f"NOTE: using PARTIAL manifest {manifest} — subset run only")
+    full = f"{out_dir}/oracle_sql.json"
+    partial = f"{out_dir}/oracle_sql.partial.json"
+    candidates = [p for p in (full, partial) if os.path.exists(p)]
+    if not candidates:
+        print(f"FAIL: no oracle manifest in {out_dir}")
+        return 1
+    manifest = max(candidates, key=os.path.getmtime)
+    if manifest == partial:
+        print(f"NOTE: using PARTIAL manifest {manifest} — subset run only"
+              + (" (newer than the stale full manifest)" if len(candidates) == 2 else ""))
     with open(manifest) as f:
         oracles = json.load(f)
     failures = 0
