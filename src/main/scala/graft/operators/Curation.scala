@@ -665,6 +665,101 @@ object Curation {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  /** DSIR knobs, interpolated into BOTH the Scala defaults and the
+    * oracle SQL so an edit cannot desynchronize them.
+    */
+  val DefaultDsirBuckets = 256
+  val DefaultDsirTargetLang = "en"
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much its hashed-unigram feature distribution looks
+    * like a TARGET domain (here: the `lang = 'en'` slice standing in
+    * for a curated target corpus) relative to the raw corpus. Weights
+    * drive resampling — keep documents proportionally to w.
+    *
+    * The DSIR estimator is a bag-of-hashed-ngrams likelihood ratio:
+    * tokens hash into `B` buckets, each corpus fits a smoothed
+    * categorical distribution over buckets, and a document's raw-model
+    * weight is Π p_tgt(b_i)/p_raw(b_i) over its token occurrences.
+    * Exactly-reproducible variant (house discipline — no `ln`/`exp`
+    * tied to libm rounding): per-occurrence likelihood ratio
+    * `r_e6(b) = 10^6·(c_tgt(b)+1)·(N_raw+B) div ((c_raw(b)+1)·(N_tgt+B))`
+    * (add-one smoothing on both models), and the document weight is the
+    * ARITHMETIC mean of its occurrences' ratios — the log-free surrogate
+    * for DSIR's geometric mean (same fixed points: uniformly
+    * target-like docs score 1e6·p-ratio, off-target docs → 0; ranking
+    * differs only where a doc mixes extreme ratios, which is exactly
+    * the hashing-noise regime DSIR itself averages away). Numerators
+    * accumulate in Decimal(38,0): at web scale c_tgt·N_raw overflows a
+    * long (10^12·10^14). Per-doc ratio sums stay in longs — each ratio
+    * is ≤ 10^6·(N_raw+B)/(N_tgt+B), bounded by the corpus/target size
+    * ratio (document lengths are bounded; emit the decimal instead if
+    * ever targeting a <10^-7 slice).
+    *
+    * Scale: the corpus explodes ONCE into (doc, is_tgt, bucket) — the
+    * frame is persisted because it feeds both the model fit and the
+    * scoring pass (at corpus scale: a one-time parquet
+    * materialization). The model is `B` rows (one shuffle of B-keyed
+    * map-side partials), its totals a one-row broadcast, and scoring is
+    * a broadcast hash join + per-doc partial aggregation — the corpus
+    * itself is never shuffled except as per-doc short rows into the
+    * final aggregate.
+    */
+  def dsirWeights(spark: SparkSession, d: String,
+      buckets: Int = DefaultDsirBuckets,
+      targetLang: String = DefaultDsirTargetLang): DataFrame = {
+    import TextAnalysis.tokensSpark
+    val b = Tables.documents(spark, d)
+      .select(col("doc_id"), (col("lang") === targetLang).as("is_tgt"),
+        explode(expr(tokensSpark)).as("token"))
+      .select(col("doc_id"), col("is_tgt"),
+        expr(s"cast(conv(substring(sha2(token, 256), 1, 8), 16, 10) as bigint) % $buckets")
+          .as("bucket"))
+      .persist()
+    val byBucket = b.groupBy("bucket").agg(
+      count(lit(1)).as("c_raw"),
+      sum(when(col("is_tgt"), 1L).otherwise(0L)).as("c_tgt"))
+    val tot = byBucket.agg(
+      sum("c_raw").as("n_raw"), sum("c_tgt").as("n_tgt"))
+    val model = byBucket.crossJoin(broadcast(tot))
+      .select(col("bucket"), expr(
+        s"""cast(cast(c_tgt + 1 as decimal(38,0)) * (n_raw + $buckets) * 1000000
+           |  div (cast(c_raw + 1 as decimal(38,0)) * (n_tgt + $buckets)) as bigint)"""
+          .stripMargin).as("ratio_e6"))
+    val out = b.join(broadcast(model), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        expr("sum(ratio_e6) div count(1)").as("w_e6"))
+      .orderBy("doc_id")
+      .persist()
+    out.count() // materialize so the exploded-corpus cache can be released
+    b.unpersist()
+    out
+  }
+
+  val dsirWeightsSql: String = {
+    import TextAnalysis.tokensDuck
+    val bN = DefaultDsirBuckets
+    s"""WITH t AS (SELECT doc_id, lang = '$DefaultDsirTargetLang' AS is_tgt,
+       |             unnest($tokensDuck) AS token FROM documents),
+       |b AS (SELECT doc_id, is_tgt,
+       |        ('0x' || substr(sha256(token), 1, 8))::BIGINT % $bN AS bucket
+       |      FROM t),
+       |bb AS (SELECT bucket, count(*) AS c_raw,
+       |         sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS c_tgt
+       |       FROM b GROUP BY bucket),
+       |tot AS (SELECT sum(c_raw) AS n_raw, sum(c_tgt) AS n_tgt FROM bb),
+       |model AS (SELECT bucket,
+       |            CAST((c_tgt + 1) * (n_raw + $bN) * 1000000
+       |              // ((c_raw + 1) * (n_tgt + $bN)) AS BIGINT) AS ratio_e6
+       |          FROM bb, tot)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+       |  CAST(sum(ratio_e6) // count(*) AS BIGINT) AS w_e6
+       |FROM b JOIN model USING (bucket)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_hash" -> (sampleHash _),
     "q_sample_weighted" -> ((s, d) => sampleWeighted(s, d)),
@@ -678,6 +773,7 @@ object Curation {
     "q_corpus_emit" -> (corpusEmit _),
     "q_shuffle_shards" -> ((s, d) => shuffleShards(s, d)),
     "q_corpus_shards" -> ((s, d) => corpusShards(s, d)),
+    "q_dsir_weights" -> ((s, d) => dsirWeights(s, d)),
     "q_pii_scrub" -> (piiScrub _))
 
   val oracles: Map[String, String] = Map(
@@ -693,5 +789,6 @@ object Curation {
     "q_corpus_emit" -> corpusEmitSql,
     "q_shuffle_shards" -> shuffleShardsSql,
     "q_corpus_shards" -> corpusShardsSql,
+    "q_dsir_weights" -> dsirWeightsSql,
     "q_pii_scrub" -> piiScrubSql)
 }

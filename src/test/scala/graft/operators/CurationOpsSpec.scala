@@ -133,4 +133,39 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
         s"doc $id: unredacted span remains")
     }
   }
+
+  test("dsir weights match an independent driver model and favor the target slice") {
+    val B = Curation.DefaultDsirBuckets
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val tokRe = "[a-z0-9]+".r
+    def bucketOf(tok: String): Long =
+      java.lang.Long.parseLong(sha256Hex(tok).take(8), 16) % B
+    val occ = docs.map { case (id, lang, text) =>
+      (id, lang == Curation.DefaultDsirTargetLang,
+        tokRe.findAllIn(text.toLowerCase).map(bucketOf).toSeq)
+    }
+    val cRaw = occ.flatMap(_._3).groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val cTgt = occ.filter(_._2).flatMap(_._3).groupBy(identity)
+      .map { case (b, xs) => b -> xs.size.toLong }
+    val nRaw = cRaw.values.sum
+    val nTgt = cTgt.values.sum
+    def ratioE6(b: Long): Long =
+      ((BigInt(cTgt.getOrElse(b, 0L)) + 1) * (nRaw + B) * 1000000 /
+        ((BigInt(cRaw(b)) + 1) * (nTgt + B))).toLong
+    val expected = occ.filter(_._3.nonEmpty).map { case (id, _, bs) =>
+      id -> ((bs.map(ratioE6).sum / bs.size).toLong, bs.size.toLong)
+    }.toMap
+    val got = Curation.dsirWeights(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(1))).toMap
+    assert(got === expected)
+    // semantics: the target-language slice must outscore the rest on average
+    val byTgt = occ.filter(_._3.nonEmpty)
+      .groupBy(_._2).map { case (t, xs) =>
+        t -> xs.map(x => got(x._1)._1).sum / xs.length
+      }
+    assert(byTgt(true) > byTgt(false),
+      s"target-slice mean ${byTgt(true)} not above off-target ${byTgt(false)}")
+  }
 }
