@@ -665,6 +665,75 @@ object Curation {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  /** CROSS-SOURCE shingle overlap: the pairwise Jaccard matrix over the
+    * per-source distinct 3-gram shingle sets — the "how much do two
+    * crawl dumps / domains repeat each other" diagnostic that decides
+    * whether sources should be deduplicated jointly or can be processed
+    * independently (and the between-corpus face of what
+    * [[decontaminate]] measures against a benchmark).
+    *
+    * Exact, never all-pairs over documents: shingles collapse to
+    * DISTINCT (source, H16) rows first (H16 = first 16 sha256 hex chars
+    * — the house fingerprint; hashing before the shuffle keeps exchange
+    * rows fixed-width instead of carrying raw shingle text), and the
+    * intersection sizes come from ONE self-equi-join keyed on the hash,
+    * where a shingle shared by k sources fans out to C(k,2) pairs —
+    * bounded by the source count squared, independent of corpus size.
+    * Set sizes and the pair matrix are model-sized (|sources| and
+    * C(|sources|,2) rows), so the final assembly join is a
+    * broadcast nested-loop over two tiny frames. Zero-overlap pairs are
+    * emitted too (jaccard 0), so the matrix is total.
+    */
+  def sourceOverlap(spark: SparkSession, d: String): DataFrame = {
+    import graft.functions.GraftFunctions
+    val s = Tables.documents(spark, d)
+      .select(col("source"), GraftFunctions.shingle_set(col("text")).as("sset"))
+      .where(col("sset").isNotNull)
+      .select(col("source"), explode(col("sset")).as("shingle"))
+      .select(col("source"),
+        expr("substring(sha2(shingle, 256), 1, 16)").as("h"))
+      .distinct()
+      .persist()
+    val sz = s.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = s.toDF("source_a", "h")
+      .join(s.toDF("source_b", "h"), "h")
+      .where(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_common"))
+    val out = sz.toDF("source_a", "n_a")
+      .join(sz.toDF("source_b", "n_b"), col("source_a") < col("source_b"))
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        expr("coalesce(n_common, 0L) * 1000000L div (n_a + n_b - coalesce(n_common, 0L))")
+          .as("jaccard_e6"))
+      .orderBy("source_a", "source_b")
+      .persist()
+    out.count() // materialize so the shingle-set cache can be released
+    s.unpersist()
+    out
+  }
+
+  val sourceOverlapSql: String = {
+    import TextAnalysis.{tokensDuck, shinglesDuck}
+    s"""WITH t AS (SELECT source, $tokensDuck AS toks FROM documents),
+       |s AS (SELECT DISTINCT source, substr(sha256(shingle), 1, 16) AS h
+       |      FROM (SELECT source, unnest($shinglesDuck) AS shingle FROM t)),
+       |sz AS (SELECT source, count(*) AS n FROM s GROUP BY source),
+       |inter AS (SELECT a.source AS source_a, b.source AS source_b,
+       |            count(*) AS n_common
+       |          FROM s a JOIN s b ON a.h = b.h AND a.source < b.source
+       |          GROUP BY 1, 2)
+       |SELECT x.source AS source_a, y.source AS source_b,
+       |  x.n AS n_a, y.n AS n_b,
+       |  CAST(coalesce(i.n_common, 0) AS BIGINT) AS n_common,
+       |  CAST(coalesce(i.n_common, 0) * 1000000
+       |    // (x.n + y.n - coalesce(i.n_common, 0)) AS BIGINT) AS jaccard_e6
+       |FROM sz x JOIN sz y ON x.source < y.source
+       |LEFT JOIN inter i ON i.source_a = x.source AND i.source_b = y.source
+       |ORDER BY source_a, source_b""".stripMargin
+  }
+
   /** DSIR knobs, interpolated into BOTH the Scala defaults and the
     * oracle SQL so an edit cannot desynchronize them.
     */
@@ -774,6 +843,7 @@ object Curation {
     "q_shuffle_shards" -> ((s, d) => shuffleShards(s, d)),
     "q_corpus_shards" -> ((s, d) => corpusShards(s, d)),
     "q_dsir_weights" -> ((s, d) => dsirWeights(s, d)),
+    "q_source_overlap" -> (sourceOverlap _),
     "q_pii_scrub" -> (piiScrub _))
 
   val oracles: Map[String, String] = Map(
@@ -790,5 +860,6 @@ object Curation {
     "q_shuffle_shards" -> shuffleShardsSql,
     "q_corpus_shards" -> corpusShardsSql,
     "q_dsir_weights" -> dsirWeightsSql,
+    "q_source_overlap" -> sourceOverlapSql,
     "q_pii_scrub" -> piiScrubSql)
 }

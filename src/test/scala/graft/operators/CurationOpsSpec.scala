@@ -168,4 +168,30 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(byTgt(true) > byTgt(false),
       s"target-slice mean ${byTgt(true)} not above off-target ${byTgt(false)}")
   }
+
+  test("source overlap equals the driver set-arithmetic model over all pairs") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val tokRe = "[a-z0-9]+".r
+    val sets: Map[String, Set[String]] = docs.groupBy(_._1).map { case (src, xs) =>
+      src -> xs.flatMap { case (_, text) =>
+        val toks = tokRe.findAllIn(text.toLowerCase).toSeq
+        toks.sliding(3).filter(_.size == 3).map(_.mkString(" "))
+      }.map(sh => sha256Hex(sh).take(16)).toSet
+    }
+    val srcs = sets.keys.toSeq.sorted
+    val expected = (for {
+      a <- srcs; b <- srcs if a < b
+    } yield {
+      val (na, nb) = (sets(a).size.toLong, sets(b).size.toLong)
+      val common = (sets(a) intersect sets(b)).size.toLong
+      (a, b) -> ((na, nb, common, common * 1000000L / (na + nb - common)))
+    }).toMap
+    val got = Curation.sourceOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got === expected)
+    assert(got.size === srcs.size * (srcs.size - 1) / 2, "matrix not total")
+  }
 }
