@@ -647,6 +647,84 @@ object TextAnalysis {
        |FROM (SELECT doc_id, unnest($tokensDuck) AS token FROM documents)
        |GROUP BY token ORDER BY coll_freq DESC, token LIMIT 50""".stripMargin
 
+  /** Within-document duplicated-n-gram POSITIONAL COVERAGE — the other
+    * Gopher/MassiveText repetition rule: the fraction of token
+    * positions lying inside an n-gram that occurs at least twice in
+    * the same document. [[textRepetition]]'s distinct-ratio counts how
+    * many shingle OCCURRENCES are repeats; this measures how much of
+    * the document's surface the repeats blanket (interval-union
+    * semantics — overlapping duplicate grams don't double-count a
+    * position), which is the form the published thresholds are stated
+    * in.
+    *
+    * Shape: one explode into (doc, pos, gram) rows; occurrence counts
+    * via a window partitioned by (doc, gram) — a single well-keyed
+    * shuffle, no global window; duplicate grams explode their n
+    * covered positions and a per-doc distinct count collapses the
+    * interval union. Docs with no duplicated gram rejoin through a
+    * per-doc-sized LEFT join so the report is total over docs with ≥ n
+    * tokens. Everything shuffled is (long, long) or (long, short-string)
+    * rows; nothing is quadratic in the document count.
+    */
+  /** Gram width for [[repCoverage]], interpolated into both the Scala
+    * default and the oracle SQL so an edit cannot desynchronize them.
+    * 3 matches the corpus shingle width (the synthetic corpus never
+    * repeats a 5-gram within a document, and Gopher states duplicate
+    * n-gram thresholds for n = 2..4 as well).
+    */
+  val DefaultRepGramN = 3
+
+  def repCoverage(spark: SparkSession, d: String,
+      n: Int = DefaultRepGramN): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 2, "gram width must be at least 2")
+    val parts = (0 until n).map(j => s"toks[i-1+$j]").mkString(", ")
+    val t = Tables.documents(spark, d)
+      .select(col("doc_id"), expr(tokensSpark).as("toks"))
+      .where(size(col("toks")) >= n)
+    val g = t.select(col("doc_id"),
+      explode(expr(
+        s"""transform(sequence(1, size(toks) - ${n - 1}),
+           |  i -> struct(i AS pos, concat_ws(' ', $parts) AS gram))"""
+          .stripMargin)).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+    val cov = g
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy("doc_id", "gram")))
+      .where(col("cnt") >= 2)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${n - 1})")).as("cp"))
+      .groupBy("doc_id")
+      .agg(countDistinct("cp").as("n_cov"))
+    t.select(col("doc_id"), size(col("toks")).cast(LongType).as("n_toks"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_cov"), lit(0L)).as("n_covered"),
+        expr("coalesce(n_cov, 0L) * 10000L div n_toks").as("cov_e4"))
+      .orderBy("doc_id")
+  }
+
+  val repCoverageSql: String = {
+    val n = DefaultRepGramN
+    val parts = (0 until n).map(j => s"toks[pos+$j]").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, $tokensDuck AS toks FROM documents),
+       |f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= $n),
+       |g0 AS (SELECT doc_id, toks,
+       |         unnest(range(1, len(toks) - ${n - 1} + 1)) AS pos FROM f),
+       |g AS (SELECT doc_id, pos, concat_ws(' ', $parts) AS gram FROM g0),
+       |c AS (SELECT doc_id, pos,
+       |        count(*) OVER (PARTITION BY doc_id, gram) AS cnt FROM g),
+       |cp AS (SELECT doc_id, unnest(range(pos, pos + $n)) AS cp
+       |       FROM c WHERE cnt >= 2),
+       |cov AS (SELECT doc_id, count(DISTINCT cp) AS n_cov FROM cp GROUP BY doc_id)
+       |SELECT f.doc_id, CAST(len(f.toks) AS BIGINT) AS n_toks,
+       |  CAST(coalesce(cov.n_cov, 0) AS BIGINT) AS n_covered,
+       |  CAST(coalesce(cov.n_cov, 0) * 10000
+       |    // len(f.toks) AS BIGINT) AS cov_e4
+       |FROM f LEFT JOIN cov ON f.doc_id = cov.doc_id
+       |ORDER BY f.doc_id""".stripMargin
+  }
+
   /** Within-document repetition (the Gopher/MassiveText-style quality
     * rule): fraction of duplicated 3-gram shingles, as a scaled integer.
     * High repetition flags boilerplate/spam for corpus filtering. Both
@@ -994,6 +1072,7 @@ object TextAnalysis {
     "q_span_dedup" -> ((s, d) => spanDedup(s, d)),
     "q_span_coverage" -> ((s, d) => spanCoverage(s, d)),
     "q_text_repetition" -> (textRepetition _),
+    "q_rep_coverage" -> ((s, d) => repCoverage(s, d)),
     "q_text_tokens" -> (textTokens _),
     "q_text_quality" -> (textQuality _),
     "q_text_langid" -> (textLangId _),
@@ -1015,6 +1094,7 @@ object TextAnalysis {
     "q_span_dedup" -> spanDedupSql,
     "q_span_coverage" -> spanCoverageSql,
     "q_text_repetition" -> textRepetitionSql,
+    "q_rep_coverage" -> repCoverageSql,
     "q_text_tokens" -> textTokensSql,
     "q_text_quality" -> textQualitySql,
     "q_text_langid" -> textLangIdSql,

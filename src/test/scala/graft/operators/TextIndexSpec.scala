@@ -145,6 +145,27 @@ class TextIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.exists(_._3 > 0), "fixture should contain covered docs")
   }
 
+  test("rep coverage equals a driver interval-union over duplicated n-grams") {
+    val n = TextAnalysis.DefaultRepGramN
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> tokens(r.getString(1)))
+    val expected = docs.collect { case (id, toks) if toks.size >= n =>
+      val grams = toks.sliding(n).map(_.mkString(" ")).toVector
+      val dup = grams.groupBy(identity).filter(_._2.size >= 2).keySet
+      val covered = grams.zipWithIndex.collect {
+        case (g, i) if dup(g) => (i until i + n)
+      }.flatten.toSet
+      id -> (toks.size.toLong, covered.size.toLong,
+        covered.size.toLong * 10000L / toks.size)
+    }.toMap
+    val got = TextAnalysis.repCoverage(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+    assert(got.values.exists(_._2 > 0), "fixture should contain repeated n-grams")
+    assert(got.values.exists(_._2 == 0), "fixture should contain clean docs")
+  }
+
   test("winnow/span/bpe operators release every intermediate cache") {
     import org.apache.spark.sql.DataFrame
     for ((name, mk) <- Seq[(String, () => DataFrame)](
