@@ -255,4 +255,51 @@ class PlanContractSpec extends AnyFunSuite with SparkTestBase {
     assert(gen >= 0 && semi > gen,
       s"posexplode must consume the semi-joined (pruned) corpus:\n$s")
   }
+
+  /** Hash-partitioned exchange column lists rendered in a plan tree
+    * string (cached InMemoryRelation children included).
+    */
+  private def hashPartitionings(s: String): Seq[String] =
+    "hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(s).map(_.group(1)).toSeq
+
+  test("q_dsir_weights scores through a broadcast model join only") {
+    val plan = stripAqe(
+      Curation.dsirWeights(spark, sf).queryExecution.executedPlan)
+    val s = plan.toString
+    // the model must reach the exploded corpus as a broadcast build side
+    assert(s.contains("BroadcastHashJoin"),
+      s"expected the bucket model probed via broadcast hash join:\n$s")
+    assert(!s.contains("CartesianProduct"), s"cartesian crept in:\n$s")
+    // the only hash exchanges allowed carry the B-row bucket partials or
+    // the per-doc aggregation — never the exploded corpus on anything else
+    val bad = hashPartitionings(s).filterNot(c =>
+      c.contains("bucket") || c.contains("doc_id"))
+    assert(bad.isEmpty, s"unexpected hash exchange on $bad in:\n$s")
+  }
+
+  test("q_source_overlap intersects via the hash-keyed equi-join, never all-pairs") {
+    val plan = stripAqe(
+      Curation.sourceOverlap(spark, sf).queryExecution.executedPlan)
+    val s = plan.toString
+    // the source-pair assembly over the |sources|-row frames must be a
+    // broadcast nested loop; a CartesianProduct would mean the non-equi
+    // pair join lost its broadcast side
+    assert(!s.contains("CartesianProduct"), s"cartesian crept in:\n$s")
+    // every hash exchange carries the distinct shingle sets or pair/agg
+    // keys — nothing document-keyed survives to the join stage
+    val bad = hashPartitionings(s).filterNot(c =>
+      c.contains("source") || c.contains("h#"))
+    assert(bad.isEmpty, s"unexpected hash exchange on $bad in:\n$s")
+  }
+
+  test("q_rep_coverage occurrence window is (doc, gram)-partitioned") {
+    val plan = stripAqe(
+      TextAnalysis.repCoverage(spark, sf).queryExecution.executedPlan)
+    val s = plan.toString
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(s).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, s"expected a window in:\n$s")
+    assert(specs.forall(sp => sp.contains("doc_id") && sp.contains("gram")),
+      s"occurrence-count window must partition by (doc_id, gram): $specs\n$s")
+  }
 }
