@@ -322,6 +322,59 @@ object Similarity {
        |  CAST(list_aggregate(ce6, 'max') AS BIGINT) AS c_max
        |FROM c$IvfIters c LEFT JOIN cnt USING (cent_id) ORDER BY cent_id""".stripMargin
 
+  /** Embedding CLUSTER-QUALITY audit: the cells × labels contingency of
+    * the trained IVF quantizer, with per-cell majority label and purity
+    * — the standard "do the learned cells respect the known classes"
+    * check run after (re)fitting an embedding index, and the quality
+    * gate for cluster-balanced data selection. Ties on the majority
+    * label resolve to the smallest label (integer compare — identical
+    * in both engines).
+    *
+    * Scale shape: assignment is the same broadcast-centroids map-side
+    * argmax as the IVF queries (the corpus is never shuffled); the
+    * contingency is one (cell, label) aggregation of map-side partials,
+    * and everything after operates on the k×|labels| model-sized frame
+    * — the majority pick is a single struct-max aggregate, not a
+    * window. Cells that attract no vectors are absent (consistent in
+    * both engines).
+    */
+  def clusterPurity(spark: SparkSession, d: String): DataFrame = {
+    val cents = fitIvfCentroids(spark, d)
+    val ct = Tables.embeddings(spark, d)
+      .crossJoin(broadcast(centroidRow(spark, cents)))
+      .select(col("label"), bestCentId(col("embedding")).as("cent_id"))
+      .groupBy("cent_id", "label").agg(count(lit(1)).as("n"))
+    ct.groupBy("cent_id")
+      .agg(sum("n").as("n_cell"),
+        count(lit(1)).as("n_labels"),
+        max(struct(col("n"), (-col("label")).as("neg"))).as("m"))
+      .select(col("cent_id"), col("n_cell"),
+        (-col("m.neg")).as("top_label"), col("m.n").as("n_top"),
+        expr("m.n * 10000L div n_cell").as("purity_e4"),
+        col("n_labels"))
+      .orderBy("cent_id")
+  }
+
+  val clusterPuritySql: String =
+    s"""WITH ${kmeansDuckCtes()},
+       |ff AS (SELECT cent_id, list_transform(ce6, v -> CAST(v / 1000000.0 AS FLOAT)) AS cf FROM c$IvfIters),
+       |af AS (SELECT vec_id, cent_id FROM (
+       |  SELECT e.vec_id, f.cent_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosE6Duck("e.embedding", "f.cf")} DESC, f.cent_id) AS rn
+       |  FROM e, ff f) WHERE rn = 1),
+       |ct AS (SELECT af.cent_id, e2.label, count(*) AS n
+       |       FROM af JOIN embeddings e2 USING (vec_id) GROUP BY 1, 2),
+       |cell AS (SELECT cent_id, CAST(sum(n) AS BIGINT) AS n_cell,
+       |           count(*) AS n_labels FROM ct GROUP BY 1),
+       |top AS (SELECT cent_id, label AS top_label, n AS n_top FROM (
+       |    SELECT cent_id, label, n, row_number() OVER (PARTITION BY cent_id
+       |      ORDER BY n DESC, label) AS rn FROM ct) WHERE rn = 1)
+       |SELECT cell.cent_id, cell.n_cell, top.top_label, top.n_top,
+       |  CAST(top.n_top * 10000 // cell.n_cell AS BIGINT) AS purity_e4,
+       |  cell.n_labels
+       |FROM cell JOIN top USING (cent_id) ORDER BY cent_id""".stripMargin
+
   /** IVF (inverted-file) top-k: the coarse quantizer — k-means centroids
     * TRAINED by [[fitIvfCentroids]] — assigns every vector to its
     * nearest centroid; queries probe their 2 nearest centroids and
@@ -980,6 +1033,7 @@ object Similarity {
     "q_sim_topk_lsh" -> ((s, d) => simTopkLsh(s, d)),
     "q_sim_topk_ivf" -> ((s, d) => simTopkIvf(s, d)),
     "q_ivf_centroids" -> (ivfCentroids _),
+    "q_cluster_purity" -> (clusterPurity _),
     "q_dedup_embedding" -> ((s, d) => dedupEmbedding(s, d)),
     "q_embed_quantize" -> (embedQuantize _),
     "q_pq_codebook" -> (pqCodebook _),
@@ -994,6 +1048,7 @@ object Similarity {
     "q_sim_topk_lsh" -> simTopkLshSql,
     "q_sim_topk_ivf" -> simTopkIvfSql,
     "q_ivf_centroids" -> ivfCentroidsSql,
+    "q_cluster_purity" -> clusterPuritySql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
     "q_embed_quantize" -> embedQuantizeSql,
     "q_pq_codebook" -> pqCodebookSql,

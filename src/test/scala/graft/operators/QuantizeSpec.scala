@@ -153,4 +153,32 @@ class QuantizeSpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  test("cluster purity is a consistent contingency of the IVF assignment") {
+    // full numeric correctness (k-means fit + assignment + contingency)
+    // is pinned by the unrolled-SQL DuckDB oracle; this checks the
+    // report's internal arithmetic and its consistency with the
+    // centroid audit's independent aggregation path
+    val labels = graft.sources.Tables.embeddings(spark, sf)
+      .select("label").collect().map(_.getInt(0)).toSet
+    val nVecs = graft.sources.Tables.embeddings(spark, sf).count()
+    val purity = Similarity.clusterPurity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(purity.map(_._2).sum === nVecs, "cells must partition the corpus")
+    purity.foreach { case (cell, nCell, topLabel, nTop, e4, nLabels) =>
+      assert(labels.contains(topLabel), s"cell $cell: unknown majority label")
+      assert(nTop >= 1 && nTop <= nCell, s"cell $cell: majority count range")
+      assert(nLabels >= 1 && nLabels <= labels.size.toLong, s"cell $cell: label count")
+      assert(e4 === nTop * 10000L / nCell, s"cell $cell: purity arithmetic")
+      // majority must cover at least its proportional share
+      assert(nTop * nLabels >= nCell, s"cell $cell: majority below uniform share")
+    }
+    val audit = Similarity.ivfCentroids(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    purity.foreach { case (cell, nCell, _, _, _, _) =>
+      assert(audit.get(cell).contains(nCell),
+        s"cell $cell: contingency count $nCell disagrees with the centroid audit")
+    }
+  }
 }
