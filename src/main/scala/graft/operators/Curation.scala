@@ -665,6 +665,70 @@ object Curation {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  /** Robust per-source length-outlier filter: median + MAD (median
+    * absolute deviation) of `n_chars` within each source, flagging
+    * documents with deviation > 3×MAD — the robust univariate filter
+    * curation pipelines prefer over mean/stddev, which a single giant
+    * document can drag arbitrarily. Exact rank arithmetic (the
+    * ceil-rank convention shared with TrainingPrep.quantileStats) so
+    * both engines pick the identical median element; a zero MAD
+    * (majority-constant source) flags any deviation at all — the
+    * degenerate case is explicit, not NaN.
+    *
+    * Scale: two source-partitioned windows (rank for the median, rank
+    * for the MAD over deviations) — well-keyed exchanges, never a
+    * global window — and two broadcast joins of source-sized medians
+    * back onto the corpus. At extreme per-source cardinality the
+    * window sort within one source is the bound; the skew-safe
+    * alternative is the fixed-width histogram approach
+    * (TrainingPrep.lengthHistogram) feeding an approximate median.
+    */
+  def robustFilter(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def medianOf(df: DataFrame, valueCol: String, as: String): DataFrame =
+      df.withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy(col(valueCol), col("doc_id")))
+          .cast(LongType))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("source")))
+        .groupBy("source")
+        .agg(max(when(col("rn") === expr("(cnt * 50 + 99) div 100"),
+          col(valueCol))).as(as))
+    val t = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val med = medianOf(t, "n_chars", "med_chars")
+    val dev = t.join(broadcast(med), "source")
+      .withColumn("dev", abs(col("n_chars") - col("med_chars")))
+    val mad = medianOf(dev.select(col("doc_id"), col("source"), col("dev")),
+      "dev", "mad_chars")
+    dev.join(broadcast(mad), "source")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("med_chars"), col("mad_chars"),
+        (col("dev") > col("mad_chars") * 3).as("is_outlier"))
+      .orderBy("doc_id")
+  }
+
+  val robustFilterSql: String =
+    s"""WITH t AS (SELECT doc_id, source, n_chars FROM documents),
+       |r1 AS (SELECT doc_id, source, n_chars,
+       |         CAST(row_number() OVER (PARTITION BY source
+       |           ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+       |         count(*) OVER (PARTITION BY source) AS cnt FROM t),
+       |med AS (SELECT source, max(CASE WHEN rn = (cnt * 50 + 99) // 100
+       |          THEN n_chars END) AS med_chars FROM r1 GROUP BY source),
+       |d AS (SELECT t.doc_id, t.source, t.n_chars, med.med_chars,
+       |        abs(t.n_chars - med.med_chars) AS dev
+       |      FROM t JOIN med USING (source)),
+       |r2 AS (SELECT doc_id, source, dev,
+       |         CAST(row_number() OVER (PARTITION BY source
+       |           ORDER BY dev, doc_id) AS BIGINT) AS rn,
+       |         count(*) OVER (PARTITION BY source) AS cnt FROM d),
+       |mad AS (SELECT source, max(CASE WHEN rn = (cnt * 50 + 99) // 100
+       |          THEN dev END) AS mad_chars FROM r2 GROUP BY source)
+       |SELECT d.doc_id, d.source, d.n_chars, d.med_chars, mad.mad_chars,
+       |  d.dev > mad.mad_chars * 3 AS is_outlier
+       |FROM d JOIN mad USING (source)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** CROSS-SOURCE shingle overlap: the pairwise Jaccard matrix over the
     * per-source distinct 3-gram shingle sets — the "how much do two
     * crawl dumps / domains repeat each other" diagnostic that decides
@@ -844,6 +908,7 @@ object Curation {
     "q_corpus_shards" -> ((s, d) => corpusShards(s, d)),
     "q_dsir_weights" -> ((s, d) => dsirWeights(s, d)),
     "q_source_overlap" -> (sourceOverlap _),
+    "q_robust_filter" -> (robustFilter _),
     "q_pii_scrub" -> (piiScrub _))
 
   val oracles: Map[String, String] = Map(
@@ -861,5 +926,6 @@ object Curation {
     "q_corpus_shards" -> corpusShardsSql,
     "q_dsir_weights" -> dsirWeightsSql,
     "q_source_overlap" -> sourceOverlapSql,
+    "q_robust_filter" -> robustFilterSql,
     "q_pii_scrub" -> piiScrubSql)
 }

@@ -194,4 +194,30 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got === expected)
     assert(got.size === srcs.size * (srcs.size - 1) / 2, "matrix not total")
   }
+
+  test("robust filter matches a driver median/MAD model per source") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // ceil-rank median over (value, doc_id) ordering — the house convention
+    def medBy(xs: Seq[(Long, Long)]): Long = {
+      val sorted = xs.sortBy(x => (x._2, x._1))
+      sorted(((sorted.size * 50 + 99) / 100 - 1).toInt)._2
+    }
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      val med = medBy(ds.map(d => (d._1, d._3)).toSeq)
+      val mad = medBy(ds.map(d => (d._1, math.abs(d._3 - med))).toSeq)
+      ds.toSeq.map { case (id, _, n) =>
+        id -> ((src, n, med, mad, math.abs(n - med) > 3 * mad))
+      }
+    }.toMap
+    val got = Curation.robustFilter(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got === expected)
+    // the synthetic lengths are uniform-ish: nothing should be 3-MAD out,
+    // which is itself worth pinning (a false-positive storm would be a bug)
+    val flagged = got.values.count(_._5)
+    assert(flagged <= got.size / 10, s"$flagged of ${got.size} docs flagged")
+  }
 }
