@@ -683,7 +683,12 @@ object Curation {
     * alternative is the fixed-width histogram approach
     * (TrainingPrep.lengthHistogram) feeding an approximate median.
     */
-  def robustFilter(spark: SparkSession, d: String): DataFrame = {
+  /** The FIT half of [[robustFilter]]: per-source (median, MAD) bounds
+    * — a batch-only model frame (rank windows need the full corpus).
+    * Production shape: fit offline on yesterday's corpus, then apply
+    * via the stateless [[admitFrames]] to a batch OR an ingest stream.
+    */
+  def sourceBounds(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def medianOf(df: DataFrame, valueCol: String, as: String): DataFrame =
       df.withColumn("rn", row_number().over(
@@ -693,18 +698,33 @@ object Curation {
         .groupBy("source")
         .agg(max(when(col("rn") === expr("(cnt * 50 + 99) div 100"),
           col(valueCol))).as(as))
-    val t = Tables.documents(spark, d)
-      .select(col("doc_id"), col("source"), col("n_chars"))
+    val t = docs.select(col("doc_id"), col("source"), col("n_chars"))
     val med = medianOf(t, "n_chars", "med_chars")
     val dev = t.join(broadcast(med), "source")
       .withColumn("dev", abs(col("n_chars") - col("med_chars")))
-    val mad = medianOf(dev.select(col("doc_id"), col("source"), col("dev")),
+    medianOf(dev.select(col("doc_id"), col("source"), col("dev")),
       "dev", "mad_chars")
-    dev.join(broadcast(mad), "source")
+      .join(broadcast(med), "source")
+      .select(col("source"), col("med_chars"), col("mad_chars"))
+  }
+
+  /** The APPLY half of [[robustFilter]]: a stateless broadcast
+    * stream-static join — each document (batch row or streamed ingest
+    * row) picks up its source's bounds and gets its outlier verdict.
+    * No watermark or state store needed; append-mode safe (pinned
+    * stream==batch by StreamingAdmitSpec).
+    */
+  def admitFrames(docs: DataFrame, bounds: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .join(broadcast(bounds), "source")
       .select(col("doc_id"), col("source"), col("n_chars"),
         col("med_chars"), col("mad_chars"),
-        (col("dev") > col("mad_chars") * 3).as("is_outlier"))
-      .orderBy("doc_id")
+        (abs(col("n_chars") - col("med_chars")) > col("mad_chars") * 3)
+          .as("is_outlier"))
+
+  def robustFilter(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    admitFrames(docs, sourceBounds(docs)).orderBy("doc_id")
   }
 
   val robustFilterSql: String =
