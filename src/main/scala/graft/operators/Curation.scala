@@ -913,6 +913,63 @@ object Curation {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** JSONL record assembly — the serialization step that ends most
+    * training pipelines (corpus → one JSON object per line in shard
+    * files). The record is built by explicit concatenation, NOT an
+    * engine `to_json` (field order, spacing, and number rendering are
+    * engine-specific; concatenation is character-identical everywhere),
+    * with JSON string escaping as two literal `replace` passes
+    * (backslash first, then quote — both engines apply literal
+    * replacement). Emits the record length and H16 digest per document
+    * rather than the record text (the piiScrub reporting discipline:
+    * verify the BYTES, keep the oracle output narrow).
+    *
+    * Scale: a pure map-side projection — at 100 TB this is scan-bound
+    * and the record column streams straight to the shard writer
+    * ([[shardFrames]] supplies the shard/pos assignment).
+    */
+  def jsonlEmit(spark: SparkSession, d: String): DataFrame =
+    jsonlFrames(Tables.documents(spark, d)).orderBy("doc_id")
+
+  /** The assembled record itself, one row per doc — split out so the
+    * escaping path is testable with planted quotes/backslashes (the
+    * synthetic corpus contains neither, so the oracle alone would
+    * leave it unexercised; CurationOpsSpec round-trips records through
+    * a real JSON parser).
+    */
+  def jsonlRecordFrames(docs: DataFrame): DataFrame = {
+    def esc(c: Column): Column =
+      regexp_replace(regexp_replace(c, lit("\\\\"), lit("\\\\\\\\")),
+        lit("\""), lit("\\\\\""))
+    docs.select(col("doc_id"), concat(
+      lit("{\"id\":"), col("doc_id"),
+      lit(",\"lang\":\""), esc(col("lang")),
+      lit("\",\"source\":\""), esc(col("source")),
+      lit("\",\"n_chars\":"), col("n_chars"),
+      lit(",\"text\":\""), esc(col("text")), lit("\"}")).as("rec"))
+  }
+
+  /** Frame-in form of [[jsonlEmit]]: stateless projection, so the same
+    * transform serializes a batch read or an ingest stream.
+    */
+  def jsonlFrames(docs: DataFrame): DataFrame =
+    jsonlRecordFrames(docs).select(col("doc_id"),
+      length(col("rec")).cast(LongType).as("rec_len"),
+      substring(sha2(col("rec"), 256), 1, 16).as("rec_hash"))
+
+  val jsonlEmitSql: String =
+    s"""WITH r AS (SELECT doc_id,
+       |  '{"id":' || CAST(doc_id AS VARCHAR)
+       |    || ',"lang":"' || replace(replace(lang, '\\', '\\\\'), '"', '\\"')
+       |    || '","source":"' || replace(replace(source, '\\', '\\\\'), '"', '\\"')
+       |    || '","n_chars":' || CAST(n_chars AS VARCHAR)
+       |    || ',"text":"' || replace(replace(text, '\\', '\\\\'), '"', '\\"')
+       |    || '"}' AS rec
+       |  FROM documents)
+       |SELECT doc_id, CAST(length(rec) AS BIGINT) AS rec_len,
+       |  substr(sha256(rec), 1, 16) AS rec_hash
+       |FROM r ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_hash" -> (sampleHash _),
     "q_sample_weighted" -> ((s, d) => sampleWeighted(s, d)),
@@ -929,6 +986,7 @@ object Curation {
     "q_dsir_weights" -> ((s, d) => dsirWeights(s, d)),
     "q_source_overlap" -> (sourceOverlap _),
     "q_robust_filter" -> (robustFilter _),
+    "q_jsonl_emit" -> (jsonlEmit _),
     "q_pii_scrub" -> (piiScrub _))
 
   val oracles: Map[String, String] = Map(
@@ -947,5 +1005,6 @@ object Curation {
     "q_dsir_weights" -> dsirWeightsSql,
     "q_source_overlap" -> sourceOverlapSql,
     "q_robust_filter" -> robustFilterSql,
+    "q_jsonl_emit" -> jsonlEmitSql,
     "q_pii_scrub" -> piiScrubSql)
 }

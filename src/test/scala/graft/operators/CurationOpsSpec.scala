@@ -220,4 +220,36 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
     val flagged = got.values.count(_._5)
     assert(flagged <= got.size / 10, s"$flagged of ${got.size} docs flagged")
   }
+
+  test("jsonl records round-trip a real JSON parser, including planted escapes") {
+    import spark.implicits._
+    // adversarial fixtures the synthetic corpus can't supply: quotes,
+    // backslashes, and both adjacent in every order
+    val planted = Seq(
+      (1L, "en", "src\"quoted\"", 10L, """plain text"""),
+      (2L, "e\\n", "src\\back", 11L, """say "hi" \ "bye\""""),
+      (3L, "zh", "s", 12L, """\\" tricky "\ end\"""))
+      .toDF("doc_id", "lang", "source", "n_chars", "text")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val inputs = planted.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3),
+        r.getString(4)))).toMap
+    Curation.jsonlRecordFrames(planted).collect().foreach { r =>
+      val node = om.readTree(r.getString(1)) // throws on malformed JSON
+      val (lang, source, nChars, text) = inputs(r.getLong(0))
+      assert(node.get("id").asLong === r.getLong(0))
+      assert(node.get("lang").asText === lang)
+      assert(node.get("source").asText === source)
+      assert(node.get("n_chars").asLong === nChars)
+      assert(node.get("text").asText === text, s"doc ${r.getLong(0)} text mangled")
+    }
+    // the reported length/digest are OF the assembled record
+    val recs = Curation.jsonlRecordFrames(planted).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    Curation.jsonlFrames(planted).collect().foreach { r =>
+      val rec = recs(r.getLong(0))
+      assert(r.getLong(1) === rec.length.toLong)
+      assert(r.getString(2) === sha256Hex(rec).take(16))
+    }
+  }
 }
