@@ -970,6 +970,71 @@ object Curation {
        |  substr(sha256(rec), 1, 16) AS rec_hash
        |FROM r ORDER BY doc_id""".stripMargin
 
+  /** Corpus SNAPSHOT DIFF: added / removed / changed / unchanged
+    * counts per source between two corpus versions — the ops report
+    * behind incremental reprocessing ("what did this week's crawl
+    * actually change?") and the input to cache-invalidation decisions.
+    * Documents are compared by H16 content digest, never by text: at
+    * 100 TB the diff join shuffles (id, source, 16-hex) rows only.
+    *
+    * The driver supplies one snapshot, so the two versions are derived
+    * deterministically in-query (the piiScrub planting discipline,
+    * identical in the oracle): the OLD snapshot is the hash-bucket
+    * `< 95` slice with a ' legacy' suffix planted on every
+    * `doc_id % 13 == 0` document (content drift); the NEW snapshot
+    * drops buckets `< 3` (documents removed since). One full-outer
+    * join keyed on doc_id classifies every document; per-source counts
+    * aggregate map-side.
+    */
+  def corpusDiff(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val h16 = (c: Column) => substring(sha2(c, 256), 1, 16)
+    val old = docs.withColumn("bucket", bucketSpark)
+      .where(col("bucket") < 95)
+      .select(col("doc_id"), col("source").as("src_old"),
+        h16(expr("CASE WHEN doc_id % 13 = 0 THEN concat(text, ' legacy') ELSE text END"))
+          .as("h_old"))
+    val nw = docs.withColumn("bucket", bucketSpark)
+      .where(col("bucket") >= 3)
+      .select(col("doc_id"), col("source").as("src_new"),
+        h16(col("text")).as("h_new"))
+    old.join(nw, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("src_new"), col("src_old")).as("source"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("source")
+      .agg(
+        sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("status") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"))
+      .orderBy("source")
+  }
+
+  val corpusDiffSql: String =
+    s"""WITH b AS (SELECT doc_id, source, text, $bucketDuck AS bucket FROM documents),
+       |o AS (SELECT doc_id, source AS src_old,
+       |        substr(sha256(CASE WHEN doc_id % 13 = 0
+       |          THEN text || ' legacy' ELSE text END), 1, 16) AS h_old
+       |      FROM b WHERE bucket < 95),
+       |n AS (SELECT doc_id, source AS src_new,
+       |        substr(sha256(text), 1, 16) AS h_new
+       |      FROM b WHERE bucket >= 3),
+       |s AS (SELECT coalesce(n.src_new, o.src_old) AS source,
+       |        CASE WHEN o.h_old IS NULL THEN 'added'
+       |             WHEN n.h_new IS NULL THEN 'removed'
+       |             WHEN o.h_old <> n.h_new THEN 'changed'
+       |             ELSE 'unchanged' END AS status
+       |      FROM o FULL OUTER JOIN n USING (doc_id))
+       |SELECT source,
+       |  CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       |  CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |  CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       |  CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+       |FROM s GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_hash" -> (sampleHash _),
     "q_sample_weighted" -> ((s, d) => sampleWeighted(s, d)),
@@ -987,6 +1052,7 @@ object Curation {
     "q_source_overlap" -> (sourceOverlap _),
     "q_robust_filter" -> (robustFilter _),
     "q_jsonl_emit" -> (jsonlEmit _),
+    "q_corpus_diff" -> (corpusDiff _),
     "q_pii_scrub" -> (piiScrub _))
 
   val oracles: Map[String, String] = Map(
@@ -1006,5 +1072,6 @@ object Curation {
     "q_source_overlap" -> sourceOverlapSql,
     "q_robust_filter" -> robustFilterSql,
     "q_jsonl_emit" -> jsonlEmitSql,
+    "q_corpus_diff" -> corpusDiffSql,
     "q_pii_scrub" -> piiScrubSql)
 }

@@ -252,4 +252,36 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(r.getString(2) === sha256Hex(rec).take(16))
     }
   }
+
+  test("corpus diff matches a driver classification of every doc") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def bucket(id: Long): Long =
+      java.lang.Long.parseLong(sha256Hex(id.toString).take(8), 16) % 100
+    val statuses = docs.map { case (id, src) =>
+      val b = bucket(id)
+      val status =
+        if (b >= 95) "added" // only in new
+        else if (b < 3) "removed" // only in old
+        else if (id % 13 == 0) "changed" // planted drift
+        else "unchanged"
+      (src, status)
+    }
+    val expected = statuses.groupBy(_._1).map { case (src, xs) =>
+      src -> ((xs.count(_._2 == "added").toLong,
+        xs.count(_._2 == "removed").toLong,
+        xs.count(_._2 == "changed").toLong,
+        xs.count(_._2 == "unchanged").toLong))
+    }
+    val got = Curation.corpusDiff(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got === expected)
+    // every category must be exercised by the planted drift
+    assert(got.values.map(_._1).sum > 0, "no added docs")
+    assert(got.values.map(_._2).sum > 0, "no removed docs")
+    assert(got.values.map(_._3).sum > 0, "no changed docs")
+    assert(got.values.map(_._4).sum > 0, "no unchanged docs")
+  }
 }
