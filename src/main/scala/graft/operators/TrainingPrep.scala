@@ -391,6 +391,73 @@ object TrainingPrep {
     * count ≥ 2), shuffle otherwise; here AQE picks broadcast. One final
     * per-doc aggregate. No step is quadratic in corpus size.
     */
+  /** Collocation knobs, interpolated into both the Scala defaults and
+    * the oracle SQL so an edit cannot desynchronize them.
+    */
+  val DefaultCollocTopK = 30
+  val MinCollocCount = 5
+  val CollocDiscount = 1
+
+  /** COLLOCATION mining: the top word bigrams by the Mikolov phrase
+    * score `(c12 − δ)·N·10^6 div (c1·c2)` (word2vec's phrase-detection
+    * formula — the count discount δ kills rare-pair noise) — the
+    * statistical-association step that decides which adjacent words
+    * fuse into phrase tokens before tokenizer training, where
+    * [[TextAnalysis.bpePairs]] counts raw adjacency. The score is the
+    * log-free monotone twin of PMI (same numerator/denominator ratio,
+    * no libm), one Decimal(38,0) division: numerator
+    * (c12−δ)·N·10^6 ≤ 10^32 at web scale, denominator c1·c2 ≤ 10^28 —
+    * both in range, unlike the naive PMI form whose N² numerator
+    * overflows Decimal(38,0).
+    *
+    * Scale: one map-side bigram explode feeds one (w1,w2) aggregation;
+    * the unigram marginals are a second vocab-sized aggregate joined
+    * twice on single-word keys (broadcast at bounded vocab); the
+    * min-count filter prunes the pair table BEFORE the joins; top-k is
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def collocations(spark: SparkSession, d: String,
+      topK: Int = DefaultCollocTopK,
+      minCount: Int = MinCollocCount): DataFrame = {
+    val toks = Tables.documents(spark, d)
+      .select(col("doc_id"), expr(toksExpr).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val nUni = uni.agg(sum("c").as("n_uni"))
+    val bi = toks.where(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"""
+          .stripMargin)).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .where(col("c12") >= minCount)
+    bi.join(uni.toDF("w1", "c1"), "w1")
+      .join(uni.toDF("w2", "c2"), "w2")
+      .crossJoin(broadcast(nUni))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        expr(s"""cast(cast(c12 - $CollocDiscount as decimal(38,0)) * n_uni * 1000000
+                 |  div (cast(c1 as decimal(38,0)) * c2) as bigint)""".stripMargin)
+          .as("score_e6"))
+      .orderBy(col("score_e6").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  val collocationsSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksDuck AS toks FROM documents),
+       |u AS (SELECT w, count(*) AS c FROM
+       |        (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+       |nu AS (SELECT sum(c) AS n_uni FROM u),
+       |b AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+       |      FROM t, generate_series(1, 200) gs(i) WHERE i <= len(toks) - 1),
+       |bc AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2
+       |       HAVING count(*) >= $MinCollocCount)
+       |SELECT bc.w1, bc.w2, bc.c12, u1.c AS c1, u2.c AS c2,
+       |  CAST((bc.c12 - $CollocDiscount) * nu.n_uni * 1000000
+       |    // (u1.c * u2.c) AS BIGINT) AS score_e6
+       |FROM bc JOIN u u1 ON u1.w = bc.w1 JOIN u u2 ON u2.w = bc.w2, nu
+       |ORDER BY score_e6 DESC, bc.w1, bc.w2 LIMIT $DefaultCollocTopK""".stripMargin
+
   def bigramCoherence(spark: SparkSession, d: String): DataFrame = {
     val bi = Tables.documents(spark, d)
       .select(col("doc_id"), expr(toksExpr).as("toks"))
@@ -485,6 +552,7 @@ object TrainingPrep {
     "q_quantile_stats" -> (quantileStats _),
     "q_quantile_sketch" -> (quantileSketch _),
     "q_bigram_coherence" -> (bigramCoherence _),
+    "q_collocations" -> ((s, d) => collocations(s, d)),
     "q_budget_select" -> ((s, d) => budgetSelect(s, d)))
 
   val oracles: Map[String, String] = Map(
@@ -496,5 +564,6 @@ object TrainingPrep {
     "q_quantile_stats" -> quantileStatsSql,
     "q_quantile_sketch" -> quantileSketchSql,
     "q_bigram_coherence" -> bigramCoherenceSql,
+    "q_collocations" -> collocationsSql,
     "q_budget_select" -> budgetSelectSql)
 }

@@ -198,6 +198,30 @@ class TrainingPrepSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("collocations match the driver phrase-score model") {
+    val allToks = docs.toSeq.flatMap(_._2)
+    val uni = allToks.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val nUni = allToks.size.toLong
+    val bigrams = docs.toSeq.flatMap(_._2.sliding(2).collect {
+      case Vector(a, b) => (a, b)
+    })
+    val expected = bigrams.groupBy(identity).toSeq
+      .map { case ((a, b), xs) =>
+        val c12 = xs.size.toLong
+        val score = (BigInt(c12 - TrainingPrep.CollocDiscount) * nUni * 1000000L /
+          (BigInt(uni(a)) * uni(b))).toLong
+        (a, b, c12, uni(a), uni(b), score)
+      }
+      .filter(_._3 >= TrainingPrep.MinCollocCount)
+      .sortBy(t => (-t._6, t._1, t._2))
+      .take(TrainingPrep.DefaultCollocTopK)
+    val got = TrainingPrep.collocations(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture should produce collocations")
+  }
+
   test("length histogram buckets every doc once with floor-exact shares") {
     val bySource = graft.sources.Tables.documents(spark, sf)
       .select("source", "doc_id").collect()
