@@ -1035,6 +1035,83 @@ object Curation {
        |  CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
        |FROM s GROUP BY source ORDER BY source""".stripMargin
 
+  /** URL CANONICALIZATION + dedup: collapse scheme / host-case / www. /
+    * tracking-query / fragment / trailing-slash variants to one
+    * canonical form and group documents by it — the first-line dedup
+    * of web crawls (C4 and Common Crawl both dedup by canonical URL
+    * before any content hashing).
+    *
+    * The synthetic corpus carries no URLs, so each document plants a
+    * deterministic noisy variant (the piiScrub discipline — a pure
+    * function of `doc_id`, identical in the oracle): scheme alternates,
+    * host case cycles three ways, `www.` appears on evens, a tracking
+    * query string always trails, a fragment on every 5th, a trailing
+    * slash on every 7th. Canonicalization is four regex passes with
+    * Java-regex/RE2-identical semantics (anchors, character classes —
+    * no lookaround): strip `?…`/`#…`, strip scheme, lowercase, strip
+    * `www.`, strip trailing slash.
+    *
+    * Scale: the planting and canonicalization are one map-side
+    * projection; the group-by shuffles (canonical-url, doc_id) rows
+    * with map-side partial aggregation. Groups of one are filtered —
+    * the report is the duplicate clusters.
+    */
+  def urlDedup(spark: SparkSession, d: String): DataFrame = {
+    val host = expr("concat('site', cast(doc_id % 5 as string), '.com')")
+    val hostCased = expr(
+      """CASE doc_id % 3
+        |  WHEN 0 THEN upper(concat('site', cast(doc_id % 5 as string), '.com'))
+        |  WHEN 1 THEN concat('Site', cast(doc_id % 5 as string), '.Com')
+        |  ELSE concat('site', cast(doc_id % 5 as string), '.com') END""".stripMargin)
+    val raw = concat(
+      when(col("doc_id") % 2 === 0, "https://").otherwise("http://"),
+      when(col("doc_id") % 2 === 0, "www.").otherwise(""),
+      hostCased,
+      lit("/p/"), (col("doc_id") % 10).cast(StringType),
+      when(col("doc_id") % 7 === 0, "/").otherwise(""),
+      lit("?utm_source=feed&ref="), col("doc_id").cast(StringType),
+      when(col("doc_id") % 5 === 0, "#frag").otherwise(""))
+    val canon = regexp_replace(
+      regexp_replace(
+        lower(regexp_replace(
+          regexp_replace(raw, lit("[?#].*$"), lit("")),
+          lit("^https?://"), lit(""))),
+        lit("^www\\."), lit("")),
+      lit("/$"), lit(""))
+    Tables.documents(spark, d)
+      .select(col("doc_id"), canon.as("url_norm"), raw.as("url_raw"))
+      .groupBy("url_norm")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("url_raw").as("n_variants"),
+        min("doc_id").as("min_doc_id"))
+      .where(col("n_docs") >= 2)
+      .orderBy("url_norm")
+  }
+
+  val urlDedupSql: String =
+    s"""WITH u AS (SELECT doc_id,
+       |  (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+       |  || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+       |  || (CASE doc_id % 3
+       |        WHEN 0 THEN upper('site' || CAST(doc_id % 5 AS VARCHAR) || '.com')
+       |        WHEN 1 THEN 'Site' || CAST(doc_id % 5 AS VARCHAR) || '.Com'
+       |        ELSE 'site' || CAST(doc_id % 5 AS VARCHAR) || '.com' END)
+       |  || '/p/' || CAST(doc_id % 10 AS VARCHAR)
+       |  || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
+       |  || '?utm_source=feed&ref=' || CAST(doc_id AS VARCHAR)
+       |  || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url_raw
+       |  FROM documents),
+       |c AS (SELECT doc_id, url_raw,
+       |  regexp_replace(regexp_replace(lower(regexp_replace(regexp_replace(
+       |    url_raw, '[?#].*$$', ''), '^https?://', '')), '^www\\.', ''),
+       |    '/$$', '') AS url_norm
+       |  FROM u)
+       |SELECT url_norm, count(*) AS n_docs,
+       |  count(DISTINCT url_raw) AS n_variants,
+       |  min(doc_id) AS min_doc_id
+       |FROM c GROUP BY url_norm HAVING count(*) >= 2
+       |ORDER BY url_norm""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_hash" -> (sampleHash _),
     "q_sample_weighted" -> ((s, d) => sampleWeighted(s, d)),
@@ -1053,6 +1130,7 @@ object Curation {
     "q_robust_filter" -> (robustFilter _),
     "q_jsonl_emit" -> (jsonlEmit _),
     "q_corpus_diff" -> (corpusDiff _),
+    "q_url_dedup" -> (urlDedup _),
     "q_pii_scrub" -> (piiScrub _))
 
   val oracles: Map[String, String] = Map(
@@ -1073,5 +1151,6 @@ object Curation {
     "q_robust_filter" -> robustFilterSql,
     "q_jsonl_emit" -> jsonlEmitSql,
     "q_corpus_diff" -> corpusDiffSql,
+    "q_url_dedup" -> urlDedupSql,
     "q_pii_scrub" -> piiScrubSql)
 }

@@ -284,4 +284,40 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.values.map(_._3).sum > 0, "no changed docs")
     assert(got.values.map(_._4).sum > 0, "no unchanged docs")
   }
+
+  test("url dedup groups match a driver canonicalization model") {
+    val ids = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    def rawUrl(id: Long): String = {
+      val host = s"site${id % 5}.com"
+      val cased = (id % 3) match {
+        case 0 => host.toUpperCase
+        case 1 => s"Site${id % 5}.Com"
+        case _ => host
+      }
+      (if (id % 2 == 0) "https://www." else "http://") + cased +
+        s"/p/${id % 10}" + (if (id % 7 == 0) "/" else "") +
+        s"?utm_source=feed&ref=$id" + (if (id % 5 == 0) "#frag" else "")
+    }
+    def canon(u: String): String =
+      u.replaceAll("[?#].*$", "").replaceAll("^https?://", "")
+        .toLowerCase.replaceAll("^www\\.", "").replaceAll("/$", "")
+    val expected = ids.map(id => (id, rawUrl(id)))
+      .groupBy { case (_, u) => canon(u) }
+      .collect { case (norm, xs) if xs.length >= 2 =>
+        norm -> ((xs.length.toLong, xs.map(_._2).distinct.length.toLong,
+          xs.map(_._1).min))
+      }
+    val got = Curation.urlDedup(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === expected)
+    got.keys.foreach { norm =>
+      assert(!norm.exists(_.isUpper) && !norm.contains("www.") &&
+        !norm.contains("?") && !norm.contains("#") && !norm.endsWith("/"),
+        s"un-canonical form survived: $norm")
+    }
+    // the planting must actually exercise variant collapsing
+    assert(got.values.exists(_._2 > 1), "no group collapses multiple raw variants")
+  }
 }
