@@ -441,6 +441,41 @@ object Similarity {
        |SELECT q_id, vec_id, cos_e6, rank FROM r WHERE rank <= $K
        |ORDER BY q_id, rank""".stripMargin
 
+  /** ANN RECALL@k audit: the IVF index's top-k against the brute-force
+    * ground truth, per query — the quality gate every approximate index
+    * ships with (recall is THE accuracy metric for ANN; an index change
+    * that silently drops it is worse than a slow one). Both faces are
+    * deterministic here, so recall is exact and cross-engine
+    * reproducible, and the oracle recomposes the complete brute and IVF
+    * pipelines as nested subqueries.
+    *
+    * Scale: ground truth over a query SAMPLE is how production audits
+    * run too (brute force over q queries × corpus is one broadcast
+    * probe scan, linear in the corpus); the recall join itself touches
+    * q×k rows — model-sized.
+    */
+  def annRecall(spark: SparkSession, d: String): DataFrame = {
+    val truth = simTopkBrute(spark, d).select(col("q_id"), col("vec_id"))
+    val approx = simTopkIvf(spark, d).select(col("q_id"), col("vec_id"))
+      .withColumn("hit", lit(1L))
+    truth.join(approx, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall_e4", expr("n_hits * 10000L div n_truth"))
+      .orderBy("q_id")
+  }
+
+  val annRecallSql: String =
+    s"""WITH t AS (SELECT q_id, vec_id FROM ($simTopkBruteSql)),
+       |a AS (SELECT q_id, vec_id FROM ($simTopkIvfSql))
+       |SELECT t.q_id, count(*) AS n_truth,
+       |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 10000
+       |    // count(*) AS BIGINT) AS recall_e4
+       |FROM t LEFT JOIN a ON a.q_id = t.q_id AND a.vec_id = t.vec_id
+       |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
+
   /** Embedding near-duplicate pairs: sign-LSH buckets, then exact cosine
     * within a bucket, thresholded. At corpus scale this is the standard
     * semantic-dedup funnel (bucket → verify), with one shuffle on the
@@ -1034,6 +1069,7 @@ object Similarity {
     "q_sim_topk_ivf" -> ((s, d) => simTopkIvf(s, d)),
     "q_ivf_centroids" -> (ivfCentroids _),
     "q_cluster_purity" -> (clusterPurity _),
+    "q_ann_recall" -> (annRecall _),
     "q_dedup_embedding" -> ((s, d) => dedupEmbedding(s, d)),
     "q_embed_quantize" -> (embedQuantize _),
     "q_pq_codebook" -> (pqCodebook _),
@@ -1049,6 +1085,7 @@ object Similarity {
     "q_sim_topk_ivf" -> simTopkIvfSql,
     "q_ivf_centroids" -> ivfCentroidsSql,
     "q_cluster_purity" -> clusterPuritySql,
+    "q_ann_recall" -> annRecallSql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
     "q_embed_quantize" -> embedQuantizeSql,
     "q_pq_codebook" -> pqCodebookSql,

@@ -181,4 +181,24 @@ class QuantizeSpec extends AnyFunSuite with SparkTestBase {
         s"cell $cell: contingency count $nCell disagrees with the centroid audit")
     }
   }
+
+  test("ann recall is the driver set-intersection of the two top-k faces") {
+    val truth = Similarity.simTopkBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Similarity.simTopkIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = Similarity.annRecall(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet === truth.keySet)
+    got.foreach { case (q, (nTruth, nHits, e4)) =>
+      val hits = (truth(q) intersect approx.getOrElse(q, Set.empty)).size.toLong
+      assert(nTruth === truth(q).size.toLong, s"q $q truth size")
+      assert(nHits === hits, s"q $q intersection")
+      assert(e4 === hits * 10000L / nTruth, s"q $q recall arithmetic")
+    }
+    // the 2-of-8-cell probe must find a non-trivial share of the truth
+    assert(got.values.map(_._2).sum > 0, "IVF found nothing — index broken")
+  }
 }
