@@ -711,16 +711,23 @@ object Curation {
   /** The APPLY half of [[robustFilter]]: a stateless broadcast
     * stream-static join — each document (batch row or streamed ingest
     * row) picks up its source's bounds and gets its outlier verdict.
-    * No watermark or state store needed; append-mode safe (pinned
-    * stream==batch by StreamingAdmitSpec).
+    * A source ABSENT from the fit (a domain that appeared after
+    * yesterday's model) cannot be judged: the LEFT join keeps the row
+    * with null bounds and `is_outlier = false` (admit-by-default —
+    * dropping unjudgeable rows silently would make the stream
+    * undercount; the null bounds mark them for the next re-fit). No
+    * watermark or state store needed; append-mode safe (pinned
+    * stream==batch by StreamingAdmitSpec, unseen-source behavior by
+    * CurationOpsSpec).
     */
   def admitFrames(docs: DataFrame, bounds: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("source"), col("n_chars"))
-      .join(broadcast(bounds), "source")
+      .join(broadcast(bounds), Seq("source"), "left")
       .select(col("doc_id"), col("source"), col("n_chars"),
         col("med_chars"), col("mad_chars"),
-        (abs(col("n_chars") - col("med_chars")) > col("mad_chars") * 3)
-          .as("is_outlier"))
+        coalesce(
+          abs(col("n_chars") - col("med_chars")) > col("mad_chars") * 3,
+          lit(false)).as("is_outlier"))
 
   def robustFilter(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
@@ -766,7 +773,10 @@ object Curation {
     * Set sizes and the pair matrix are model-sized (|sources| and
     * C(|sources|,2) rows), so the final assembly join is a
     * broadcast nested-loop over two tiny frames. Zero-overlap pairs are
-    * emitted too (jaccard 0), so the matrix is total.
+    * emitted too (jaccard 0), and sources whose documents are all too
+    * short to yield a shingle still appear with n = 0 (empty-empty
+    * pairs define jaccard as 0 — guarded, DuckDB's `// 0` errors), so
+    * the matrix is total over the corpus's sources.
     */
   def sourceOverlap(spark: SparkSession, d: String): DataFrame = {
     import graft.functions.GraftFunctions
@@ -778,7 +788,12 @@ object Curation {
         expr("substring(sha2(shingle, 256), 1, 16)").as("h"))
       .distinct()
       .persist()
-    val sz = s.groupBy("source").agg(count(lit(1)).as("n"))
+    // size every source from the CORPUS, not the shingle frame — a
+    // source whose docs are all too short for one shingle must still
+    // appear in the matrix (n = 0), or the report silently loses it
+    val sz = Tables.documents(spark, d).select("source").distinct()
+      .join(s.groupBy("source").agg(count(lit(1)).as("n0")), Seq("source"), "left")
+      .select(col("source"), coalesce(col("n0"), lit(0L)).as("n"))
     val inter = s.toDF("source_a", "h")
       .join(s.toDF("source_b", "h"), "h")
       .where(col("source_a") < col("source_b"))
@@ -789,7 +804,12 @@ object Curation {
       .join(inter, Seq("source_a", "source_b"), "left")
       .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
         coalesce(col("n_common"), lit(0L)).as("n_common"),
-        expr("coalesce(n_common, 0L) * 1000000L div (n_a + n_b - coalesce(n_common, 0L))")
+        // an empty-empty pair has union 0: jaccard defined as 0, and the
+        // CASE keeps the division guarded in BOTH engines (DuckDB // 0
+        // errors rather than nulling)
+        expr("""CASE WHEN n_a + n_b - coalesce(n_common, 0L) = 0 THEN 0L
+               |ELSE coalesce(n_common, 0L) * 1000000L
+               |  div (n_a + n_b - coalesce(n_common, 0L)) END""".stripMargin)
           .as("jaccard_e6"))
       .orderBy("source_a", "source_b")
       .persist()
@@ -803,7 +823,10 @@ object Curation {
     s"""WITH t AS (SELECT source, $tokensDuck AS toks FROM documents),
        |s AS (SELECT DISTINCT source, substr(sha256(shingle), 1, 16) AS h
        |      FROM (SELECT source, unnest($shinglesDuck) AS shingle FROM t)),
-       |sz AS (SELECT source, count(*) AS n FROM s GROUP BY source),
+       |sz AS (SELECT d.source, CAST(coalesce(c.n0, 0) AS BIGINT) AS n
+       |       FROM (SELECT DISTINCT source FROM documents) d
+       |       LEFT JOIN (SELECT source, count(*) AS n0 FROM s GROUP BY source) c
+       |       ON c.source = d.source),
        |inter AS (SELECT a.source AS source_a, b.source AS source_b,
        |            count(*) AS n_common
        |          FROM s a JOIN s b ON a.h = b.h AND a.source < b.source
@@ -811,8 +834,9 @@ object Curation {
        |SELECT x.source AS source_a, y.source AS source_b,
        |  x.n AS n_a, y.n AS n_b,
        |  CAST(coalesce(i.n_common, 0) AS BIGINT) AS n_common,
-       |  CAST(coalesce(i.n_common, 0) * 1000000
-       |    // (x.n + y.n - coalesce(i.n_common, 0)) AS BIGINT) AS jaccard_e6
+       |  CAST(CASE WHEN x.n + y.n - coalesce(i.n_common, 0) = 0 THEN 0
+       |    ELSE coalesce(i.n_common, 0) * 1000000
+       |      // (x.n + y.n - coalesce(i.n_common, 0)) END AS BIGINT) AS jaccard_e6
        |FROM sz x JOIN sz y ON x.source < y.source
        |LEFT JOIN inter i ON i.source_a = x.source AND i.source_b = y.source
        |ORDER BY source_a, source_b""".stripMargin
@@ -918,9 +942,11 @@ object Curation {
     * files). The record is built by explicit concatenation, NOT an
     * engine `to_json` (field order, spacing, and number rendering are
     * engine-specific; concatenation is character-identical everywhere),
-    * with JSON string escaping as two literal `replace` passes
-    * (backslash first, then quote — both engines apply literal
-    * replacement). Emits the record length and H16 digest per document
+    * with JSON string escaping as an ordered pass chain: backslash,
+    * quote, the \\n/\\t/\\r short escapes, then the remaining C0
+    * controls stripped (no short escape exists for them; stripping is
+    * deterministic in both engines and keeps line framing intact).
+    * Emits the record length and H16 digest per document
     * rather than the record text (the piiScrub reporting discipline:
     * verify the BYTES, keep the oracle output narrow).
     *
@@ -938,9 +964,23 @@ object Curation {
     * a real JSON parser).
     */
   def jsonlRecordFrames(docs: DataFrame): DataFrame = {
-    def esc(c: Column): Column =
-      regexp_replace(regexp_replace(c, lit("\\\\"), lit("\\\\\\\\")),
+    // JSON string escape: backslash FIRST (later passes insert new
+    // backslashes that are escapes themselves), then quote, then the
+    // C0 controls with short escapes (\n \t \r); remaining C0 controls
+    // have no short escape and are STRIPPED (deterministic in both
+    // engines; \u00XX-encoding them cross-engine buys nothing for
+    // corpus text and the contract is documented here)
+    def esc(c: Column): Column = {
+      val base = regexp_replace(regexp_replace(c, lit("\\\\"), lit("\\\\\\\\")),
         lit("\""), lit("\\\\\""))
+      val shortEsc = regexp_replace(
+        regexp_replace(
+          regexp_replace(base, lit("\n"), lit("\\\\n")),
+          lit("\t"), lit("\\\\t")),
+        lit("\r"), lit("\\\\r"))
+      regexp_replace(shortEsc,
+        lit("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"), lit(""))
+    }
     docs.select(col("doc_id"), concat(
       lit("{\"id\":"), col("doc_id"),
       lit(",\"lang\":\""), esc(col("lang")),
@@ -957,18 +997,27 @@ object Curation {
       length(col("rec")).cast(LongType).as("rec_len"),
       substring(sha2(col("rec"), 256), 1, 16).as("rec_hash"))
 
-  val jsonlEmitSql: String =
+  val jsonlEmitSql: String = {
+    // mirror of jsonlRecordFrames' escape chain: backslash, quote,
+    // \n/\t/\r short escapes, then strip the remaining C0 controls
+    def esc(col: String): String =
+      s"""regexp_replace(replace(replace(replace(replace(replace(
+         |  $col, '\\', '\\\\'), '"', '\\"'),
+         |  chr(10), '\\n'), chr(9), '\\t'), chr(13), '\\r'),
+         |  '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g')"""
+        .stripMargin.replaceAll("\\s+", " ").trim
     s"""WITH r AS (SELECT doc_id,
        |  '{"id":' || CAST(doc_id AS VARCHAR)
-       |    || ',"lang":"' || replace(replace(lang, '\\', '\\\\'), '"', '\\"')
-       |    || '","source":"' || replace(replace(source, '\\', '\\\\'), '"', '\\"')
+       |    || ',"lang":"' || ${esc("lang")}
+       |    || '","source":"' || ${esc("source")}
        |    || '","n_chars":' || CAST(n_chars AS VARCHAR)
-       |    || ',"text":"' || replace(replace(text, '\\', '\\\\'), '"', '\\"')
+       |    || ',"text":"' || ${esc("text")}
        |    || '"}' AS rec
        |  FROM documents)
        |SELECT doc_id, CAST(length(rec) AS BIGINT) AS rec_len,
        |  substr(sha256(rec), 1, 16) AS rec_hash
        |FROM r ORDER BY doc_id""".stripMargin
+  }
 
   /** Corpus SNAPSHOT DIFF: added / removed / changed / unchanged
     * counts per source between two corpus versions — the ops report
@@ -1057,7 +1106,6 @@ object Curation {
     * the report is the duplicate clusters.
     */
   def urlDedup(spark: SparkSession, d: String): DataFrame = {
-    val host = expr("concat('site', cast(doc_id % 5 as string), '.com')")
     val hostCased = expr(
       """CASE doc_id % 3
         |  WHEN 0 THEN upper(concat('site', cast(doc_id % 5 as string), '.com'))

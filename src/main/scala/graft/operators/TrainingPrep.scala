@@ -398,6 +398,16 @@ object TrainingPrep {
   val MinCollocCount = 5
   val CollocDiscount = 1
 
+  /** ORACLE-ONLY position cap for DuckDB bigram unrolls: DuckDB 1.0's
+    * generate_series can't take lateral column bounds, so the bigram
+    * CTEs enumerate a fixed 1..N position range and filter by each
+    * doc's length. The Spark side has NO such cap — if the corpus ever
+    * grows a document past this many tokens the GATE fails loudly
+    * (oracle undercounts), which is the intended failure mode; the
+    * current testdata tops out near 110 tokens.
+    */
+  val OracleMaxDocTokens = 200
+
   /** COLLOCATION mining: the top word bigrams by the Mikolov phrase
     * score `(c12 − δ)·N·10^6 div (c1·c2)` (word2vec's phrase-detection
     * formula — the count discount δ kills rare-pair noise) — the
@@ -449,7 +459,7 @@ object TrainingPrep {
        |        (SELECT unnest(toks) AS w FROM t) GROUP BY w),
        |nu AS (SELECT sum(c) AS n_uni FROM u),
        |b AS (SELECT toks[i] AS w1, toks[i+1] AS w2
-       |      FROM t, generate_series(1, 200) gs(i) WHERE i <= len(toks) - 1),
+       |      FROM t, generate_series(1, $OracleMaxDocTokens) gs(i) WHERE i <= len(toks) - 1),
        |bc AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2
        |       HAVING count(*) >= $MinCollocCount)
        |SELECT bc.w1, bc.w2, bc.c12, u1.c AS c1, u2.c AS c2,
@@ -489,7 +499,7 @@ object TrainingPrep {
   val bigramCoherenceSql: String =
     s"""WITH t AS (SELECT doc_id, $toksDuck AS toks FROM documents),
        |b AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
-       |      FROM t, generate_series(1, 200) gs(i)
+       |      FROM t, generate_series(1, $OracleMaxDocTokens) gs(i)
        |      WHERE i <= len(toks) - 1),
        |lm AS (SELECT w1, w2, count(*) AS c FROM b GROUP BY w1, w2),
        |hd AS (SELECT w1, count(*) AS h FROM b GROUP BY w1),

@@ -228,7 +228,8 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
     val planted = Seq(
       (1L, "en", "src\"quoted\"", 10L, """plain text"""),
       (2L, "e\\n", "src\\back", 11L, """say "hi" \ "bye\""""),
-      (3L, "zh", "s", 12L, """\\" tricky "\ end\"""))
+      (3L, "zh", "s", 12L, """\\" tricky "\ end\"""),
+      (4L, "en", "ctl", 13L, "line one\nline two\ttabbed\rcr \\n mixed"))
       .toDF("doc_id", "lang", "source", "n_chars", "text")
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val inputs = planted.collect()
@@ -251,6 +252,34 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(r.getLong(1) === rec.length.toLong)
       assert(r.getString(2) === sha256Hex(rec).take(16))
     }
+    // \n/\t/\r round-trip via short escapes; the record itself must stay
+    // one physical line (JSONL framing)
+    recs.values.foreach(rec => assert(!rec.exists(c => c == '\n' || c == '\r'),
+      "record broke JSONL line framing"))
+    // C0 controls without a short escape are stripped, deterministically
+    val ctl = Seq((9L, "en", "s", 5L, "a" + "\u0001" + "b" + "\u001F" + "c"))
+      .toDF("doc_id", "lang", "source", "n_chars", "text")
+    val ctlRec = Curation.jsonlRecordFrames(ctl).collect().head.getString(1)
+    assert(om.readTree(ctlRec).get("text").asText === "abc",
+      "unescapable C0 controls must be stripped")
+  }
+
+  test("admission keeps and passes docs from sources absent in the fit") {
+    import spark.implicits._
+    val bounds = Seq(("known", 100L, 10L))
+      .toDF("source", "med_chars", "mad_chars")
+    val docs = Seq(
+      (1L, "known", 100L), // in bounds, inlier
+      (2L, "known", 200L), // in bounds, outlier (dev 100 > 3*10)
+      (3L, "fresh", 999L)) // source unseen by the fit
+      .toDF("doc_id", "source", "n_chars")
+    val got = Curation.admitFrames(docs, bounds).collect()
+      .map(r => r.getLong(0) -> ((r.isNullAt(3), r.getBoolean(5)))).toMap
+    assert(got(1L) === ((false, false)))
+    assert(got(2L) === ((false, true)))
+    // unseen source: row KEPT, bounds null, admitted by default
+    assert(got(3L) === ((true, false)), "unseen-source doc dropped or flagged")
+    assert(got.size === 3)
   }
 
   test("corpus diff matches a driver classification of every doc") {
