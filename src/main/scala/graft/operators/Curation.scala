@@ -915,6 +915,69 @@ object Curation {
     out
   }
 
+  /** The DSIR model as ONE broadcastable row: the bucket→ratio map plus
+    * the smoothing-floor default for buckets never seen in the fit
+    * (c_raw = c_tgt = 0 ⇒ ratio = (N_raw+B)·10^6 div (N_tgt+B)) — the
+    * artifact [[dsirScoreFrames]] applies at ingest.
+    */
+  def dsirModelRow(docs: DataFrame,
+      buckets: Int = DefaultDsirBuckets,
+      targetLang: String = DefaultDsirTargetLang): DataFrame = {
+    import TextAnalysis.tokensSpark
+    val b = docs
+      .select((col("lang") === targetLang).as("is_tgt"),
+        explode(expr(tokensSpark)).as("token"))
+      .select(col("is_tgt"),
+        expr(s"cast(conv(substring(sha2(token, 256), 1, 8), 16, 10) as bigint) % $buckets")
+          .as("bucket"))
+    val byBucket = b.groupBy("bucket").agg(
+      count(lit(1)).as("c_raw"),
+      sum(when(col("is_tgt"), 1L).otherwise(0L)).as("c_tgt"))
+    val tot = byBucket.agg(
+      sum("c_raw").as("n_raw"), sum("c_tgt").as("n_tgt"))
+    byBucket.crossJoin(broadcast(tot))
+      .select(col("bucket"), expr(
+        s"""cast(cast(c_tgt + 1 as decimal(38,0)) * (n_raw + $buckets) * 1000000
+           |  div (cast(c_raw + 1 as decimal(38,0)) * (n_tgt + $buckets)) as bigint)"""
+          .stripMargin).as("ratio_e6"))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("ratio_e6"))))
+        .as("m"))
+      .crossJoin(broadcast(tot.select(expr(
+        s"""cast(cast(n_raw + $buckets as decimal(38,0)) * 1000000
+           |  div (n_tgt + $buckets) as bigint)""".stripMargin)
+        .as("default_ratio_e6"))))
+  }
+
+  /** STATELESS application of the DSIR model: each document scores
+    * itself with a higher-order fold over its tokens against the
+    * broadcast map — no explode, no shuffle, no state — so the SAME
+    * transform scores a batch read or an ingest STREAM (the
+    * fit-offline / score-at-ingest shape, pinned stream==batch==
+    * [[dsirWeights]] by StreamingDsirSpec). Trade-off vs the
+    * [[dsirWeights]] explode+join form, documented honestly: the
+    * lambda pays an interpreted frame per token (sha256 inside a HOF
+    * doesn't codegen), while the explode form is whole-stage-codegen
+    * but shuffles per-doc aggregation rows; batch keeps the explode
+    * form, ingest needs this one.
+    */
+  def dsirScoreFrames(docs: DataFrame, modelRow: DataFrame,
+      buckets: Int = DefaultDsirBuckets): DataFrame = {
+    import TextAnalysis.tokensSpark
+    docs
+      .crossJoin(broadcast(modelRow))
+      .withColumn("toks", expr(tokensSpark))
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_toks"),
+        expr(
+          s"""aggregate(
+             |  transform(toks, t -> coalesce(
+             |    element_at(m, cast(conv(substring(sha2(t, 256), 1, 8), 16, 10) as bigint) % $buckets),
+             |    default_ratio_e6)),
+             |  0L, (acc, x) -> acc + x) div size(toks)""".stripMargin)
+          .as("w_e6"))
+  }
+
   val dsirWeightsSql: String = {
     import TextAnalysis.tokensDuck
     val bN = DefaultDsirBuckets
