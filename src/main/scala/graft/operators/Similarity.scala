@@ -139,6 +139,58 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** MULTI-PROBE LSH top-k: each query searches its own sign bucket AND
+    * every bucket at Hamming distance 1 in the plane code (flip one of
+    * the `numPlanes` sign bits) — the standard recall repair for
+    * sign-LSH (Lv et al.'s multi-probe idea: the nearest misses sit in
+    * the adjacent buckets, so probe them instead of building more hash
+    * tables). With p planes this probes p+1 of the 2^p buckets —
+    * recall rises sharply while the candidate set stays a
+    * (p+1)/2^p sliver of the corpus.
+    *
+    * Scale shape: the probe fan-out happens on the QUERY side (q × (p+1)
+    * rows, broadcast); the corpus keeps its single map-side bucket
+    * assignment and is never shuffled (same contract as IVF, pinned in
+    * PlanContractSpec). Buckets are disjoint, so probes can't duplicate
+    * a candidate — no dedup stage needed.
+    */
+  def simTopkLshMulti(spark: SparkSession, d: String,
+      numPlanes: Int = DefaultNumPlanes): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+      .withColumn("bucket", expr(bucketSpark(numPlanes)))
+    val queries = emb.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        explode(expr(
+          s"""concat(array(bucket),
+             |  transform(sequence(0, ${numPlanes - 1}),
+             |    k -> cast(bucket ^ shiftleft(1, k) as int)))""".stripMargin))
+          .as("q_bucket"))
+    emb.select(col("vec_id"), col("embedding"), col("bucket"))
+      .join(broadcast(queries),
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosE6("q_emb", "embedding").as("cos_e6"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos_e6").desc, col("vec_id"))))
+      .where(col("rank") <= K)
+      .orderBy("q_id", "rank")
+  }
+
+  val simTopkLshMultiSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding, ${bucketDuck()} AS bucket FROM embeddings),
+       |q0 AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM e WHERE vec_id < $NumQueries),
+       |q AS (SELECT q_id, q_emb, bucket AS q_bucket FROM q0
+       |      UNION ALL
+       |      SELECT q_id, q_emb, CAST(xor(bucket, 1 << k) AS INT) AS q_bucket
+       |      FROM q0, generate_series(0, ${DefaultNumPlanes - 1}) gs(k)),
+       |c AS (SELECT q_id, e.vec_id, ${cosE6Duck("q_emb", "e.embedding")} AS cos_e6
+       |      FROM e, q WHERE e.bucket = q.q_bucket AND e.vec_id <> q.q_id),
+       |r AS (SELECT q_id, vec_id, cos_e6,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cos_e6 DESC, vec_id) AS rank
+       |      FROM c)
+       |SELECT q_id, vec_id, cos_e6, rank FROM r WHERE rank <= $K
+       |ORDER BY q_id, rank""".stripMargin
+
   val simTopkLshSql: String =
     s"""WITH e AS (SELECT vec_id, embedding, ${bucketDuck()} AS bucket FROM embeddings),
        |q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket FROM e WHERE vec_id < $NumQueries),
@@ -1070,6 +1122,7 @@ object Similarity {
     "q_ivf_centroids" -> (ivfCentroids _),
     "q_cluster_purity" -> (clusterPurity _),
     "q_ann_recall" -> (annRecall _),
+    "q_sim_topk_lsh_multi" -> ((s, d) => simTopkLshMulti(s, d)),
     "q_dedup_embedding" -> ((s, d) => dedupEmbedding(s, d)),
     "q_embed_quantize" -> (embedQuantize _),
     "q_pq_codebook" -> (pqCodebook _),
@@ -1086,6 +1139,7 @@ object Similarity {
     "q_ivf_centroids" -> ivfCentroidsSql,
     "q_cluster_purity" -> clusterPuritySql,
     "q_ann_recall" -> annRecallSql,
+    "q_sim_topk_lsh_multi" -> simTopkLshMultiSql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
     "q_embed_quantize" -> embedQuantizeSql,
     "q_pq_codebook" -> pqCodebookSql,

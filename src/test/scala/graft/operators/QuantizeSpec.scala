@@ -201,4 +201,39 @@ class QuantizeSpec extends AnyFunSuite with SparkTestBase {
     // the 2-of-8-cell probe must find a non-trivial share of the truth
     assert(got.values.map(_._2).sum > 0, "IVF found nothing — index broken")
   }
+
+  test("multi-probe LSH candidates strictly contain the single-bucket candidates") {
+    val single = Similarity.simTopkLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val multi = Similarity.simTopkLshMulti(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // same schema, same k-bound
+    assert(multi.groupBy(_._1).values.forall(_.size <= 5))
+    // every single-probe rank list can only IMPROVE: at equal rank, the
+    // multi-probe cosine is >= the single-probe cosine (supersets of
+    // candidates can't make top-k worse)
+    val sByQ: Map[Long, Seq[Long]] = single.groupBy(_._1).view
+      .mapValues(_.map(_._3).toSeq.sorted.reverse).toMap
+    val mByQ: Map[Long, Seq[Long]] = multi.groupBy(_._1).view
+      .mapValues(_.map(_._3).toSeq.sorted.reverse).toMap
+    sByQ.foreach { case (q, sCos) =>
+      val mCos: Seq[Long] = mByQ.getOrElse(q, Seq.empty)
+      sCos.zip(mCos).foreach { case (s, m) =>
+        assert(m >= s, s"query $q: multi-probe top-k regressed ($m < $s)")
+      }
+      assert(mCos.size >= sCos.size, s"query $q: multi-probe returned fewer rows")
+    }
+    // and against brute truth, multi-probe recall must not be lower
+    val truth = Similarity.simTopkBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recallOf(rows: Array[(Long, Long, Long)]): Double = {
+      val byQ = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      truth.map { case (q, t) =>
+        (t intersect byQ.getOrElse(q, Set.empty)).size.toDouble / t.size
+      }.sum / truth.size
+    }
+    assert(recallOf(multi) >= recallOf(single),
+      "multi-probe recall fell below single-probe")
+  }
 }
