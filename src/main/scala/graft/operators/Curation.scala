@@ -799,8 +799,12 @@ object Curation {
       .where(col("source_a") < col("source_b"))
       .groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("n_common"))
+    // explicit broadcast: sz is |sources|-sized but is a join RESULT, so
+    // its size estimate can exceed the nested-loop threshold and degrade
+    // the non-equi pair join to a CartesianProduct (plan-pinned against)
     val out = sz.toDF("source_a", "n_a")
-      .join(sz.toDF("source_b", "n_b"), col("source_a") < col("source_b"))
+      .join(broadcast(sz.toDF("source_b", "n_b")),
+        col("source_a") < col("source_b"))
       .join(inter, Seq("source_a", "source_b"), "left")
       .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
         coalesce(col("n_common"), lit(0L)).as("n_common"),

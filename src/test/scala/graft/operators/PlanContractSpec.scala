@@ -292,6 +292,18 @@ class PlanContractSpec extends AnyFunSuite with SparkTestBase {
     assert(bad.isEmpty, s"unexpected hash exchange on $bad in:\n$s")
   }
 
+  test("q_sim_topk_lsh_multi corpus is never shuffled before the probe join") {
+    val plan = stripAqe(
+      Similarity.simTopkLshMulti(spark, sf).queryExecution.executedPlan)
+    val probeJoin = plan.collectFirst { case j: BroadcastHashJoinExec => j }
+    assert(probeJoin.nonEmpty, s"expected a broadcast probe join in:\n$plan")
+    // the multi-probe fan-out lives on the broadcast (query) side; the
+    // corpus side carries only its map-side bucket assignment
+    val streamed = probeJoin.get.children.last
+    assert(streamedShuffles(streamed).isEmpty,
+      s"corpus side of the multi-probe join must not shuffle:\n$streamed")
+  }
+
   test("q_rep_coverage occurrence window is (doc, gram)-partitioned") {
     val plan = stripAqe(
       TextAnalysis.repCoverage(spark, sf).queryExecution.executedPlan)
