@@ -71,6 +71,71 @@ object EventAnalytics {
       .orderBy("user_id", "session_seq")
   }
 
+  /** Session-scoped event-TRANSITION matrix: counts of (event_type →
+    * next event_type) within a session, with the conditional
+    * probability in ppm-style e6 — the Markov view of user behavior
+    * (the data-prep step behind next-action models and the sanity
+    * check behind funnel definitions: a funnel step pair that never
+    * appears as a transition is a fiction). Transitions never cross
+    * the 30-minute session boundary — the lead() is partitioned by
+    * (user, session), not by user.
+    *
+    * Scale: the session assignment is the [[eventsSessionize]] lag/
+    * cumsum form (user-partitioned windows — well-keyed); the lead()
+    * reuses the SAME user-keyed exchange; the transition aggregation
+    * shuffles |types|² partials, model-sized. Nothing corpus-sized is
+    * windowed globally.
+    */
+  def eventTransitions(spark: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val gapNs = 30L * 60 * 1000000000L
+    val s = Tables.events(spark, d)
+      .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+      .withColumn("prev_ns", lag("ts_ns", 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > gapNs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum("is_new").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("to_type", lead("event_type", 1).over(
+        Window.partitionBy("user_id", "session_seq")
+          .orderBy("ts_ns", "event_id")))
+      .where(col("to_type").isNotNull)
+    val counts = s.groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("from_total",
+        sum("n").over(Window.partitionBy("from_type")))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("n * 1000000L div from_total").as("p_e6"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val eventTransitionsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, event_type,
+      |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ns(ts), event_id) AS prev_ns
+      |  FROM events),
+      |m AS (
+      |  SELECT *, CASE WHEN prev_ns IS NULL OR ts_ns - prev_ns > 1800000000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id, ts_ns, event_id, event_type,
+      |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM m),
+      |t AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id, session_seq
+      |      ORDER BY ts_ns, event_id) AS to_type
+      |  FROM s),
+      |c AS (SELECT from_type, to_type, count(*) AS n FROM t
+      |      WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+      |SELECT from_type, to_type, n,
+      |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_e6
+      |FROM c ORDER BY from_type, to_type""".stripMargin
+
   /** Batch face of the native `session_window` sessionizer (shared plan
     * with the streaming twin — see [[graft.streaming.EventStream
     * .sessionWindows]]; the watermark is a no-op in batch). Kept beside
@@ -911,6 +976,7 @@ object EventAnalytics {
     "q_hll_distinct" -> (hllDistinct _),
     "q_events_windowed_agg" -> (eventsWindowedAgg _),
     "q_events_sessionize" -> (eventsSessionize _),
+    "q_event_transitions" -> (eventTransitions _),
     "q_events_session_window" -> (eventsSessionWindow _),
     "q_events_user_stats" -> (eventsUserStats _),
     "q_join_asof" -> (joinAsof _),
@@ -938,6 +1004,7 @@ object EventAnalytics {
     "q_hll_distinct" -> hllDistinctSql,
     "q_events_windowed_agg" -> eventsWindowedAggSql,
     "q_events_sessionize" -> eventsSessionizeSql,
+    "q_event_transitions" -> eventTransitionsSql,
     "q_events_session_window" -> eventsSessionWindowSql,
     "q_events_user_stats" -> eventsUserStatsSql,
     "q_join_asof" -> joinAsofSql,

@@ -55,4 +55,37 @@ class ReshapeSpec extends AnyFunSuite with SparkTestBase {
       assert(n === model.getOrElse((day, t), 0L), s"cell ($day, $t)")
     }
   }
+
+  test("event transitions match a driver session-walk model") {
+    val gapNs = 30L * 60 * 1000000000L
+    val events = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "ts_ns", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val transitions = events.groupBy(_._1).toSeq.flatMap { case (_, evs) =>
+      val ordered = evs.sortBy(e => (e._2, e._3))
+      // split into sessions at >30 min gaps, then take adjacent pairs
+      val sessions = ordered.foldLeft(Vector.empty[Vector[(Long, Long, Long, String)]]) {
+        case (acc, e) =>
+          if (acc.isEmpty || e._2 - acc.last.last._2 > gapNs) acc :+ Vector(e)
+          else acc.init :+ (acc.last :+ e)
+      }
+      sessions.flatMap(s => s.zip(s.drop(1)).map { case (a, b) => (a._4, b._4) })
+    }
+    val counts = transitions.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val fromTotals = transitions.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val got = EventAnalytics.eventTransitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet === counts.keySet)
+    got.foreach { case ((f, t), (n, p)) =>
+      assert(n === counts((f, t)), s"transition $f -> $t count")
+      assert(p === n * 1000000L / fromTotals(f), s"transition $f -> $t prob")
+    }
+    // per-from probabilities must nearly sum to 1e6 (floor-division slack)
+    got.toSeq.groupBy(_._1._1).foreach { case (f, xs) =>
+      val sum = xs.map(_._2._2).sum
+      assert(sum <= 1000000L && sum > 1000000L - xs.size,
+        s"from $f: probabilities sum to $sum")
+    }
+  }
 }
