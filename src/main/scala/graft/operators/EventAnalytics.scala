@@ -47,6 +47,45 @@ object EventAnalytics {
       |  count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1, 2 ORDER BY hour_s, event_type""".stripMargin
 
+  /** RECENCY-DECAYED per-user value: each event's cents contribute
+    * `cents >> (age_weeks)` — an exact half-life-of-one-week decay —
+    * summed per user beside the undecayed total. The standard
+    * recency-weighted engagement/LTV feature, in the only decay family
+    * that is bit-exact across engines: exp(-λ·age) ties the hash to
+    * libm, but halving per period is an integer shift in both (Spark
+    * `shiftright`, DuckDB `>>`). The reference instant is the corpus
+    * max timestamp (a one-row broadcast), NOT the wall clock, so the
+    * result is a pure function of the data.
+    *
+    * Scale: one scalar broadcast, map-side shift, one per-user partial
+    * aggregation — the feature-extraction plan shape.
+    */
+  def decayScore(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d)
+      .select(col("user_id"), col("ts_ns"),
+        (dec2(col("value")) * 100).cast(LongType).as("cents"))
+    val ref = e.agg(max("ts_ns").as("ref_ns"))
+    e.crossJoin(broadcast(ref))
+      .withColumn("age_weeks",
+        expr("least((ref_ns - ts_ns) div 604800000000000L, 62L)"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum("cents").as("raw_cents"),
+        sum(expr("shiftright(cents, cast(age_weeks as int))"))
+          .as("decayed_cents"))
+      .orderBy("user_id")
+  }
+
+  val decayScoreSql: String =
+    """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns,
+      |             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |           FROM events),
+      |r AS (SELECT max(ts_ns) AS ref_ns FROM e)
+      |SELECT user_id, count(*) AS n_events,
+      |  CAST(sum(cents) AS BIGINT) AS raw_cents,
+      |  CAST(sum(cents >> CAST(least((ref_ns - ts_ns) // 604800000000000, 62) AS INT)) AS BIGINT) AS decayed_cents
+      |FROM e, r GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Sessionization: 30-minute inactivity gap splits a user's events
     * into sessions (lag + running sum of boundaries — one shuffle on
     * user_id, then linear window work; the standard scalable shape).
@@ -977,6 +1016,7 @@ object EventAnalytics {
     "q_events_windowed_agg" -> (eventsWindowedAgg _),
     "q_events_sessionize" -> (eventsSessionize _),
     "q_event_transitions" -> (eventTransitions _),
+    "q_decay_score" -> (decayScore _),
     "q_events_session_window" -> (eventsSessionWindow _),
     "q_events_user_stats" -> (eventsUserStats _),
     "q_join_asof" -> (joinAsof _),
@@ -1005,6 +1045,7 @@ object EventAnalytics {
     "q_events_windowed_agg" -> eventsWindowedAggSql,
     "q_events_sessionize" -> eventsSessionizeSql,
     "q_event_transitions" -> eventTransitionsSql,
+    "q_decay_score" -> decayScoreSql,
     "q_events_session_window" -> eventsSessionWindowSql,
     "q_events_user_stats" -> eventsUserStatsSql,
     "q_join_asof" -> joinAsofSql,

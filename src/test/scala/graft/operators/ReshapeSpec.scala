@@ -88,4 +88,27 @@ class ReshapeSpec extends AnyFunSuite with SparkTestBase {
         s"from $f: probabilities sum to $sum")
     }
   }
+
+  test("decay score matches a driver shift model and never exceeds raw") {
+    val events = graft.sources.Tables.events(spark, sf)
+      .selectExpr("user_id", "ts_ns",
+        "cast(cast(value as decimal(18,2)) * 100 as bigint) as cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ref = events.map(_._2).max
+    val expected = events.groupBy(_._1).map { case (u, evs) =>
+      val decayed = evs.map { case (_, ts, c) =>
+        c >> math.min((ref - ts) / 604800000000000L, 62L).toInt
+      }.sum
+      u -> ((evs.length.toLong, evs.map(_._3).sum, decayed))
+    }
+    val got = EventAnalytics.decayScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === expected)
+    got.values.foreach { case (_, raw, dec) =>
+      assert(dec <= raw && dec >= 0, "decay must shrink, not grow")
+    }
+    // the 30-day fixture spans >1 week, so decay must actually bite
+    assert(got.values.exists { case (_, raw, dec) => dec < raw })
+  }
 }
