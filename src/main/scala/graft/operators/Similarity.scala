@@ -493,6 +493,43 @@ object Similarity {
        |SELECT q_id, vec_id, cos_e6, rank FROM r WHERE rank <= $K
        |ORDER BY q_id, rank""".stripMargin
 
+  /** CROSS-MODAL consistency audit: every verified TEXT near-dup pair
+    * (the MinHash-LSH funnel's output) annotated with its EMBEDDING
+    * cosine — the pipeline health check for the embedding stage (text
+    * near-dups whose embeddings disagree mean the encoder, the id
+    * alignment, or the dedup threshold is broken; SemDeDup-style
+    * semantic dedup silently degrades on exactly that fault). The
+    * documents and embeddings tables share the id space by
+    * construction, so the join is exact.
+    *
+    * Scale: the pair list is the already-bucketed funnel output
+    * (never all-pairs); each pair picks up its two vectors through
+    * id-keyed joins and the cosine is one compiled-kernel evaluation
+    * per pair. Model-sized everything after the funnel.
+    */
+  def crossmodalAudit(spark: SparkSession, d: String,
+      minCosE6: Long = 300000L): DataFrame = {
+    val emb = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    Dedup.dedupMinhashLsh(spark, d)
+      .join(emb.toDF("doc_a", "emb_a"), "doc_a")
+      .join(emb.toDF("doc_b", "emb_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard_e4"),
+        cosE6("emb_a", "emb_b").as("cos_e6"))
+      .withColumn("embeds_agree", col("cos_e6") >= minCosE6)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val crossmodalAuditSql: String =
+    s"""WITH p AS (SELECT doc_a, doc_b, est_jaccard_e4
+       |  FROM (${Dedup.dedupMinhashLshSql}))
+       |SELECT p.doc_a, p.doc_b, p.est_jaccard_e4,
+       |  ${cosE6Duck("ea.embedding", "eb.embedding")} AS cos_e6,
+       |  ${cosE6Duck("ea.embedding", "eb.embedding")} >= 300000 AS embeds_agree
+       |FROM p
+       |JOIN embeddings ea ON ea.vec_id = p.doc_a
+       |JOIN embeddings eb ON eb.vec_id = p.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** ANN RECALL@k audit: the IVF index's top-k against the brute-force
     * ground truth, per query — the quality gate every approximate index
     * ships with (recall is THE accuracy metric for ANN; an index change
@@ -1123,6 +1160,7 @@ object Similarity {
     "q_cluster_purity" -> (clusterPurity _),
     "q_ann_recall" -> (annRecall _),
     "q_sim_topk_lsh_multi" -> ((s, d) => simTopkLshMulti(s, d)),
+    "q_crossmodal_audit" -> ((s, d) => crossmodalAudit(s, d)),
     "q_dedup_embedding" -> ((s, d) => dedupEmbedding(s, d)),
     "q_embed_quantize" -> (embedQuantize _),
     "q_pq_codebook" -> (pqCodebook _),
@@ -1140,6 +1178,7 @@ object Similarity {
     "q_cluster_purity" -> clusterPuritySql,
     "q_ann_recall" -> annRecallSql,
     "q_sim_topk_lsh_multi" -> simTopkLshMultiSql,
+    "q_crossmodal_audit" -> crossmodalAuditSql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
     "q_embed_quantize" -> embedQuantizeSql,
     "q_pq_codebook" -> pqCodebookSql,

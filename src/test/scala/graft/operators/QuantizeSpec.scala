@@ -202,6 +202,28 @@ class QuantizeSpec extends AnyFunSuite with SparkTestBase {
     assert(got.values.map(_._2).sum > 0, "IVF found nothing — index broken")
   }
 
+  test("crossmodal audit annotates exactly the minhash pairs with driver cosines") {
+    val pairs = Dedup.dedupMinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cosModel(a: Array[Double], b: Array[Double]): Long = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      math.floor(dot / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+        * 1e6).toLong
+    }
+    val got = Similarity.crossmodalAudit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got.keySet === pairs.keySet, "audit must cover exactly the funnel pairs")
+    got.foreach { case ((a, b), (jac, cos, agree)) =>
+      assert(jac === pairs((a, b)), s"pair ($a,$b) jaccard passthrough")
+      assert(cos === cosModel(vecs(a), vecs(b)), s"pair ($a,$b) cosine")
+      assert(agree === (cos >= 300000L), s"pair ($a,$b) verdict arithmetic")
+    }
+  }
+
   test("multi-probe LSH candidates strictly contain the single-bucket candidates") {
     val single = Similarity.simTopkLsh(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
