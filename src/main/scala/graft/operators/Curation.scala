@@ -887,27 +887,41 @@ object Curation {
     * itself is never shuffled except as per-doc short rows into the
     * final aggregate.
     */
-  def dsirWeights(spark: SparkSession, d: String,
-      buckets: Int = DefaultDsirBuckets,
-      targetLang: String = DefaultDsirTargetLang): DataFrame = {
+  /** One corpus pass: exploded (doc, is_tgt, bucket) rows — the frame
+    * both the model fit and the exchange-form scoring consume.
+    */
+  private def dsirExplode(docs: DataFrame, buckets: Int,
+      targetLang: String): DataFrame = {
     import TextAnalysis.tokensSpark
-    val b = Tables.documents(spark, d)
+    docs
       .select(col("doc_id"), (col("lang") === targetLang).as("is_tgt"),
         explode(expr(tokensSpark)).as("token"))
       .select(col("doc_id"), col("is_tgt"),
         expr(s"cast(conv(substring(sha2(token, 256), 1, 8), 16, 10) as bigint) % $buckets")
           .as("bucket"))
-      .persist()
-    val byBucket = b.groupBy("bucket").agg(
+  }
+
+  private def dsirByBucket(b: DataFrame): DataFrame =
+    b.groupBy("bucket").agg(
       count(lit(1)).as("c_raw"),
       sum(when(col("is_tgt"), 1L).otherwise(0L)).as("c_tgt"))
+
+  /** Smoothed likelihood ratio from (c_raw, c_tgt, n_raw, n_tgt) cols. */
+  private def dsirRatioExpr(buckets: Int): String =
+    s"""cast(cast(c_tgt + 1 as decimal(38,0)) * (n_raw + $buckets) * 1000000
+       |  div (cast(c_raw + 1 as decimal(38,0)) * (n_tgt + $buckets)) as bigint)"""
+      .stripMargin
+
+  def dsirWeights(spark: SparkSession, d: String,
+      buckets: Int = DefaultDsirBuckets,
+      targetLang: String = DefaultDsirTargetLang): DataFrame = {
+    val b = dsirExplode(Tables.documents(spark, d), buckets, targetLang)
+      .persist()
+    val byBucket = dsirByBucket(b)
     val tot = byBucket.agg(
       sum("c_raw").as("n_raw"), sum("c_tgt").as("n_tgt"))
     val model = byBucket.crossJoin(broadcast(tot))
-      .select(col("bucket"), expr(
-        s"""cast(cast(c_tgt + 1 as decimal(38,0)) * (n_raw + $buckets) * 1000000
-           |  div (cast(c_raw + 1 as decimal(38,0)) * (n_tgt + $buckets)) as bigint)"""
-          .stripMargin).as("ratio_e6"))
+      .select(col("bucket"), expr(dsirRatioExpr(buckets)).as("ratio_e6"))
     val out = b.join(broadcast(model), Seq("bucket"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_toks"),
@@ -927,29 +941,26 @@ object Curation {
   def dsirModelRow(docs: DataFrame,
       buckets: Int = DefaultDsirBuckets,
       targetLang: String = DefaultDsirTargetLang): DataFrame = {
-    import TextAnalysis.tokensSpark
-    val b = docs
-      .select((col("lang") === targetLang).as("is_tgt"),
-        explode(expr(tokensSpark)).as("token"))
-      .select(col("is_tgt"),
-        expr(s"cast(conv(substring(sha2(token, 256), 1, 8), 16, 10) as bigint) % $buckets")
-          .as("bucket"))
-    val byBucket = b.groupBy("bucket").agg(
-      count(lit(1)).as("c_raw"),
-      sum(when(col("is_tgt"), 1L).otherwise(0L)).as("c_tgt"))
+    // persist the B-row bucket partials: they feed the totals, the map
+    // aggregation, and the default — unpersisted, each consumer would
+    // replay the corpus explode from lineage (the same reason
+    // dsirWeights persists its exploded frame)
+    val byBucket = dsirByBucket(
+      dsirExplode(docs, buckets, targetLang)).persist()
     val tot = byBucket.agg(
       sum("c_raw").as("n_raw"), sum("c_tgt").as("n_tgt"))
-    byBucket.crossJoin(broadcast(tot))
-      .select(col("bucket"), expr(
-        s"""cast(cast(c_tgt + 1 as decimal(38,0)) * (n_raw + $buckets) * 1000000
-           |  div (cast(c_raw + 1 as decimal(38,0)) * (n_tgt + $buckets)) as bigint)"""
-          .stripMargin).as("ratio_e6"))
+    val out = byBucket.crossJoin(broadcast(tot))
+      .select(col("bucket"), expr(dsirRatioExpr(buckets)).as("ratio_e6"))
       .agg(map_from_entries(collect_list(struct(col("bucket"), col("ratio_e6"))))
         .as("m"))
       .crossJoin(broadcast(tot.select(expr(
         s"""cast(cast(n_raw + $buckets as decimal(38,0)) * 1000000
            |  div (n_tgt + $buckets) as bigint)""".stripMargin)
         .as("default_ratio_e6"))))
+      .persist()
+    out.count() // materialize so the bucket-partials cache can be released
+    byBucket.unpersist()
+    out
   }
 
   /** STATELESS application of the DSIR model: each document scores

@@ -71,7 +71,11 @@ object EventAnalytics {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"),
         sum("cents").as("raw_cents"),
-        sum(expr("shiftright(cents, cast(age_weeks as int))"))
+        // sign-aware shift: decay must converge to ZERO for refunds too
+        // (an arithmetic shift leaves -1 >> k == -1 forever)
+        sum(expr(
+          """CASE WHEN cents >= 0 THEN shiftright(cents, cast(age_weeks as int))
+            |ELSE -shiftright(-cents, cast(age_weeks as int)) END""".stripMargin))
           .as("decayed_cents"))
       .orderBy("user_id")
   }
@@ -80,11 +84,15 @@ object EventAnalytics {
     """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns,
       |             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
       |           FROM events),
-      |r AS (SELECT max(ts_ns) AS ref_ns FROM e)
+      |r AS (SELECT max(ts_ns) AS ref_ns FROM e),
+      |a AS (SELECT user_id, cents,
+      |        CAST(least((ref_ns - ts_ns) // 604800000000000, 62) AS INT) AS k
+      |      FROM e, r)
       |SELECT user_id, count(*) AS n_events,
       |  CAST(sum(cents) AS BIGINT) AS raw_cents,
-      |  CAST(sum(cents >> CAST(least((ref_ns - ts_ns) // 604800000000000, 62) AS INT)) AS BIGINT) AS decayed_cents
-      |FROM e, r GROUP BY user_id ORDER BY user_id""".stripMargin
+      |  CAST(sum(CASE WHEN cents >= 0 THEN cents >> k
+      |           ELSE -((-cents) >> k) END) AS BIGINT) AS decayed_cents
+      |FROM a GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** Sessionization: 30-minute inactivity gap splits a user's events
     * into sessions (lag + running sum of boundaries — one shuffle on

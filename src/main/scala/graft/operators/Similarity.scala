@@ -500,35 +500,48 @@ object Similarity {
     * alignment, or the dedup threshold is broken; SemDeDup-style
     * semantic dedup silently degrades on exactly that fault). The
     * documents and embeddings tables share the id space by
-    * construction, so the join is exact.
+    * construction; a pair whose embedding row is MISSING surfaces with
+    * a null cosine and a false verdict rather than vanishing.
     *
     * Scale: the pair list is the already-bucketed funnel output
     * (never all-pairs); each pair picks up its two vectors through
     * id-keyed joins and the cosine is one compiled-kernel evaluation
     * per pair. Model-sized everything after the funnel.
     */
+  /** Agreement threshold, interpolated into both the Scala default and
+    * the oracle SQL so an edit cannot desynchronize them.
+    */
+  val DefaultCrossmodalMinCos = 300000L
+
   def crossmodalAudit(spark: SparkSession, d: String,
-      minCosE6: Long = 300000L): DataFrame = {
+      minCosE6: Long = DefaultCrossmodalMinCos): DataFrame = {
     val emb = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    // LEFT joins: a pair whose doc lacks an embedding row is the very
+    // id-alignment fault this audit exists to surface — it must appear
+    // with a null cosine and a false verdict, not vanish
     Dedup.dedupMinhashLsh(spark, d)
-      .join(emb.toDF("doc_a", "emb_a"), "doc_a")
-      .join(emb.toDF("doc_b", "emb_b"), "doc_b")
+      .join(emb.toDF("doc_a", "emb_a"), Seq("doc_a"), "left")
+      .join(emb.toDF("doc_b", "emb_b"), Seq("doc_b"), "left")
       .select(col("doc_a"), col("doc_b"), col("est_jaccard_e4"),
-        cosE6("emb_a", "emb_b").as("cos_e6"))
-      .withColumn("embeds_agree", col("cos_e6") >= minCosE6)
+        when(col("emb_a").isNotNull && col("emb_b").isNotNull,
+          cosE6("emb_a", "emb_b")).as("cos_e6"))
+      .withColumn("embeds_agree",
+        coalesce(col("cos_e6") >= minCosE6, lit(false)))
       .orderBy("doc_a", "doc_b")
   }
 
   val crossmodalAuditSql: String =
     s"""WITH p AS (SELECT doc_a, doc_b, est_jaccard_e4
-       |  FROM (${Dedup.dedupMinhashLshSql}))
-       |SELECT p.doc_a, p.doc_b, p.est_jaccard_e4,
-       |  ${cosE6Duck("ea.embedding", "eb.embedding")} AS cos_e6,
-       |  ${cosE6Duck("ea.embedding", "eb.embedding")} >= 300000 AS embeds_agree
-       |FROM p
-       |JOIN embeddings ea ON ea.vec_id = p.doc_a
-       |JOIN embeddings eb ON eb.vec_id = p.doc_b
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |  FROM (${Dedup.dedupMinhashLshSql})),
+       |c AS (SELECT p.doc_a, p.doc_b, p.est_jaccard_e4,
+       |  CASE WHEN ea.vec_id IS NOT NULL AND eb.vec_id IS NOT NULL
+       |    THEN ${cosE6Duck("ea.embedding", "eb.embedding")} END AS cos_e6
+       |  FROM p
+       |  LEFT JOIN embeddings ea ON ea.vec_id = p.doc_a
+       |  LEFT JOIN embeddings eb ON eb.vec_id = p.doc_b)
+       |SELECT doc_a, doc_b, est_jaccard_e4, cos_e6,
+       |  coalesce(cos_e6 >= $DefaultCrossmodalMinCos, false) AS embeds_agree
+       |FROM c ORDER BY doc_a, doc_b""".stripMargin
 
   /** ANN RECALL@k audit: the IVF index's top-k against the brute-force
     * ground truth, per query — the quality gate every approximate index

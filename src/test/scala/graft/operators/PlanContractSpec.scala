@@ -293,13 +293,23 @@ class PlanContractSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("q_sim_topk_lsh_multi corpus is never shuffled before the probe join") {
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
     val plan = stripAqe(
       Similarity.simTopkLshMulti(spark, sf).queryExecution.executedPlan)
     val probeJoin = plan.collectFirst { case j: BroadcastHashJoinExec => j }
     assert(probeJoin.nonEmpty, s"expected a broadcast probe join in:\n$plan")
     // the multi-probe fan-out lives on the broadcast (query) side; the
-    // corpus side carries only its map-side bucket assignment
-    val streamed = probeJoin.get.children.last
+    // corpus side carries only its map-side bucket assignment. Pick the
+    // STREAMED child by the join's build side — this query writes the
+    // broadcast on the right, so children.last would be the build side
+    // and asserting on it is vacuous (streamedShuffles stops at any
+    // BroadcastExchange root)
+    val streamed =
+      if (probeJoin.get.buildSide == BuildLeft) probeJoin.get.children.last
+      else probeJoin.get.children.head
+    assert(!streamed.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.BroadcastExchangeLike]),
+      s"picked the build side by mistake:\n$streamed")
     assert(streamedShuffles(streamed).isEmpty,
       s"corpus side of the multi-probe join must not shuffle:\n$streamed")
   }

@@ -95,9 +95,11 @@ class ReshapeSpec extends AnyFunSuite with SparkTestBase {
         "cast(cast(value as decimal(18,2)) * 100 as bigint) as cents")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val ref = events.map(_._2).max
+    // sign-aware shift toward zero, matching the operator's contract
+    def decay(c: Long, k: Int): Long = if (c >= 0) c >> k else -((-c) >> k)
     val expected = events.groupBy(_._1).map { case (u, evs) =>
       val decayed = evs.map { case (_, ts, c) =>
-        c >> math.min((ref - ts) / 604800000000000L, 62L).toInt
+        decay(c, math.min((ref - ts) / 604800000000000L, 62L).toInt)
       }.sum
       u -> ((evs.length.toLong, evs.map(_._3).sum, decayed))
     }
@@ -106,8 +108,11 @@ class ReshapeSpec extends AnyFunSuite with SparkTestBase {
       .toMap
     assert(got === expected)
     got.values.foreach { case (_, raw, dec) =>
-      assert(dec <= raw && dec >= 0, "decay must shrink, not grow")
+      assert(math.abs(dec) <= math.abs(raw) || raw < 0 && dec >= raw,
+        "decay must move toward zero, not grow")
     }
+    // the sign-aware shift itself: negative amounts decay to zero too
+    assert(decay(-1L, 5) === 0L && decay(-100L, 62) === 0L && decay(100L, 62) === 0L)
     // the 30-day fixture spans >1 week, so decay must actually bite
     assert(got.values.exists { case (_, raw, dec) => dec < raw })
   }
