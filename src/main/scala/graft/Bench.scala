@@ -29,9 +29,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * look faster.
   */
 object Bench {
+  /** 1m/5m/15m load averages, or empty when /proc/loadavg is unreadable
+    * (non-Linux). Sampled before AND after the run: the before sample is
+    * the external-load signal (Spark itself has not started working yet);
+    * the after sample plus per-query inter-pass spread distinguish "the
+    * box was busy" from "the code got slower" without forensics.
+    */
+  private def loadavg(): Seq[Double] =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .trim.split("\\s+").take(3).toSeq.map(_.toDouble)
+    catch { case _: Throwable => Seq.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val loadStart = loadavg()
     val spark = Sessions.local("graft-bench")
     // JVM/codegen/parquet-reader warmup on a non-benchmarked tiny table
     // so the first timed query doesn't absorb session start-up cost.
@@ -76,6 +88,33 @@ object Bench {
       val times = passes.flatMap(_(name)).sorted
       name -> (if (times.isEmpty) -1.0 else times(times.size / 2))
     }
+    // Load-integrity guard (round-7 post-mortem: a loaded box inflated the
+    // official close-out snapshot a uniform 1.28× vs a quiet run of the same
+    // code). Per-query spread = max/min across successful passes; a quiet
+    // box keeps the median spread near 1.0–1.2, while contention bursts —
+    // which land on different queries in different interleaved passes —
+    // push many spreads past 1.5. The run is FLAGGED (not failed: the
+    // numbers are still the best available) when the median spread exceeds
+    // 1.3 or externally-visible load preexists the run. Pass 1 is excluded
+    // from the spread (when ≥3 passes ran): it carries per-query codegen
+    // compilation, which legitimately makes pass 1 slower than the warm
+    // passes and would flag every quiet run.
+    val warmPasses = if (reps >= 3) passes.drop(1) else passes
+    val spreads = names.flatMap { case (name, _) =>
+      val times = warmPasses.flatMap(_(name))
+      if (times.size >= 2) Some(times.max / times.min.max(1e-9)) else None
+    }.sorted
+    val medianSpread = if (spreads.isEmpty) 1.0 else spreads(spreads.size / 2)
+    val p90Spread =
+      if (spreads.isEmpty) 1.0 else spreads(((spreads.size - 1) * 9) / 10)
+    val loadEnd = loadavg()
+    val preloaded = loadStart.headOption.exists(_ > 4.0)
+    val loadFlagged = medianSpread > 1.3 || preloaded
+    if (loadFlagged) System.err.println(
+      f"[bench] LOAD FLAG: median inter-pass spread $medianSpread%.2f, " +
+        s"start loadavg ${loadStart.mkString(",")} — rerun on a quiet box " +
+        "before treating deltas as code-level regressions")
+
     // Locale.ROOT: f"" uses the JVM default locale, which under e.g. de_DE
     // emits "1,234" and corrupts the single-line JSON protocol.
     def s3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -84,14 +123,26 @@ object Bench {
     // total covers successful queries only (failed ones report -1)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failed = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median_of_interleaved_passes","failed":$failed,"metric":"total","unit":"sec","value":${s3(total)}}"""
+    def arr(xs: Seq[Double]) = xs.map(s3).mkString("[", ",", "]")
+    val guard = s""""loadavg_start":${arr(loadStart)},"loadavg_end":${arr(loadEnd)},""" +
+      s""""spread_median":${s3(medianSpread)},"spread_p90":${s3(p90Spread)},""" +
+      s""""load_flagged":$loadFlagged"""
+    val line = s"""{"queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median_of_interleaved_passes",$guard,"failed":$failed,"metric":"total","unit":"sec","value":${s3(total)}}"""
     println(line)
     // the harness keeps only the log TAIL, which truncates the per-query
     // map once the suite grows past ~70 queries — persist the full line
-    // to its own small file so every per-query timing survives the round
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
-    catch { case e: Throwable =>
+    // to its own small file so every per-query timing survives the round.
+    // Default path is per-run (timestamped, under bench_out/) so repeated
+    // runs never clobber the committed canonical copy nor race each other;
+    // set SPARK_GRAFT_BENCH_OUT=BENCH_QUERIES.json explicitly to refresh
+    // the canonical file.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"bench_out/BENCH_QUERIES_${System.currentTimeMillis()}.json")
+    try {
+      val p = java.nio.file.Paths.get(outFile)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(p, line + "\n")
+    } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
     spark.stop()
