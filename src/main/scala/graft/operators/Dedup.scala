@@ -44,6 +44,37 @@ object Dedup {
   val DefaultNumHashes = 16
   val DefaultNumBands = 4
 
+  /** Per-doc candidate-partner cap (the round-7 scale study's fix): a
+    * pair survives iff it ranks in the top `DefaultMaxPartners` partners
+    * of EITHER endpoint (by shared-fingerprint/band weight, partner id
+    * as the tiebreak), bounding total pairs at maxPartners × docs — the
+    * guard that keeps a degenerate corpus (viral boilerplate, mass
+    * replicas) from growing verify-stage pairs quadratically. 128 is far
+    * above any fixture doc's partner count (sf0.1 max is < 20), so the
+    * cap is a NO-OP at every oracle-checked SF and binds only where it
+    * must — CapPairsSpec pins the binding behavior on a synthetic frame.
+    */
+  val DefaultMaxPartners = 128
+
+  /** Keep pairs ranking in the top-N partner list of either endpoint.
+    * Ranking is (weight DESC, partner id ASC) — deterministic; the
+    * either-side union keeps recall (a hub doc cannot evict its
+    * satellites' view of it). Two window shuffles over the PAIR frame
+    * only, never the corpus.
+    */
+  private[operators] def capPairs(pairs: DataFrame, weightCol: String,
+      maxPartners: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxPartners >= 1, s"maxPartners must be >= 1, got $maxPartners")
+    val wA = Window.partitionBy("doc_a").orderBy(col(weightCol).desc, col("doc_b"))
+    val wB = Window.partitionBy("doc_b").orderBy(col(weightCol).desc, col("doc_a"))
+    pairs
+      .withColumn("rk_a", row_number().over(wA))
+      .withColumn("rk_b", row_number().over(wB))
+      .where(col("rk_a") <= maxPartners || col("rk_b") <= maxPartners)
+      .drop("rk_a", "rk_b")
+  }
+
   /** (doc_id, sig: array<long>[numHashes]) — one row per doc with shingles.
     *
     * One sha256 per shingle, split into two 56-bit halves (h1, h2); the
@@ -57,7 +88,10 @@ object Dedup {
     */
   private def signatures(spark: SparkSession, d: String,
       numHashes: Int = DefaultNumHashes): DataFrame =
-    Tables.documents(spark, d)
+    signaturesOver(Tables.documents(spark, d), numHashes)
+
+  private def signaturesOver(docs: DataFrame, numHashes: Int): DataFrame =
+    docs
       .select(col("doc_id"),
         graft.functions.GraftFunctions.minhash_sig(col("text"), numHashes).as("sig"))
       .where(col("sig").isNotNull)
@@ -106,14 +140,19 @@ object Dedup {
     */
   private def candidatePairs(sigs: DataFrame,
       numHashes: Int = DefaultNumHashes,
-      numBands: Int = DefaultNumBands): DataFrame = {
+      numBands: Int = DefaultNumBands,
+      maxPartners: Int = DefaultMaxPartners): DataFrame = {
     val b = bands(sigs, numHashes, numBands)
-    b.as("a").join(b.as("b"),
+    // the groupBy replaces the former distinct() — same shuffle, but the
+    // shared-band count doubles as the cap's partner-ranking weight
+    val weighted = b.as("a").join(b.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+    capPairs(weighted, "n_shared_bands", maxPartners)
+      .select("doc_a", "doc_b")
   }
 
   private val candidatePairsDuckCte: String =
@@ -416,17 +455,53 @@ object Dedup {
     * shape lives in one place. Callers own the caches' release.
     */
   private def candidatePairSets(spark: SparkSession, d: String,
+      numHashes: Int, numBands: Int): (DataFrame, DataFrame, DataFrame) =
+    candidatePairSetsOver(Tables.documents(spark, d), numHashes, numBands)
+
+  private def candidatePairSetsOver(docs: DataFrame,
       numHashes: Int, numBands: Int): (DataFrame, DataFrame, DataFrame) = {
-    val sets = Tables.documents(spark, d)
+    val sets = docs
       .select(col("doc_id"),
         graft.functions.GraftFunctions.shingle_set(col("text")).as("sset"))
       .where(col("sset").isNotNull)
       .persist()
-    val sigs = signatures(spark, d, numHashes).persist()
+    val sigs = signaturesOver(docs, numHashes).persist()
     val joined = candidatePairs(sigs, numHashes, numBands)
       .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b")), "doc_b")
     (sets, sigs, joined)
+  }
+
+  /** Exact-duplicate COLLAPSE prelude for the cluster capstones — the
+    * round-7 scale study's production mitigation, composed in. Returns a
+    * persisted (doc_id, gid, text) frame where `gid` is the doc's
+    * exact-duplicate group canonical (min doc_id over the content hash,
+    * the [[dedupExact]] key). The near-dup funnel then runs over
+    * CANONICAL docs only (`doc_id = gid` — one per distinct content) and
+    * labels are expanded back through the membership columns.
+    *
+    * Output equivalence (why the oracles don't change): identical text
+    * gives identical shingle sets, signatures, and band values, so an
+    * exact-dup group is a clique in the verified near-dup graph (Jaccard
+    * of identical sets is 10000 ≥ any threshold ≤ 10000) that connects
+    * to exactly the partners its canonical connects to. Components
+    * therefore correspond 1:1 and each component's min doc_id is the min
+    * over its canonicals' gids — labels after expansion are identical.
+    *
+    * Scale: one window shuffle on the content hash (the corpus moves
+    * once) buys pair growth LINEAR in replica count: the round-7 replica
+    * corpus (99% exact copies) previously grew verify pairs C(R,2) and
+    * exhausted disk at 100×; collapsed, the funnel sees only distinct
+    * content and the expansion is one (doc_id, gid) equi-join.
+    */
+  private[operators] def exactCollapse(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"),
+        graft.functions.GraftFunctions.content_hash(col("text")).as("ch"))
+      .withColumn("gid", min("doc_id").over(Window.partitionBy("ch")))
+      .select("doc_id", "gid", "text")
+      .persist()
   }
 
   /** Exact n-gram Jaccard, verified only on the LSH candidate pairs —
@@ -585,7 +660,14 @@ object Dedup {
       numHashes: Int = DefaultNumHashes,
       numBands: Int = DefaultNumBands,
       maxIters: Int = 50): DataFrame = {
-    val (sets, sigs, joined) = candidatePairSets(spark, d, numHashes, numBands)
+    // the collapse's output-equivalence proof needs exact dups to qualify
+    // as near-dups (Jaccard of identical sets is exactly 10000)
+    require(minJaccardE4 <= 10000L,
+      s"minJaccardE4 must be <= 10000 for the exact-collapse prelude, got $minJaccardE4")
+    val collapsed = exactCollapse(spark, d)
+    val repDocs = collapsed.where(col("doc_id") === col("gid"))
+      .select("doc_id", "text")
+    val (sets, sigs, joined) = candidatePairSetsOver(repDocs, numHashes, numBands)
     val verified = joined
       .where(graft.functions.GraftFunctions.jaccard_e4(col("set_a"), col("set_b"))
         >= minJaccardE4)
@@ -621,13 +703,24 @@ object Dedup {
       it += 1
     }
     require(converged, s"label propagation did not converge in $maxIters rounds")
-    // the fixpoint check materialized the final labels, so every
-    // intermediate cache can be released now — only `labels` (the
-    // result's lineage root) stays pinned for the life of the frame
+    // expand canonical labels back to every exact-dup member: a member's
+    // cluster_rep is its gid's label (identical by the equivalence proof
+    // on exactCollapse); groups whose canonical has no shingles drop out
+    // of the inner join, matching the uncollapsed output's domain
+    val out = collapsed.select(col("doc_id"), col("gid"))
+      .join(labels.select(col("doc_id").as("gid"), col("label")), "gid")
+      .select(col("doc_id"), col("label").as("cluster_rep"))
+      .orderBy("doc_id")
+      .persist()
+    // materialize the (tiny) expanded label frame, then release every
+    // intermediate — only the result's own cache stays pinned
+    out.count()
     sets.unpersist()
     sigs.unpersist()
     edges.unpersist()
-    labels.withColumnRenamed("label", "cluster_rep").orderBy("doc_id")
+    labels.unpersist()
+    collapsed.unpersist()
+    out
   }
 
   /** Both directions of an edge list. Single-branch explode rather than a
@@ -689,7 +782,14 @@ object Dedup {
       numHashes: Int = DefaultNumHashes,
       numBands: Int = DefaultNumBands,
       maxIters: Int = 30): DataFrame = {
-    val (sets, sigs, joined) = candidatePairSets(spark, d, numHashes, numBands)
+    // same exact-collapse prelude (and equivalence argument) as the
+    // label-propagation twin
+    require(minJaccardE4 <= 10000L,
+      s"minJaccardE4 must be <= 10000 for the exact-collapse prelude, got $minJaccardE4")
+    val collapsed = exactCollapse(spark, d)
+    val repDocs = collapsed.where(col("doc_id") === col("gid"))
+      .select("doc_id", "text")
+    val (sets, sigs, joined) = candidatePairSetsOver(repDocs, numHashes, numBands)
     val verified = joined
       .where(graft.functions.GraftFunctions.jaccard_e4(col("set_a"), col("set_b"))
         >= minJaccardE4)
@@ -723,9 +823,13 @@ object Dedup {
     require(converged, s"star contraction did not converge in $maxIters rounds")
     val lab = symmetric(edges).groupBy("src").agg(min("dst").as("mn"))
       .select(col("src").as("doc_id"), least(col("mn"), col("src")).as("rep"))
-    val out = sets.select(col("doc_id"))
+    val canonical = sets.select(col("doc_id"))
       .join(lab, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
+      .select(col("doc_id").as("gid"),
+        coalesce(col("rep"), col("doc_id")).as("cluster_rep"))
+    val out = collapsed.select(col("doc_id"), col("gid"))
+      .join(canonical, "gid")
+      .select(col("doc_id"), col("cluster_rep"))
       .orderBy("doc_id")
       .persist()
     // same cache discipline as the propagation twin: materialize the
@@ -735,6 +839,7 @@ object Dedup {
     sets.unpersist()
     sigs.unpersist()
     edges.unpersist()
+    collapsed.unpersist()
     out
   }
 

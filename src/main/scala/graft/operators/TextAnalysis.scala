@@ -336,15 +336,32 @@ object TextAnalysis {
     * a hash-constant tweak cannot desynchronize them.
     */
   private def winnowFpRows(spark: SparkSession, d: String): DataFrame =
-    Tables.documents(spark, d)
+    winnowFpRowsOver(Tables.documents(spark, d))
+
+  private def winnowFpRowsOver(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         graft.functions.GraftFunctions.winnow_fps(col("text"), 4).as("fps"))
       .where(col("fps").isNotNull)
       .select(col("doc_id"), explode(col("fps")).as("fp"))
 
-  /** DuckDB twin of [[winnowFpRows]], ending in `fpx(doc_id, fp)`. */
-  private val winnowDuckCtes: String =
-    s"""t AS (SELECT doc_id, $tokensDuck AS toks FROM documents),
+  /** DuckDB twin of [[winnowFpRows]], ending in `fpx(doc_id, fp)`. With
+    * `canonicalOnly` the chain is restricted to exact-duplicate group
+    * canonicals (min doc_id per content hash — the [[Dedup.dedupExact]]
+    * key), mirroring the collapse the PAIR funnel composes; the per-doc
+    * fingerprint dump keeps the full corpus.
+    */
+  private def winnowDuckCtes(canonicalOnly: Boolean = false): String = {
+    val tCte =
+      if (canonicalOnly)
+        s"""t0 AS (SELECT doc_id, $tokensDuck AS toks FROM documents),
+           |gidm AS (SELECT doc_id,
+           |  min(doc_id) OVER (PARTITION BY sha256(array_to_string(toks, ' '))) AS gid
+           |  FROM t0),
+           |t AS (SELECT t0.doc_id, toks FROM t0 JOIN gidm USING (doc_id)
+           |      WHERE t0.doc_id = gidm.gid)""".stripMargin
+      else s"t AS (SELECT doc_id, $tokensDuck AS toks FROM documents)"
+    s"""$tCte,
        |tv AS (SELECT doc_id,
        |         list_transform(toks, tk -> ('0x' || substr(sha256(tk), 1, 8))::BIGINT % 1000000007) AS tvs
        |       FROM t WHERE len(toks) >= 3),
@@ -359,12 +376,13 @@ object TextAnalysis {
        |         END AS fps
        |       FROM rh),
        |fpx AS (SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM fpl)""".stripMargin
+  }
 
   def textWinnow(spark: SparkSession, d: String): DataFrame =
     winnowFpRows(spark, d).orderBy("doc_id", "fp")
 
   val textWinnowSql: String =
-    s"""WITH $winnowDuckCtes
+    s"""WITH ${winnowDuckCtes()}
        |SELECT doc_id, fp FROM fpx ORDER BY doc_id, fp""".stripMargin
 
   /** Substring-duplication candidates from the winnowing index: pairs of
@@ -392,24 +410,37 @@ object TextAnalysis {
   }
 
   /** The shared candidate-pair funnel: (doc_a, doc_b, n_shared_fps)
-    * pairs sharing >= minShared winnow fingerprints, MATERIALIZED (the
-    * returned frame is the persisted lineage root; the exploded
-    * fingerprint cache is released before returning). Feeds both the
-    * pair report and the span merger.
+    * pairs of EXACT-CANONICAL documents sharing >= minShared winnow
+    * fingerprints, MATERIALIZED (the returned frame is the persisted
+    * lineage root; the upstream caches are released before returning).
+    * Feeds both the pair report and the span merger.
+    *
+    * Two round-8 degeneracy guards (the round-7 replica study's fix):
+    * the fingerprint join runs over exact-duplicate group canonicals
+    * only (identical docs share every fingerprint, so replicas
+    * previously multiplied posting lists R× and pairs C(R,2)×), and
+    * [[Dedup.capPairs]] bounds each doc's partner count at
+    * [[Dedup.DefaultMaxPartners]] (a no-op at the fixture SFs, binding
+    * under viral boilerplate).
     */
   private def winnowPairFunnel(spark: SparkSession, d: String,
-      minShared: Long): DataFrame = {
+      minShared: Long,
+      maxPartners: Int = Dedup.DefaultMaxPartners): DataFrame = {
+    val collapsed = Dedup.exactCollapse(spark, d)
     // persisted: the frame feeds both join sides, and exchange reuse
     // verifiably does not dedupe identical subtrees (see tfidfTopTerms)
-    val fps = winnowFpRows(spark, d).persist()
-    val out = fps.as("a").join(fps.as("b"),
+    val fps = winnowFpRowsOver(
+      collapsed.where(col("doc_id") === col("gid")).select("doc_id", "text"))
+      .persist()
+    val pairs = fps.as("a").join(fps.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_fps"))
       .where(col("n_shared_fps") >= minShared)
-      .persist()
-    out.count() // materialize so the fingerprint cache can be released
+    val out = Dedup.capPairs(pairs, "n_shared_fps", maxPartners).persist()
+    out.count() // materialize so the upstream caches can be released
     fps.unpersist()
+    collapsed.unpersist()
     out
   }
 
@@ -443,8 +474,9 @@ object TextAnalysis {
     *  4. the island merge windows over (pair, diagonal) — partitions
     *     are per-candidate-pair match lists, never corpus-sized.
     * A doc shared across MANY pairs (viral boilerplate) fans its
-    * positional rows out per pair; production caps pair fanout per doc
-    * (the stop-fp rule upstream already trims the hottest hashes).
+    * positional rows out per pair; the funnel bounds that fan-out with
+    * the exact-canonical collapse plus the per-doc partner cap
+    * ([[Dedup.capPairs]] inside [[winnowPairFunnel]]).
     *
     * Correctness contract: hash collisions (P = 1e9+7) could in
     * principle fabricate a match, but both engines compute identical
@@ -536,19 +568,26 @@ object TextAnalysis {
       .agg((max("e") - min("s")).as("ilen"))
       .groupBy("doc_id")
       .agg(sum("ilen").as("covered_tokens"))
+    // spans are detected among exact-canonical docs only (the funnel's
+    // collapse); a replica's coverage is its canonical's — identical
+    // text, identical spans — so the per-doc report expands through the
+    // (doc_id, gid) membership frame rather than losing replica rows
+    val collapsed = Dedup.exactCollapse(spark, d)
     val out = Tables.documents(spark, d)
       .select(col("doc_id"),
         graft.functions.GraftFunctions.text_stats(col("text"), Nil)
           .getItem(0).as("n_tokens"))
-      .join(covered, Seq("doc_id"), "left")
+      .join(collapsed.select(col("doc_id"), col("gid")), "doc_id")
+      .join(covered.withColumnRenamed("doc_id", "gid"), Seq("gid"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
         expr("CASE WHEN n_tokens > 0 THEN coalesce(covered_tokens, 0L) * 10000L div n_tokens ELSE 0L END")
           .as("coverage_e4"))
       .orderBy("doc_id")
       .persist()
-    out.count() // materialize so the span detector's cache can be released
+    out.count() // materialize so the upstream caches can be released
     spans.unpersist()
+    collapsed.unpersist()
     out
   }
 
@@ -557,7 +596,7 @@ object TextAnalysis {
     * diagonal-island merge via window functions.
     */
   val spanDedupSql: String =
-    s"""WITH $winnowDuckCtes,
+    s"""WITH ${winnowDuckCtes(canonicalOnly = true)},
        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM fpx a JOIN fpx b ON a.fp = b.fp AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2 HAVING count(*) >= $DefaultMinSharedFps),
@@ -602,18 +641,22 @@ object TextAnalysis {
        |cv AS (SELECT doc_id, CAST(sum(ilen) AS BIGINT) AS covered_tokens FROM (
        |  SELECT doc_id, island, max(e) - min(s) AS ilen FROM il GROUP BY doc_id, island)
        |  GROUP BY doc_id),
-       |nt AS (SELECT doc_id, CAST(len($tokensDuck) AS BIGINT) AS n_tokens FROM documents)
+       |nt AS (SELECT doc_id, CAST(len($tokensDuck) AS BIGINT) AS n_tokens FROM documents),
+       |g2 AS (SELECT doc_id,
+       |  min(doc_id) OVER (PARTITION BY sha256(array_to_string($tokensDuck, ' '))) AS gid
+       |  FROM documents)
        |SELECT nt.doc_id, nt.n_tokens,
        |  coalesce(cv.covered_tokens, 0) AS covered_tokens,
        |  CASE WHEN nt.n_tokens > 0
        |    THEN coalesce(cv.covered_tokens, 0) * 10000 // nt.n_tokens
        |    ELSE 0 END AS coverage_e4
-       |FROM nt LEFT JOIN cv ON cv.doc_id = nt.doc_id
+       |FROM nt JOIN g2 ON g2.doc_id = nt.doc_id
+       |LEFT JOIN cv ON cv.doc_id = g2.gid
        |ORDER BY nt.doc_id""".stripMargin
 
 
   val winnowPairsSql: String =
-    s"""WITH $winnowDuckCtes
+    s"""WITH ${winnowDuckCtes(canonicalOnly = true)}
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_fps
        |FROM fpx a JOIN fpx b ON a.fp = b.fp AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 HAVING count(*) >= 3
