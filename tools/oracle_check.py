@@ -68,7 +68,8 @@ def main(out_dir: str, sf_dir: str) -> int:
         print(f"FAIL: no oracle manifest in {out_dir}")
         return 1
     manifest = max(candidates, key=os.path.getmtime)
-    if manifest == partial:
+    is_partial = manifest == partial
+    if is_partial:
         print(f"NOTE: using PARTIAL manifest {manifest} — subset run only"
               + (" (newer than the stale full manifest)" if len(candidates) == 2 else ""))
     with open(manifest) as f:
@@ -115,8 +116,19 @@ def main(out_dir: str, sf_dir: str) -> int:
             print(f"PASS {name} ({len(spark_df)} rows, "
                   f"{len(spark_df.columns)} cols)")
     print(f"{'ALL PASS' if failures == 0 else f'{failures} FAILURES'} "
-          f"({len(oracles)} oracles)")
-    return 1 if failures else 0
+          f"({len(oracles)} oracles)"
+          + (" [PARTIAL — subset gate only]" if is_partial else ""))
+    if failures:
+        return 1
+    # a green SUBSET is not a green GATE: exit 2 unless the caller
+    # explicitly opted into a partial manifest, so automation keyed on
+    # the exit code can never read a filtered run as full coverage
+    import os
+    if is_partial and os.environ.get("ORACLE_CHECK_ALLOW_PARTIAL", "") != "1":
+        print("EXIT 2: partial manifest without ORACLE_CHECK_ALLOW_PARTIAL=1 "
+              "(subset passed, but this is not the full gate)")
+        return 2
+    return 0
 
 
 if __name__ == "__main__":
