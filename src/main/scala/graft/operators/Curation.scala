@@ -1041,13 +1041,21 @@ object Curation {
     * leave it unexercised; CurationOpsSpec round-trips records through
     * a real JSON parser).
     */
+  /** C0 controls WITHOUT a JSON short escape (everything but \t \n \r):
+    * the one list both engines' escape chains fold over, so the Scala
+    * chain and the oracle SQL cannot disagree on which bytes encode.
+    */
+  private val C0NoShortEscape: Seq[Int] =
+    (0x00 to 0x1f).filterNot(Seq(0x09, 0x0a, 0x0d).contains)
+
   def jsonlRecordFrames(docs: DataFrame): DataFrame = {
     // JSON string escape: backslash FIRST (later passes insert new
     // backslashes that are escapes themselves), then quote, then the
-    // C0 controls with short escapes (\n \t \r); remaining C0 controls
-    // have no short escape and are STRIPPED (deterministic in both
-    // engines; \u00XX-encoding them cross-engine buys nothing for
-    // corpus text and the contract is documented here)
+    // C0 controls with short escapes (\n \t \r); the remaining C0
+    // controls \u00XX-encode (one plain single-char replace each —
+    // LOSSLESS, where stripping them silently mutated content in a
+    // serialization step; a JSON reader decodes them back to the
+    // original bytes)
     def esc(c: Column): Column = {
       val base = regexp_replace(regexp_replace(c, lit("\\\\"), lit("\\\\\\\\")),
         lit("\""), lit("\\\\\""))
@@ -1056,8 +1064,9 @@ object Curation {
           regexp_replace(base, lit("\n"), lit("\\\\n")),
           lit("\t"), lit("\\\\t")),
         lit("\r"), lit("\\\\r"))
-      regexp_replace(shortEsc,
-        lit("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"), lit(""))
+      C0NoShortEscape.foldLeft(shortEsc) { (acc, cp) =>
+        replace(acc, lit(cp.toChar.toString), lit("\\" + f"u$cp%04x"))
+      }
     }
     docs.select(col("doc_id"), concat(
       lit("{\"id\":"), col("doc_id"),
@@ -1077,13 +1086,19 @@ object Curation {
 
   val jsonlEmitSql: String = {
     // mirror of jsonlRecordFrames' escape chain: backslash, quote,
-    // \n/\t/\r short escapes, then strip the remaining C0 controls
-    def esc(col: String): String =
-      s"""regexp_replace(replace(replace(replace(replace(replace(
-         |  $col, '\\', '\\\\'), '"', '\\"'),
-         |  chr(10), '\\n'), chr(9), '\\t'), chr(13), '\\r'),
-         |  '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g')"""
-        .stripMargin.replaceAll("\\s+", " ").trim
+    // \n/\t/\r short escapes, then \u00XX-encode the remaining C0
+    // controls (same C0NoShortEscape list folded on both sides; DuckDB
+    // single-quoted literals take the backslash verbatim)
+    def esc(col: String): String = {
+      val short =
+        s"""replace(replace(replace(replace(replace(
+           |  $col, '\\', '\\\\'), '"', '\\"'),
+           |  chr(10), '\\n'), chr(9), '\\t'), chr(13), '\\r')"""
+          .stripMargin.replaceAll("\\s+", " ").trim
+      C0NoShortEscape.foldLeft(short) { (acc, cp) =>
+        s"replace($acc, chr($cp), '\\" + f"u$cp%04x" + "')"
+      }
+    }
     s"""WITH r AS (SELECT doc_id,
        |  '{"id":' || CAST(doc_id AS VARCHAR)
        |    || ',"lang":"' || ${esc("lang")}

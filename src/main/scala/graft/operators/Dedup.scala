@@ -313,9 +313,10 @@ object Dedup {
     */
   def dedupMinhashLsh(spark: SparkSession, d: String,
       numHashes: Int = DefaultNumHashes,
-      numBands: Int = DefaultNumBands): DataFrame = {
+      numBands: Int = DefaultNumBands,
+      maxPartners: Int = DefaultMaxPartners): DataFrame = {
     val sigs = signatures(spark, d, numHashes).persist()
-    candidatePairs(sigs, numHashes, numBands)
+    candidatePairs(sigs, numHashes, numBands, maxPartners)
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .select(

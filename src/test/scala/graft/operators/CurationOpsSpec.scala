@@ -256,12 +256,17 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
     // one physical line (JSONL framing)
     recs.values.foreach(rec => assert(!rec.exists(c => c == '\n' || c == '\r'),
       "record broke JSONL line framing"))
-    // C0 controls without a short escape are stripped, deterministically
-    val ctl = Seq((9L, "en", "s", 5L, "a" + "\u0001" + "b" + "\u001F" + "c"))
+    // C0 controls without a short escape \u00XX-encode (round-8
+    // losslessness fix): the record stays one physical line and a JSON
+    // reader decodes the original bytes back
+    val ctlText = "a" + "\u0001" + "b" + "\u001F" + "c"
+    val ctl = Seq((9L, "en", "s", 5L, ctlText))
       .toDF("doc_id", "lang", "source", "n_chars", "text")
     val ctlRec = Curation.jsonlRecordFrames(ctl).collect().head.getString(1)
-    assert(om.readTree(ctlRec).get("text").asText === "abc",
-      "unescapable C0 controls must be stripped")
+    assert(ctlRec.contains("\\u0001") && ctlRec.contains("\\u001f"),
+      "unescapable C0 controls must \\u00XX-encode")
+    assert(om.readTree(ctlRec).get("text").asText === ctlText,
+      "C0 controls must round-trip losslessly")
   }
 
   test("admission keeps and passes docs from sources absent in the fit") {

@@ -8,16 +8,15 @@ import graft.SparkTestBase
   * (random unicode mixed with quotes, backslashes, C0 controls, and
   * boundary cases) flow through [[Curation.jsonlRecordFrames]] in ONE
   * batched job, and every record must parse under a real JSON parser
-  * with the text equal to the documented transform of the input
-  * (\n/\t/\r survive as escapes; other C0 controls are stripped).
-  * The oracle can't reach this surface — the corpus has none of these
-  * characters — so the fuzz IS the coverage.
+  * back to EXACTLY the input — \n/\t/\r as short escapes, the other
+  * C0 controls as \u00XX escapes (round-8 losslessness fix; they were
+  * previously stripped). The oracle can't reach this surface — the
+  * corpus has none of these characters — so the fuzz IS the coverage.
   */
 class JsonlFuzzSpec extends AnyFunSuite with SparkTestBase {
 
-  /** The documented contract: what a loaded record's text must equal. */
-  private def expectedText(s: String): String =
-    s.filter(c => c >= 0x20 || c == '\n' || c == '\t' || c == '\r')
+  /** The documented contract: serialization is lossless. */
+  private def expectedText(s: String): String = s
 
   test("fuzzed strings round-trip the record assembly under a JSON parser") {
     import spark.implicits._
