@@ -307,6 +307,99 @@ object TextAnalysis {
        |FROM p2 GROUP BY pair
        |ORDER BY pair_count DESC, pair LIMIT $DefaultBpePairs""".stripMargin
 
+  /** Shared round count of the BPE trainer and its unrolled oracle —
+    * one constant so an edit cannot desynchronize the two.
+    */
+  val DefaultBpeTrainRounds = 6
+
+  /** MULTI-ROUND BPE TRAINING — the full trainer loop ([[bpeApply]] is
+    * one iteration of it): `rounds` successive merges, each round
+    * scoring adjacent-symbol pairs corpus-weighted, fusing the argmax
+    * pair everywhere, and re-counting on the updated segmentation.
+    * Emits one row per round: the merge rule learned, its weighted
+    * count at selection time, and the distinct-symbol inventory size
+    * after the fuse (the "vocab size" a tokenizer budget tracks).
+    *
+    * Representation: a word's segmentation is a string of
+    * space-PREFIXED symbols (" t h e"); fusing pair (a, b) is the plain
+    * string replace " a b" → " ab", which IS greedy left-to-right
+    * non-overlapping BPE merging ("x x x x" → "xx xx", verified
+    * identical in both engines — the space prefix makes symbol
+    * boundaries unambiguous, so a pair can never match inside a longer
+    * symbol). Each round's argmax is a ONE-ROW driver collect (the
+    * k-means/bpeApply model-artifact discipline) inlined as a literal
+    * into the next round's replace.
+    *
+    * Scale shape: the corpus crosses one explode→groupBy(token)
+    * exchange ONCE ([[wordFreq]]); every round after that runs over the
+    * distinct VOCABULARY (Heaps' law — orders of magnitude smaller), so
+    * k rounds cost k vocab passes plus k one-row collects, never a
+    * corpus rescan. The oracle unrolls the identical rounds as chained
+    * CTEs computing each argmax in SQL.
+    */
+  def bpeTrain(spark: SparkSession, d: String,
+      rounds: Int = DefaultBpeTrainRounds): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark0 = spark
+    import spark0.implicits._
+    val wf = wordFreq(spark, d).persist()
+    var seg = wf.select(col("cf"),
+      regexp_replace(col("word"), "(.)", " $1").as("seg"))
+    val learned = Seq.newBuilder[(Long, String, Long, Long)]
+    for (r <- 1 to rounds) {
+      val withSy = seg.withColumn("sy", split(col("seg"), " "))
+      val top = withSy.where(size(col("sy")) >= 3)
+        .select(col("cf"), explode(expr(
+          "transform(sequence(2, size(sy) - 1), i -> concat(element_at(sy, i), '+', element_at(sy, i + 1)))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum("cf").as("pc"))
+        .orderBy(col("pc").desc, col("pair")).limit(1)
+        .collect()
+      require(top.nonEmpty, s"round $r: no adjacent pairs left to merge")
+      val (rule, cnt) = (top(0).getString(0), top(0).getLong(1))
+      val Array(a, b) = rule.split("\\+", 2)
+      seg = seg.withColumn("seg",
+        replace(col("seg"), lit(s" $a $b"), lit(s" $a$b")))
+      val nSyms = seg
+        .select(explode(split(col("seg"), " ")).as("s"))
+        .where(col("s") =!= "")
+        .agg(countDistinct("s")).collect()(0).getLong(0)
+      learned += ((r.toLong, rule, cnt, nSyms))
+    }
+    wf.unpersist()
+    learned.result()
+      .toDF("round", "merge_rule", "pair_count", "n_symbols")
+      .orderBy("round")
+  }
+
+  val bpeTrainSql: String = {
+    def round(r: Int): String =
+      s"""py$r AS (SELECT cf,
+         |  unnest(list_transform(range(2, len(sy)), i -> sy[i] || '+' || sy[i+1])) AS pair
+         |  FROM (SELECT cf, string_split(seg, ' ') AS sy FROM s${r - 1})),
+         |m$r AS (SELECT pair, CAST(sum(cf) AS BIGINT) AS pc FROM py$r
+         |  GROUP BY pair ORDER BY pc DESC, pair LIMIT 1),
+         |s$r AS (SELECT word, cf,
+         |  replace(seg, ' ' || replace(m.pair, '+', ' '), ' ' || replace(m.pair, '+', '')) AS seg
+         |  FROM s${r - 1}, m$r m),
+         |v$r AS (SELECT count(DISTINCT s) AS n FROM (
+         |  SELECT unnest(string_split(seg, ' ')) AS s FROM s$r) WHERE s <> '')""".stripMargin
+    val rounds = DefaultBpeTrainRounds
+    val union = (1 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |  (SELECT pair FROM m$r) AS merge_rule,
+         |  (SELECT pc FROM m$r) AS pair_count,
+         |  (SELECT CAST(n AS BIGINT) FROM v$r) AS n_symbols""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH wf AS (SELECT token AS word, count(*) AS cf
+       |  FROM (SELECT unnest($tokensDuck) AS token FROM documents) GROUP BY token),
+       |s0 AS (SELECT word, cf, regexp_replace(word, '(.)', ' \\1', 'g') AS seg FROM wf),
+       |${(1 to rounds).map(round).mkString(",\n")}
+       |SELECT * FROM (
+       |  $union)
+       |ORDER BY round""".stripMargin
+  }
+
   /** Corpus vocabulary: token document-frequency and collection-
     * frequency, top-50 — the explode→groupBy shape (one shuffle on the
     * token; map-side partial counts keep the explosion from ever being
@@ -1107,6 +1200,7 @@ object TextAnalysis {
     "q_text_vocab_hll" -> (textVocabHll _),
     "q_bpe_pairs" -> ((s, d) => bpePairs(s, d)),
     "q_bpe_apply" -> ((s, d) => bpeApply(s, d)),
+    "q_bpe_train" -> ((s, d) => bpeTrain(s, d)),
     "q_tfidf_topterms" -> ((s, d) => tfidfTopTerms(s, d)),
     "q_bm25_rank" -> ((s, d) => bm25Rank(s, d)),
     "q_pack_sequences" -> ((s, d) => packSequences(s, d)),
@@ -1129,6 +1223,7 @@ object TextAnalysis {
     "q_text_vocab_hll" -> textVocabHllSql,
     "q_bpe_pairs" -> bpePairsSql,
     "q_bpe_apply" -> bpeApplySql,
+    "q_bpe_train" -> bpeTrainSql,
     "q_tfidf_topterms" -> tfidfTopTermsSql,
     "q_bm25_rank" -> bm25RankSql,
     "q_pack_sequences" -> packSequencesSql,
