@@ -1253,7 +1253,79 @@ object Curation {
        |FROM c GROUP BY url_norm HAVING count(*) >= 2
        |ORDER BY url_norm""".stripMargin
 
+  /** Quality-classifier knobs, interpolated into both the Scala code
+    * and the oracle SQL. The weight for bucket b is a pure function of
+    * b (planting discipline — no trained artifact ships with the
+    * fixture): `(hash32("w:" + b) mod 2001) * 1000` ∈ [0, 2e6] in e6
+    * units, NON-NEGATIVE by construction so the per-doc mean needs no
+    * cross-engine negative-integer-division care. Keep iff the mean
+    * weight ≥ 1e6 (the midpoint — a real deployment loads trained
+    * weights into the same frame and tunes the threshold).
+    */
+  val DefaultQcBuckets = 256
+  val DefaultQcKeepE6 = 1000000L
+
+  /** fastText-style QUALITY-CLASSIFIER INFERENCE: hashed-unigram
+    * features × a broadcast integer weight vector → per-doc e6 score
+    * (mean bucket weight over token occurrences) and a keep verdict —
+    * the standard learned curation stage beside the rule-based
+    * [[curationVerdict]]. Same bucket hash as the DSIR family, so a
+    * production pipeline shares one feature explode across both.
+    *
+    * Scale: the corpus explodes once into (doc, bucket) short rows; the
+    * B-row weight table broadcasts; scoring is one per-doc aggregation
+    * (map-side partials). Docs with no tokens surface with score 0 and
+    * keep = false via the LEFT join — a classifier must emit a verdict
+    * for EVERY document, not silently drop the empty ones.
+    */
+  def qualityClassifier(spark: SparkSession, d: String,
+      buckets: Int = DefaultQcBuckets,
+      keepE6: Long = DefaultQcKeepE6): DataFrame = {
+    import TextAnalysis.tokensSpark
+    val feats = Tables.documents(spark, d)
+      .select(col("doc_id"), explode(expr(tokensSpark)).as("token"))
+      .select(col("doc_id"),
+        expr(s"cast(conv(substring(sha2(token, 256), 1, 8), 16, 10) as bigint) % $buckets")
+          .as("bucket"))
+    val weights = spark.range(0, buckets).select(
+      col("id").as("bucket"),
+      expr(s"(cast(conv(substring(sha2(concat('w:', cast(id as string)), 256), 1, 8), 16, 10) as bigint) % 2001) * 1000")
+        .as("w_e6"))
+    val scored = feats.join(broadcast(weights), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        expr("sum(w_e6) div count(1)").as("score_e6"))
+    Tables.documents(spark, d).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("score_e6"), lit(0L)).as("score_e6"),
+        coalesce(col("score_e6") >= keepE6, lit(false)).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val qualityClassifierSql: String = {
+    import TextAnalysis.tokensDuck
+    s"""WITH tx AS (SELECT doc_id, unnest($tokensDuck) AS token FROM documents),
+       |bx AS (SELECT doc_id,
+       |  ('0x' || substr(sha256(token), 1, 8))::BIGINT % $DefaultQcBuckets AS bucket
+       |  FROM tx),
+       |w AS (SELECT b AS bucket,
+       |  (('0x' || substr(sha256('w:' || CAST(b AS VARCHAR)), 1, 8))::BIGINT % 2001) * 1000 AS w_e6
+       |  FROM generate_series(0, ${DefaultQcBuckets - 1}) g(b)),
+       |sc AS (SELECT doc_id, count(*) AS n_toks,
+       |  CAST(sum(w_e6) AS BIGINT) // count(*) AS score_e6
+       |  FROM bx JOIN w USING (bucket) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(sc.n_toks, 0) AS n_toks,
+       |  coalesce(sc.score_e6, 0) AS score_e6,
+       |  coalesce(sc.score_e6 >= $DefaultQcKeepE6, false) AS keep
+       |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_classifier" -> ((s, d) => qualityClassifier(s, d)),
     "q_sample_hash" -> (sampleHash _),
     "q_sample_weighted" -> ((s, d) => sampleWeighted(s, d)),
     "q_split_assign" -> (splitAssign _),
@@ -1275,6 +1347,7 @@ object Curation {
     "q_pii_scrub" -> (piiScrub _))
 
   val oracles: Map[String, String] = Map(
+    "q_quality_classifier" -> qualityClassifierSql,
     "q_sample_hash" -> sampleHashSql,
     "q_sample_weighted" -> sampleWeightedSql,
     "q_split_assign" -> splitAssignSql,
