@@ -282,6 +282,42 @@ object Dedup {
        |FROM b LEFT JOIN prior ON b.ch = prior.ch
        |ORDER BY doc_id""".stripMargin
 
+  /** Stateless projection half of STREAMING exact dedup at ingest:
+    * (doc_id, content_hash, ingest_ts) — the same content-hash kernel
+    * as [[dedupExact]], plus a deterministic planted event time
+    * (epoch + doc_id seconds; the fixture carries no ingest timestamp,
+    * and a pure function of the row keeps stream and batch faces
+    * bit-identical). Works on a batch frame or a readStream frame.
+    */
+  def ingestHashFrames(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.content_hash(col("text")).as("content_hash"),
+      expr("timestampadd(SECOND, doc_id, timestamp'2026-01-01 00:00:00')")
+        .as("ingest_ts"))
+
+  /** STREAMING exact dedup at ingest — the ingest-shape twin of
+    * [[dedupExact]]: first arrival of each content hash is admitted,
+    * replays and re-crawls inside the watermark horizon are dropped by
+    * `dropDuplicatesWithinWatermark` keyed on the hash alone.
+    *
+    * State stays BOUNDED by the watermark: the store retains one row
+    * per content hash seen within the horizon and evicts rows whose
+    * hash can no longer collide with in-horizon events (exactly the
+    * contract dropDuplicatesWithinWatermark exists for — unbounded
+    * `dropDuplicates` state is the classic ingest-dedup leak). Beyond
+    * the horizon, the batch registry face ([[dedupIncremental]]'s
+    * seen-hashes probe) takes over — production runs both: in-horizon
+    * stream dedup, cross-day registry join.
+    *
+    * StreamingDedupSpec pins stream == batch (min-doc_id-per-hash)
+    * on a replayed corpus.
+    */
+  def streamExactDedup(stream: DataFrame,
+      watermark: String = "1 hour"): DataFrame =
+    ingestHashFrames(stream)
+      .withWatermark("ingest_ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** The keep side of exact dedup: LEFT SEMI join of the corpus against
     * the canonical representatives — the operator a pipeline actually
     * runs to emit the deduplicated training set (the groups query above
