@@ -11,13 +11,17 @@ import org.apache.spark.sql.functions._
   * decoder instantiation per partition, streamed rows, no per-row
   * setup).
   *
-  * The actual image decode is STUBBED (no imaging libs in this
-  * container): [[FakeDecoder.decode]] derives deterministic
-  * width/height/format from a sha256 of the payload, standing in for a
-  * real `ImageIO`/ffmpeg call. Everything around it — binary column
-  * materialization, typed Dataset, mapPartitions batch shape, schema of
-  * the decoded struct — is the real production plumbing and is what the
-  * oracle checks.
+  * The image decode is REAL (round 8): payloads are genuine PNG and BMP
+  * byte streams — planted as pure functions of `doc_id` since the
+  * fixture ships no media column — and `javax.imageio.ImageIO` parses
+  * them back to pixels. Because the planted pixel values are arithmetic
+  * in (doc_id, pixel index), the DuckDB oracle reconstructs the
+  * expected width/height/pixel digest WITHOUT decoding: a full hash
+  * gate over a real codec path (a wrong stride, row order, or channel
+  * swap in the decode changes the digest). The BMP payloads are built
+  * by hand (54-byte header + bottom-up padded BGR rows) so the reader
+  * is exercised against bytes it did not itself produce; the PNG
+  * payloads go through the JDK encoder.
   *
   * Scale: decode is embarrassingly parallel per parquet split; binary
   * payloads stay columnar until the decode projection, and the output is
@@ -26,52 +30,129 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   case class MediaBlob(doc_id: Long, blob: Array[Byte])
-  case class MediaMeta(doc_id: Long, n_bytes: Long, width: Int, height: Int,
-      format: String)
+  case class DecodedImage(doc_id: Long, width: Int, height: Int,
+      format: String, pixel_sha16: String)
 
-  /** Deterministic stand-in for a real image decoder: metadata is a pure
-    * function of the payload bytes (sha256), so the DuckDB oracle can
-    * reproduce it exactly.
+  /** Planted image dimensions: 4-8 × 4-6, a pure function of doc_id. */
+  private[operators] def plantedDims(docId: Long): (Int, Int) =
+    ((4 + docId % 5).toInt, (4 + docId % 3).toInt)
+
+  /** Planted RGB for row-major pixel index i — the arithmetic ground
+    * truth both the payload builders and the SQL oracle share.
     */
-  object FakeDecoder {
-    private val Formats = Array("jpeg", "png", "webp")
+  private[operators] def plantedRgb(docId: Long, i: Int): (Int, Int, Int) =
+    (((docId * 7 + i * 13) % 256).toInt,
+      ((docId * 11 + i * 17) % 256).toInt,
+      ((docId * 3 + i * 19) % 256).toInt)
 
-    def decode(b: MediaBlob): MediaMeta = {
-      val md = MessageDigest.getInstance("SHA-256").digest(b.blob)
-      MediaMeta(
-        doc_id = b.doc_id,
-        n_bytes = b.blob.length.toLong,
-        width = 64 + (md(0) & 0xff) % 512,
-        height = 64 + (md(1) & 0xff) % 512,
-        format = Formats((md(2) & 0xff) % 3))
+  /** Hand-built 24-bit BMP (BI_RGB, bottom-up, 4-byte-padded rows) —
+    * constructed WITHOUT ImageIO so the decode spec exercises the JDK
+    * reader against independently authored bytes.
+    */
+  private[operators] def bmpPayload(docId: Long): Array[Byte] = {
+    val (w, h) = plantedDims(docId)
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val dataSize = rowSize * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    for (y <- h - 1 to 0 by -1) {
+      for (x <- 0 until w) {
+        val (r, g, b) = plantedRgb(docId, y * w + x)
+        buf.put(b.toByte).put(g.toByte).put(r.toByte)
+      }
+      (w * 3 until rowSize).foreach(_ => buf.put(0.toByte))
     }
+    buf.array()
   }
 
-  /** documents.text → utf-8 payload bytes → per-partition "decode". */
+  /** PNG payload via the JDK encoder (pixel content identical to the
+    * BMP builder's — only the container differs).
+    */
+  private[operators] def pngPayload(docId: Long): Array[Byte] = {
+    val (w, h) = plantedDims(docId)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = plantedRgb(docId, y * w + x)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** BMP for even doc_ids, PNG for odd — both formats exercised on
+    * every fixture slice.
+    */
+  private[operators] def plantedPayload(docId: Long): Array[Byte] =
+    if (docId % 2 == 0) bmpPayload(docId) else pngPayload(docId)
+
+  /** The REAL decode: ImageIO parses the payload; the canonical pixel
+    * rendering is row-major "r:g:b" comma-joined, digested sha256 —
+    * byte-exactly what the oracle reconstructs arithmetically. Format
+    * comes from the payload magic bytes (BM / \x89PNG), not trust.
+    */
+  private[operators] def decodeImage(docId: Long, blob: Array[Byte]): DecodedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+    require(img != null, s"undecodable payload for doc $docId")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val fmt =
+      if (blob.length >= 2 && blob(0) == 'B'.toByte && blob(1) == 'M'.toByte) "bmp"
+      else if (blob.length >= 4 && (blob(0) & 0xff) == 0x89 &&
+        blob(1) == 'P'.toByte && blob(2) == 'N'.toByte && blob(3) == 'G'.toByte) "png"
+      else "unknown"
+    val sb = new StringBuilder
+    for (y <- 0 until h; x <- 0 until w) {
+      if (sb.nonEmpty) sb.append(',')
+      val p = img.getRGB(x, y)
+      sb.append((p >> 16) & 0xff).append(':')
+        .append((p >> 8) & 0xff).append(':').append(p & 0xff)
+    }
+    val sha = MessageDigest.getInstance("SHA-256")
+      .digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"${b & 0xff}%02x").mkString.take(16)
+    DecodedImage(docId, w, h, fmt, sha)
+  }
+
+  /** Payload generation (upstream simulation — the binary column a real
+    * pipeline reads from parquet) then per-partition ImageIO decode.
+    */
   def multimodalDecode(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     graft.sources.Tables.documents(spark, d)
-      .select(col("doc_id"), encode(col("text"), "utf-8").as("blob"))
-      .as[MediaBlob]
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaBlob(id, plantedPayload(id))))
       .mapPartitions { it =>
-        // one decoder per partition; rows stream through it
-        it.map(FakeDecoder.decode)
+        // one decoder path per partition; rows stream through it
+        it.map(b => decodeImage(b.doc_id, b.blob))
       }
       .toDF()
       .orderBy("doc_id")
   }
 
-  /** sha256(text) == sha256(utf-8 payload) since encode is utf-8. */
+  /** The oracle never decodes: it rebuilds the expected pixel canon
+    * from the same (doc_id, i) arithmetic the payload builders used.
+    */
   val multimodalDecodeSql: String =
-    """WITH h AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-      |                  sha256(text) AS hx
-      |           FROM documents)
-      |SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
-      |  CAST(64 + ('0x' || substr(hx, 1, 2))::INT % 512 AS INT) AS width,
-      |  CAST(64 + ('0x' || substr(hx, 3, 2))::INT % 512 AS INT) AS height,
-      |  CASE ('0x' || substr(hx, 5, 2))::INT % 3
-      |    WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
-      |FROM h ORDER BY doc_id""".stripMargin
+    """WITH dm AS (SELECT doc_id,
+      |  CAST(4 + doc_id % 5 AS INT) AS width,
+      |  CAST(4 + doc_id % 3 AS INT) AS height
+      |  FROM documents),
+      |px AS (SELECT doc_id, width, height,
+      |  array_to_string(list_transform(range(0, width * height), i ->
+      |    CAST((doc_id * 7 + i * 13) % 256 AS VARCHAR) || ':' ||
+      |    CAST((doc_id * 11 + i * 17) % 256 AS VARCHAR) || ':' ||
+      |    CAST((doc_id * 3 + i * 19) % 256 AS VARCHAR)), ',') AS canon
+      |  FROM dm)
+      |SELECT doc_id, width, height,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS format,
+      |  substr(sha256(canon), 1, 16) AS pixel_sha16
+      |FROM px ORDER BY doc_id""".stripMargin
 
   /** Frame-sampling shape: N deterministic "frames" per media item with
     * per-frame features — the fan-out half of a video pipeline. Pure
@@ -144,18 +225,13 @@ object Multimodal {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
-  /** Resize step over the decoded metadata: fit into a 224x224 box
+  /** Resize step over the REAL decoded metadata: fit into a 224x224 box
     * preserving aspect ratio (integer math — floor, consistent with the
-    * oracle). The decode runs in the same mapPartitions pass shape as
-    * [[multimodalDecode]]; the resize itself is pure column algebra.
+    * oracle). Composes the ImageIO decode pass; the resize itself is
+    * pure column algebra over the decoded width/height.
     */
-  def multimodalResize(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
-    graft.sources.Tables.documents(spark, d)
-      .select(col("doc_id"), encode(col("text"), "utf-8").as("blob"))
-      .as[MediaBlob]
-      .mapPartitions(_.map(FakeDecoder.decode))
-      .toDF()
+  def multimodalResize(spark: SparkSession, d: String): DataFrame =
+    multimodalDecode(spark, d)
       .withColumn("scale_e6",
         expr("least(224000000 div width, 224000000 div height)"))
       .select(
@@ -163,14 +239,12 @@ object Multimodal {
         expr("cast((width * scale_e6) div 1000000 as int)").as("out_w"),
         expr("cast((height * scale_e6) div 1000000 as int)").as("out_h"))
       .orderBy("doc_id")
-  }
 
   val multimodalResizeSql: String =
-    """WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents),
-      |m AS (SELECT doc_id,
-      |        CAST(64 + ('0x' || substr(hx, 1, 2))::INT % 512 AS INT) AS width,
-      |        CAST(64 + ('0x' || substr(hx, 3, 2))::INT % 512 AS INT) AS height
-      |      FROM h),
+    """WITH m AS (SELECT doc_id,
+      |        CAST(4 + doc_id % 5 AS INT) AS width,
+      |        CAST(4 + doc_id % 3 AS INT) AS height
+      |      FROM documents),
       |s AS (SELECT *, least(224000000 // width, 224000000 // height) AS scale_e6 FROM m)
       |SELECT doc_id, width, height,
       |  CAST((width * scale_e6) // 1000000 AS INT) AS out_w,
