@@ -1204,21 +1204,42 @@ object Curation {
         |  WHEN 0 THEN upper(concat('site', cast(doc_id % 5 as string), '.com'))
         |  WHEN 1 THEN concat('Site', cast(doc_id % 5 as string), '.Com')
         |  ELSE concat('site', cast(doc_id % 5 as string), '.com') END""".stripMargin)
+    // round-8 organic shapes: explicit default ports, duplicated path
+    // slashes, and a percent-encoded path segment (%70 = 'p') join the
+    // original scheme/www/case/trailing-slash/query/fragment variants —
+    // every canonicalization pass below sees real work on the fixture
     val raw = concat(
       when(col("doc_id") % 2 === 0, "https://").otherwise("http://"),
       when(col("doc_id") % 2 === 0, "www.").otherwise(""),
       hostCased,
-      lit("/p/"), (col("doc_id") % 10).cast(StringType),
+      when(col("doc_id") % 11 === 0,
+        when(col("doc_id") % 2 === 0, ":443").otherwise(":80")).otherwise(""),
+      expr("""CASE WHEN doc_id % 17 = 0 THEN '/%70/'
+             |     WHEN doc_id % 13 = 0 THEN '/p//'
+             |     ELSE '/p/' END""".stripMargin),
+      (col("doc_id") % 10).cast(StringType),
       when(col("doc_id") % 7 === 0, "/").otherwise(""),
       lit("?utm_source=feed&ref="), col("doc_id").cast(StringType),
       when(col("doc_id") % 5 === 0, "#frag").otherwise(""))
-    val canon = regexp_replace(
+    // canonicalization order matters: query/fragment off first, then
+    // scheme, lowercase, www, default-port strip (host:80|:443 before a
+    // path boundary), duplicate-slash collapse (safe only AFTER the
+    // scheme's own // is gone), targeted percent-decode of the
+    // unreserved %70, trailing slash last
+    val canon =
       regexp_replace(
-        lower(regexp_replace(
-          regexp_replace(raw, lit("[?#].*$"), lit("")),
-          lit("^https?://"), lit(""))),
-        lit("^www\\."), lit("")),
-      lit("/$"), lit(""))
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                lower(regexp_replace(
+                  regexp_replace(raw, lit("[?#].*$"), lit("")),
+                  lit("^https?://"), lit(""))),
+                lit("^www\\."), lit("")),
+              lit("^([^/:]*):(80|443)(/|$)"), lit("$1$3")),
+            lit("/{2,}"), lit("/")),
+          lit("%70"), lit("p")),
+        lit("/$"), lit(""))
     Tables.documents(spark, d)
       .select(col("doc_id"), canon.as("url_norm"), raw.as("url_raw"))
       .groupBy("url_norm")
@@ -1237,14 +1258,27 @@ object Curation {
        |        WHEN 0 THEN upper('site' || CAST(doc_id % 5 AS VARCHAR) || '.com')
        |        WHEN 1 THEN 'Site' || CAST(doc_id % 5 AS VARCHAR) || '.Com'
        |        ELSE 'site' || CAST(doc_id % 5 AS VARCHAR) || '.com' END)
-       |  || '/p/' || CAST(doc_id % 10 AS VARCHAR)
+       |  || (CASE WHEN doc_id % 11 = 0
+       |        THEN (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+       |        ELSE '' END)
+       |  || (CASE WHEN doc_id % 17 = 0 THEN '/%70/'
+       |        WHEN doc_id % 13 = 0 THEN '/p//'
+       |        ELSE '/p/' END)
+       |  || CAST(doc_id % 10 AS VARCHAR)
        |  || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
        |  || '?utm_source=feed&ref=' || CAST(doc_id AS VARCHAR)
        |  || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url_raw
        |  FROM documents),
        |c AS (SELECT doc_id, url_raw,
-       |  regexp_replace(regexp_replace(lower(regexp_replace(regexp_replace(
-       |    url_raw, '[?#].*$$', ''), '^https?://', '')), '^www\\.', ''),
+       |  regexp_replace(
+       |    regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(
+       |          regexp_replace(lower(regexp_replace(regexp_replace(
+       |            url_raw, '[?#].*$$', ''), '^https?://', '')), '^www\\.', ''),
+       |          '^([^/:]*):(80|443)(/|$$)', '\\1\\3'),
+       |        '/{2,}', '/', 'g'),
+       |      '%70', 'p', 'g'),
        |    '/$$', '') AS url_norm
        |  FROM u)
        |SELECT url_norm, count(*) AS n_docs,
