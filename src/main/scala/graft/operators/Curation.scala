@@ -777,6 +777,9 @@ object Curation {
     * short to yield a shingle still appear with n = 0 (empty-empty
     * pairs define jaccard as 0 — guarded, DuckDB's `// 0` errors), so
     * the matrix is total over the corpus's sources.
+    * Returned frame is its own persisted lineage root — the CALLER
+    * owns the release (`unpersist()` when done; the verify/bench
+    * harnesses clearCache between queries).
     */
   def sourceOverlap(spark: SparkSession, d: String): DataFrame = {
     import graft.functions.GraftFunctions
@@ -912,6 +915,10 @@ object Curation {
        |  div (cast(c_raw + 1 as decimal(38,0)) * (n_tgt + $buckets)) as bigint)"""
       .stripMargin
 
+  /** Returned frame is its own persisted lineage root — the CALLER owns
+    * the release (`unpersist()` when done; the verify/bench harnesses
+    * clearCache between queries).
+    */
   def dsirWeights(spark: SparkSession, d: String,
       buckets: Int = DefaultDsirBuckets,
       targetLang: String = DefaultDsirTargetLang): DataFrame = {
@@ -937,6 +944,9 @@ object Curation {
     * the smoothing-floor default for buckets never seen in the fit
     * (c_raw = c_tgt = 0 ⇒ ratio = (N_raw+B)·10^6 div (N_tgt+B)) — the
     * artifact [[dsirScoreFrames]] applies at ingest.
+    * Returned frame is its own persisted lineage root — the CALLER
+    * owns the release (`unpersist()` when done; the verify/bench
+    * harnesses clearCache between queries).
     */
   def dsirModelRow(docs: DataFrame,
       buckets: Int = DefaultDsirBuckets,

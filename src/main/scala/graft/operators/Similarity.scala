@@ -625,6 +625,9 @@ object Similarity {
     * the mutuality check is a self-join of the top-k frame on the
     * REVERSED key — |topk| = n·k rows, so both sides are slim; the
     * frame is persisted so its two appearances share one computation.
+    * Returned frame is its own persisted lineage root — the CALLER
+    * owns the release (`unpersist()` when done; the verify/bench
+    * harnesses clearCache between queries).
     */
   def knnGraph(spark: SparkSession, d: String, k: Int = 3,
       numPlanes: Int = DefaultNumPlanes): DataFrame = {

@@ -260,6 +260,9 @@ object TextAnalysis {
     * dynamic pattern. Scale: two corpus exchanges (the token count
     * feeding the rule, re-used for the apply) and a vocab-sized
     * re-segmentation — each further round costs only the vocab pass.
+    * Returned frame is its own persisted lineage root — the CALLER
+    * owns the release (`unpersist()` when done; the verify/bench
+    * harnesses clearCache between queries).
     */
   def bpeApply(spark: SparkSession, d: String,
       topK: Int = DefaultBpePairs): DataFrame = {
@@ -489,6 +492,9 @@ object TextAnalysis {
     * fingerprints (boilerplate) are the skew risk — AQE's skew-join
     * split covers the join, and production would also cap posting-list
     * length (drop fps occurring in > K docs, the classic stop-fp rule).
+    * Returned frame is its own persisted lineage root — the CALLER
+    * owns the release (`unpersist()` when done; the verify/bench
+    * harnesses clearCache between queries).
     */
   def winnowPairs(spark: SparkSession, d: String,
       minShared: Long = 3L): DataFrame = {
@@ -576,6 +582,9 @@ object TextAnalysis {
     * hashes, so results stay bit-identical; the minSpanTokens filter
     * (>= 4 consecutive matches) makes a fabricated SPAN astronomically
     * unlikely.
+    * Returned frame is its own persisted lineage root — the CALLER
+    * owns the release (`unpersist()` when done; the verify/bench
+    * harnesses clearCache between queries).
     */
   def spanDedup(spark: SparkSession, d: String,
       minShared: Long = DefaultMinSharedFps,
@@ -640,6 +649,9 @@ object TextAnalysis {
     * tiny vs the corpus; the sweep windows partition per doc. The
     * corpus-side token counts are one map-side kernel pass, and the
     * final join keys on doc_id once.
+    * Returned frame is its own persisted lineage root — the CALLER
+    * owns the release (`unpersist()` when done; the verify/bench
+    * harnesses clearCache between queries).
     */
   def spanCoverage(spark: SparkSession, d: String,
       minShared: Long = DefaultMinSharedFps,

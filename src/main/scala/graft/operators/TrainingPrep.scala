@@ -408,6 +408,17 @@ object TrainingPrep {
     */
   val OracleMaxDocTokens = 200
 
+  /** Loud guard for the cap above: a single-row CTE (cross-joined into
+    * the position enumeration so it always evaluates) that makes DuckDB
+    * raise a NAMED error the moment any fixture document exceeds the
+    * cap — instead of the oracle silently undercounting bigrams and the
+    * gate surfacing an opaque hash mismatch.
+    */
+  private val oracleCapGuardCte: String =
+    s"""capok AS (SELECT CASE WHEN max(len(toks)) > $OracleMaxDocTokens
+       |  THEN error('OracleMaxDocTokens=$OracleMaxDocTokens exceeded by fixture: raise the cap in TrainingPrep')
+       |  ELSE 1 END AS ok FROM t),""".stripMargin
+
   /** COLLOCATION mining: the top word bigrams by the Mikolov phrase
     * score `(c12 − δ)·N·10^6 div (c1·c2)` (word2vec's phrase-detection
     * formula — the count discount δ kills rare-pair noise) — the
@@ -455,11 +466,12 @@ object TrainingPrep {
 
   val collocationsSql: String =
     s"""WITH t AS (SELECT doc_id, $toksDuck AS toks FROM documents),
+       |$oracleCapGuardCte
        |u AS (SELECT w, count(*) AS c FROM
        |        (SELECT unnest(toks) AS w FROM t) GROUP BY w),
        |nu AS (SELECT sum(c) AS n_uni FROM u),
        |b AS (SELECT toks[i] AS w1, toks[i+1] AS w2
-       |      FROM t, generate_series(1, $OracleMaxDocTokens) gs(i) WHERE i <= len(toks) - 1),
+       |      FROM t, capok, generate_series(1, $OracleMaxDocTokens) gs(i) WHERE i <= len(toks) - 1),
        |bc AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2
        |       HAVING count(*) >= $MinCollocCount)
        |SELECT bc.w1, bc.w2, bc.c12, u1.c AS c1, u2.c AS c2,
@@ -498,8 +510,9 @@ object TrainingPrep {
 
   val bigramCoherenceSql: String =
     s"""WITH t AS (SELECT doc_id, $toksDuck AS toks FROM documents),
+       |$oracleCapGuardCte
        |b AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
-       |      FROM t, generate_series(1, $OracleMaxDocTokens) gs(i)
+       |      FROM t, capok, generate_series(1, $OracleMaxDocTokens) gs(i)
        |      WHERE i <= len(toks) - 1),
        |lm AS (SELECT w1, w2, count(*) AS c FROM b GROUP BY w1, w2),
        |hd AS (SELECT w1, count(*) AS h FROM b GROUP BY w1),
