@@ -340,13 +340,14 @@ object TextAnalysis {
     * corpus rescan. The oracle unrolls the identical rounds as chained
     * CTEs computing each argmax in SQL.
     */
-  def bpeTrain(spark: SparkSession, d: String,
-      rounds: Int = DefaultBpeTrainRounds): DataFrame = {
-    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val spark0 = spark
-    import spark0.implicits._
-    val wf = wordFreq(spark, d).persist()
-    var seg = wf.select(col("cf"),
+  /** The shared trainer loop: runs `rounds` merges over a persisted
+    * (word, cf) vocabulary and returns the learned rules plus the final
+    * per-word segmentation frame (word, cf, seg) — [[bpeTrain]] reports
+    * the former, [[bpeEncode]] applies the latter.
+    */
+  private def bpeTrainLoop(wf: DataFrame,
+      rounds: Int): (Seq[(Long, String, Long, Long)], DataFrame) = {
+    var seg = wf.select(col("word"), col("cf"),
       regexp_replace(col("word"), "(.)", " $1").as("seg"))
     val learned = Seq.newBuilder[(Long, String, Long, Long)]
     for (r <- 1 to rounds) {
@@ -369,13 +370,69 @@ object TextAnalysis {
         .agg(countDistinct("s")).collect()(0).getLong(0)
       learned += ((r.toLong, rule, cnt, nSyms))
     }
+    (learned.result(), seg)
+  }
+
+  def bpeTrain(spark: SparkSession, d: String,
+      rounds: Int = DefaultBpeTrainRounds): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark0 = spark
+    import spark0.implicits._
+    val wf = wordFreq(spark, d).persist()
+    val (learned, _) = bpeTrainLoop(wf, rounds)
     wf.unpersist()
-    learned.result()
+    learned
       .toDF("round", "merge_rule", "pair_count", "n_symbols")
       .orderBy("round")
   }
 
-  val bpeTrainSql: String = {
+  /** BPE ENCODE — the trained tokenizer APPLIED at corpus scale: the
+    * final per-word segmentation from the trainer loop broadcasts back
+    * onto the corpus, and every document reports its word count,
+    * pre-merge symbol count (characters), post-merge BPE token count,
+    * and the compression ratio (chars·1e4 div bpe tokens) — the number
+    * a tokenizer budget planner actually consumes (tokens-per-doc under
+    * the trained vocab, not whitespace tokens).
+    *
+    * Scale: training costs k vocab passes (see [[bpeTrain]]); encoding
+    * is one corpus explode joined against the VOCAB-sized (word →
+    * token-count) map — broadcast while the vocabulary fits, shuffle
+    * join beyond — then a per-doc aggregation. Docs with no tokens
+    * surface with zeros via the LEFT join.
+    */
+  def bpeEncode(spark: SparkSession, d: String,
+      rounds: Int = DefaultBpeTrainRounds): DataFrame = {
+    val wf = wordFreq(spark, d).persist()
+    val (_, seg) = bpeTrainLoop(wf, rounds)
+    val wordLens = seg.select(col("word"),
+      length(col("word")).cast(LongType).as("n_chars"),
+      (size(split(col("seg"), " ")) - 1).cast(LongType).as("n_bpe"))
+    val perDoc = Tables.documents(spark, d)
+      .select(col("doc_id"), explode(expr(tokensSpark)).as("word"))
+      .join(broadcast(wordLens), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_chars").as("n_char_syms"),
+        sum("n_bpe").as("n_bpe_tokens"))
+    val out = Tables.documents(spark, d).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_char_syms"), lit(0L)).as("n_char_syms"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+      .withColumn("compression_e4",
+        expr("CASE WHEN n_bpe_tokens > 0 THEN n_char_syms * 10000L div n_bpe_tokens ELSE 0L END"))
+      .orderBy("doc_id")
+      .persist()
+    out.count() // materialize so the vocabulary cache can be released
+    wf.unpersist()
+    out
+  }
+
+  /** The unrolled trainer-round CTE chain (wf, s0, then per-round
+    * py/m/s/v) shared by the train report and the encode oracle.
+    */
+  private def bpeRoundCtes(rounds: Int): String = {
     def round(r: Int): String =
       s"""py$r AS (SELECT cf,
          |  unnest(list_transform(range(2, len(sy)), i -> sy[i] || '+' || sy[i+1])) AS pair
@@ -387,6 +444,13 @@ object TextAnalysis {
          |  FROM s${r - 1}, m$r m),
          |v$r AS (SELECT count(DISTINCT s) AS n FROM (
          |  SELECT unnest(string_split(seg, ' ')) AS s FROM s$r) WHERE s <> '')""".stripMargin
+    s"""wf AS (SELECT token AS word, count(*) AS cf
+       |  FROM (SELECT unnest($tokensDuck) AS token FROM documents) GROUP BY token),
+       |s0 AS (SELECT word, cf, regexp_replace(word, '(.)', ' \\1', 'g') AS seg FROM wf),
+       |${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  val bpeTrainSql: String = {
     val rounds = DefaultBpeTrainRounds
     val union = (1 to rounds).map { r =>
       s"""SELECT CAST($r AS BIGINT) AS round,
@@ -394,13 +458,31 @@ object TextAnalysis {
          |  (SELECT pc FROM m$r) AS pair_count,
          |  (SELECT CAST(n AS BIGINT) FROM v$r) AS n_symbols""".stripMargin
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH wf AS (SELECT token AS word, count(*) AS cf
-       |  FROM (SELECT unnest($tokensDuck) AS token FROM documents) GROUP BY token),
-       |s0 AS (SELECT word, cf, regexp_replace(word, '(.)', ' \\1', 'g') AS seg FROM wf),
-       |${(1 to rounds).map(round).mkString(",\n")}
+    s"""WITH ${bpeRoundCtes(rounds)}
        |SELECT * FROM (
        |  $union)
        |ORDER BY round""".stripMargin
+  }
+
+  val bpeEncodeSql: String = {
+    val rounds = DefaultBpeTrainRounds
+    s"""WITH ${bpeRoundCtes(rounds)},
+       |wl AS (SELECT word, CAST(length(word) AS BIGINT) AS n_chars,
+       |  CAST(len(string_split(seg, ' ')) - 1 AS BIGINT) AS n_bpe
+       |  FROM s$rounds),
+       |tx AS (SELECT doc_id, unnest($tokensDuck) AS word FROM documents),
+       |pd AS (SELECT doc_id, count(*) AS n_words,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_char_syms,
+       |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens
+       |  FROM tx JOIN wl USING (word) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(pd.n_words, 0) AS n_words,
+       |  coalesce(pd.n_char_syms, 0) AS n_char_syms,
+       |  coalesce(pd.n_bpe_tokens, 0) AS n_bpe_tokens,
+       |  CASE WHEN coalesce(pd.n_bpe_tokens, 0) > 0
+       |    THEN pd.n_char_syms * 10000 // pd.n_bpe_tokens ELSE 0 END AS compression_e4
+       |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   /** Corpus vocabulary: token document-frequency and collection-
@@ -1213,6 +1295,7 @@ object TextAnalysis {
     "q_bpe_pairs" -> ((s, d) => bpePairs(s, d)),
     "q_bpe_apply" -> ((s, d) => bpeApply(s, d)),
     "q_bpe_train" -> ((s, d) => bpeTrain(s, d)),
+    "q_bpe_encode" -> ((s, d) => bpeEncode(s, d)),
     "q_tfidf_topterms" -> ((s, d) => tfidfTopTerms(s, d)),
     "q_bm25_rank" -> ((s, d) => bm25Rank(s, d)),
     "q_pack_sequences" -> ((s, d) => packSequences(s, d)),
@@ -1236,6 +1319,7 @@ object TextAnalysis {
     "q_bpe_pairs" -> bpePairsSql,
     "q_bpe_apply" -> bpeApplySql,
     "q_bpe_train" -> bpeTrainSql,
+    "q_bpe_encode" -> bpeEncodeSql,
     "q_tfidf_topterms" -> tfidfTopTermsSql,
     "q_bm25_rank" -> bm25RankSql,
     "q_pack_sequences" -> packSequencesSql,
