@@ -673,6 +673,60 @@ object Dedup {
        |  inter * 10000 // (na + nb - inter) AS jaccard_e4
        |FROM ov ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Truncation bound for the edit-distance verify: the DP is
+    * O(len_a·len_b) PER PAIR, so production caps the compared prefix —
+    * near-dup documents diverge (or don't) within the first few hundred
+    * characters, and the funnel already guarantees lexical overlap.
+    * Shared by the Scala code and the oracle.
+    */
+  val DefaultMaxEditChars = 256
+
+  /** EDIT-DISTANCE verify stage: exact Levenshtein over the LSH
+    * candidate pairs — the character-level alternative to shingle
+    * Jaccard (robust to small in-place edits that shift every shingle,
+    * the RETSim-style near-dup signal). Distance runs on
+    * [[DefaultMaxEditChars]]-char prefixes (the documented cost lever:
+    * the DP is quadratic per pair) and normalizes to a similarity
+    * `1e4 − dist·1e4 div max(len_a, len_b)` — integer-exact on both
+    * engines.
+    *
+    * Scale shape: the funnel's economics (candidates only, capped per
+    * doc, never all-pairs); each pair joins its two truncated texts
+    * through id-keyed joins and the DP is one compiled kernel per pair.
+    */
+  def dedupEditDistance(spark: SparkSession, d: String,
+      numHashes: Int = DefaultNumHashes,
+      numBands: Int = DefaultNumBands,
+      maxChars: Int = DefaultMaxEditChars): DataFrame = {
+    val sigs = signatures(spark, d, numHashes).persist()
+    val prefixes = Tables.documents(spark, d)
+      .select(col("doc_id"), substring(col("text"), 1, maxChars).as("pfx"))
+    candidatePairs(sigs, numHashes, numBands)
+      .join(prefixes.select(col("doc_id").as("doc_a"), col("pfx").as("pfx_a")), "doc_a")
+      .join(prefixes.select(col("doc_id").as("doc_b"), col("pfx").as("pfx_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pfx_a"), col("pfx_b")).cast(LongType).as("edit_dist"),
+        expr("greatest(length(pfx_a), length(pfx_b))").as("mx"))
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"),
+        expr("CASE WHEN mx > 0 THEN 10000L - edit_dist * 10000L div mx ELSE 10000L END")
+          .as("sim_e4"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupEditDistanceSql: String =
+    s"""WITH ${signaturesDuckCte()},
+       |${bandsDuckCte()},
+       |$candidatePairsDuckCte,
+       |px AS (SELECT doc_id, substr(text, 1, $DefaultMaxEditChars) AS pfx FROM documents),
+       |e AS (SELECT doc_a, doc_b,
+       |  CAST(levenshtein(pa.pfx, pb.pfx) AS BIGINT) AS edit_dist,
+       |  greatest(length(pa.pfx), length(pb.pfx)) AS mx
+       |  FROM pairs JOIN px pa ON pa.doc_id = doc_a
+       |             JOIN px pb ON pb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, edit_dist,
+       |  CASE WHEN mx > 0 THEN 10000 - edit_dist * 10000 // mx ELSE 10000 END AS sim_e4
+       |FROM e ORDER BY doc_a, doc_b""".stripMargin
+
   /** Duplicate CLUSTERS: transitive closure over the verified near-dup
     * pairs (A~B, B~C ⇒ {A,B,C} is one cluster), emitting each doc's
     * canonical representative (the cluster's min doc_id) — the missing
@@ -936,6 +990,7 @@ object Dedup {
     "q_dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(s, d)),
     "q_minhash_est_audit" -> ((s, d) => minhashEstAudit(s, d)),
     "q_dedup_containment" -> ((s, d) => dedupContainment(s, d)),
+    "q_dedup_editdist" -> ((s, d) => dedupEditDistance(s, d)),
     "q_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
     "q_dedup_clusters_star" -> ((s, d) => dedupClustersStar(s, d)),
     "q_dedup_cluster_sizes" -> (dedupClusterSizes _))
@@ -951,6 +1006,7 @@ object Dedup {
     "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "q_minhash_est_audit" -> minhashEstAuditSql,
     "q_dedup_containment" -> dedupContainmentSql,
+    "q_dedup_editdist" -> dedupEditDistanceSql,
     "q_dedup_clusters" -> dedupClustersSql,
     // same clusters, different algorithm — the oracle is shared
     "q_dedup_clusters_star" -> dedupClustersSql,
