@@ -427,6 +427,160 @@ object Similarity {
        |  cell.n_labels
        |FROM cell JOIN top USING (cent_id) ORDER BY cent_id""".stripMargin
 
+  /** Per-cell cap shared by [[clusterBalanced]]'s Scala default and its
+    * SQL oracle — interpolated into both so they cannot drift. Sized so
+    * the fixture's uneven cells produce BOTH kept and dropped rows
+    * (mean cell ≈ corpus/k).
+    */
+  val DefaultCellCap = 32L
+
+  /** CLUSTER-BALANCED data selection (the SemDeDup/DoReMi-adjacent
+    * diversity sampler): assign every vector to its trained IVF cell
+    * and keep the `cap` hash-smallest vectors per cell — so no single
+    * semantic region dominates the training mix, the embedding-space
+    * twin of [[graft.operators.Curation.sourceCaps]]'s per-domain rule.
+    * Key-pure (sha256 of vec_id), so the panel is reproducible across
+    * engines and partitionings and a vector's verdict can only flip
+    * when its cell crosses the cap. Emits the full verdict report
+    * (rank, cell population, kept, overflow) — the review artifact for
+    * sizing caps against [[clusterPurity]]'s quality gate.
+    *
+    * Scale shape: assignment is the same broadcast-centroids map-side
+    * argmax as every IVF query (the corpus never shuffles for the
+    * model); then ONE exchange on `cent_id` shared by both windows
+    * (rank + population). nlist ≈ sqrt(corpus) in production keeps
+    * cells near-uniform by construction; a hot cell is exactly the
+    * skew AQE's window-split handles, and the cap verdict itself is
+    * what prevents the hot cell from dominating downstream.
+    */
+  def clusterBalanced(spark: SparkSession, d: String,
+      cap: Long = DefaultCellCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cap >= 1, s"cell cap must be at least 1, got $cap")
+    val cents = fitIvfCentroids(spark, d)
+    val byCell = Window.partitionBy("cent_id")
+    Tables.embeddings(spark, d)
+      .crossJoin(broadcast(centroidRow(spark, cents)))
+      .select(col("vec_id"), bestCentId(col("embedding")).as("cent_id"))
+      .withColumn("h", substring(sha2(col("vec_id").cast(StringType), 256), 1, 16))
+      .withColumn("cell_rank",
+        row_number().over(byCell.orderBy("h", "vec_id")).cast(LongType))
+      .withColumn("n_in_cell", count(lit(1)).over(byCell))
+      .select(col("vec_id"), col("cent_id"), col("cell_rank"), col("n_in_cell"),
+        (col("cell_rank") <= cap).as("kept"),
+        greatest(col("n_in_cell") - cap, lit(0L)).as("n_dropped"))
+      .orderBy("vec_id")
+  }
+
+  val clusterBalancedSql: String =
+    s"""WITH ${kmeansDuckCtes()},
+       |ff AS (SELECT cent_id, list_transform(ce6, v -> CAST(v / 1000000.0 AS FLOAT)) AS cf FROM c$IvfIters),
+       |af AS (SELECT vec_id, cent_id FROM (
+       |  SELECT e.vec_id, f.cent_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosE6Duck("e.embedding", "f.cf")} DESC, f.cent_id) AS rn
+       |  FROM e, ff f) WHERE rn = 1),
+       |r AS (SELECT vec_id, cent_id,
+       |  row_number() OVER (PARTITION BY cent_id
+       |    ORDER BY substr(sha256(CAST(vec_id AS VARCHAR)), 1, 16), vec_id) AS cell_rank,
+       |  count(*) OVER (PARTITION BY cent_id) AS n_in_cell
+       |  FROM af)
+       |SELECT vec_id, cent_id, CAST(cell_rank AS BIGINT) AS cell_rank,
+       |  CAST(n_in_cell AS BIGINT) AS n_in_cell,
+       |  cell_rank <= $DefaultCellCap AS kept,
+       |  CAST(greatest(n_in_cell - $DefaultCellCap, 0) AS BIGINT) AS n_dropped
+       |FROM r ORDER BY vec_id""".stripMargin
+
+  /** Panel size shared by [[kcenterSelect]]'s Scala default and its SQL
+    * oracle (which unrolls k−1 greedy rounds).
+    */
+  val KCenterK = 6
+
+  /** GREEDY k-CENTER selection (farthest-point traversal, Gonzalez
+    * 1985): build a k-vector panel where each pick is the corpus vector
+    * FARTHEST from everything already chosen — the classic 2-approx
+    * coreset/diversity seed used for active-learning cores and for
+    * picking maximally-spread exemplars before expensive human review.
+    * Complements [[clusterBalanced]]: that CAPS dense regions, this
+    * actively seeks the sparse ones.
+    *
+    * Determinism (the cross-engine contract): the seed is the vector
+    * with the smallest (sha256(vec_id), vec_id) — the same hash-seeded
+    * init as the k-means fit; distance is cosine in e6 integers (the
+    * shared kernel), "farthest" = smallest MAXIMUM cosine to the panel,
+    * ties to the smallest vec_id. Each round's winner carries the
+    * max-cosine it was chosen at (NULL for the seed) — the
+    * radius-schedule diagnostic a coverage argument reads.
+    *
+    * Scale shape: the panel is a model artifact (k×dims floats) that
+    * travels as ONE broadcast row; each of the k−1 rounds is a pure
+    * map-side max-over-panel projection followed by a global
+    * TakeOrdered(1) — no shuffle of the corpus, k driver-side one-row
+    * collects total (the same legitimacy class as the k-means fit's
+    * per-iteration model collect). At production k (hundreds), batch
+    * variants (k-center++ oversampling a la k-means‖) replace the
+    * per-pick round trip; the per-round plan is unchanged.
+    */
+  def kcenterSelect(spark: SparkSession, d: String,
+      k: Int = KCenterK): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{transform => arrTransform}
+    require(k >= 1, s"panel size must be at least 1, got $k")
+    val emb = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding")).persist()
+    try {
+      val seed = emb
+        .select(col("vec_id"), col("embedding"),
+          substring(sha2(col("vec_id").cast(StringType), 256), 1, 16).as("h"))
+        .orderBy("h", "vec_id").limit(1).collect().head
+      var chosen = Vector[(Long, Seq[Float], Option[Long])](
+        (seed.getLong(0), seed.getSeq[Float](1), None))
+      for (_ <- 1 until k) {
+        val panel = chosen.map { case (id, e, _) => (id, e) }
+          .toDF("pick_id", "pick_emb")
+          .agg(collect_list(struct(col("pick_id"), col("pick_emb"))).as("picks"))
+        val next = emb
+          .where(!col("vec_id").isin(chosen.map(_._1): _*))
+          .crossJoin(broadcast(panel))
+          .select(col("vec_id"), col("embedding"),
+            array_max(arrTransform(col("picks"), p =>
+              graft.functions.GraftFunctions
+                .cosine_e6(col("embedding"), p.getField("pick_emb")))).as("mc"))
+          .orderBy(col("mc").asc, col("vec_id").asc).limit(1)
+          .collect().head
+        chosen :+= ((next.getLong(0), next.getSeq[Float](1),
+          Some(next.getLong(2))))
+      }
+      chosen.zipWithIndex.map { case ((id, _, mc), i) => (i.toLong, id, mc) }
+        .toDF("pick_rank", "vec_id", "max_cos_e6")
+        .orderBy("pick_rank")
+    } finally emb.unpersist()
+  }
+
+  val kcenterSelectSql: String = {
+    val rounds = (1 until KCenterK).map { r =>
+      s"""s$r AS (SELECT e.vec_id, CAST(max(${cosE6Duck("e.embedding", "c.embedding")}) AS BIGINT) AS mc
+         |  FROM e, c${r - 1} c
+         |  WHERE e.vec_id NOT IN (SELECT vec_id FROM c${r - 1})
+         |  GROUP BY e.vec_id),
+         |p$r AS (SELECT s.vec_id, e.embedding, s.mc, CAST($r AS BIGINT) AS pick_rank
+         |  FROM s$r s JOIN e USING (vec_id) ORDER BY s.mc ASC, s.vec_id LIMIT 1),
+         |c$r AS (SELECT vec_id, embedding, mc, pick_rank FROM c${r - 1}
+         |        UNION ALL SELECT vec_id, embedding, mc, pick_rank FROM p$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |p0 AS (SELECT vec_id, embedding FROM (
+       |  SELECT vec_id, embedding,
+       |    substr(sha256(CAST(vec_id AS VARCHAR)), 1, 16) AS h FROM e)
+       |  ORDER BY h, vec_id LIMIT 1),
+       |c0 AS (SELECT vec_id, embedding, CAST(NULL AS BIGINT) AS mc,
+       |         CAST(0 AS BIGINT) AS pick_rank FROM p0),
+       |$rounds
+       |SELECT pick_rank, vec_id, mc AS max_cos_e6
+       |FROM c${KCenterK - 1} ORDER BY pick_rank""".stripMargin
+  }
+
   /** IVF (inverted-file) top-k: the coarse quantizer — k-means centroids
     * TRAINED by [[fitIvfCentroids]] — assigns every vector to its
     * nearest centroid; queries probe their 2 nearest centroids and
@@ -1174,6 +1328,8 @@ object Similarity {
     "q_sim_topk_ivf" -> ((s, d) => simTopkIvf(s, d)),
     "q_ivf_centroids" -> (ivfCentroids _),
     "q_cluster_purity" -> (clusterPurity _),
+    "q_cluster_balanced" -> ((s, d) => clusterBalanced(s, d)),
+    "q_kcenter_select" -> ((s, d) => kcenterSelect(s, d)),
     "q_ann_recall" -> (annRecall _),
     "q_sim_topk_lsh_multi" -> ((s, d) => simTopkLshMulti(s, d)),
     "q_crossmodal_audit" -> ((s, d) => crossmodalAudit(s, d)),
@@ -1192,6 +1348,8 @@ object Similarity {
     "q_sim_topk_ivf" -> simTopkIvfSql,
     "q_ivf_centroids" -> ivfCentroidsSql,
     "q_cluster_purity" -> clusterPuritySql,
+    "q_cluster_balanced" -> clusterBalancedSql,
+    "q_kcenter_select" -> kcenterSelectSql,
     "q_ann_recall" -> annRecallSql,
     "q_sim_topk_lsh_multi" -> simTopkLshMultiSql,
     "q_crossmodal_audit" -> crossmodalAuditSql,

@@ -1286,6 +1286,164 @@ object TextAnalysis {
        |  GROUP BY token ORDER BY n_exact DESC, token LIMIT 20)
        |ORDER BY token""".stripMargin
 
+  /** Gram width / corpus-frequency threshold for [[boilerplateScrub]],
+    * interpolated into both the Scala default and the oracle SQL so an
+    * edit cannot desynchronize them. n matches the corpus shingle width;
+    * minDf = 2 is the C4 rule ("occurs more than once in the corpus").
+    */
+  val DefaultBoilerGramN = 3
+  val DefaultBoilerMinDf = 2
+
+  /** CORPUS-GLOBAL boilerplate removal (the C4 rule, Raffel et al. 2020
+    * §2.2 — there stated over three-sentence spans; token n-grams here
+    * since the fixture documents are single-line): an n-gram that occurs
+    * in at least `minDf` DISTINCT documents is boilerplate, and every
+    * token position it covers is scrubbed from every document that
+    * contains it. Differs from [[repCoverage]] (within-doc repeats) and
+    * [[spanDedup]] (pairwise candidate spans) by keying on corpus-wide
+    * document frequency — the signal that catches headers, licenses and
+    * navigation chrome that appear once per document across millions of
+    * documents, which neither of the other two forms can see.
+    *
+    * Output is total over documents: per doc the token count, covered
+    * count (interval-union over overlapping flagged grams), coverage in
+    * e4, and the H16 digest of the scrubbed text (tokens at covered
+    * positions removed, survivors re-joined with single spaces) — the
+    * digest makes the scrub itself verifiable, not just the counts.
+    *
+    * Scale shape: one explode into (doc, pos, gram) rows — persisted
+    * because it feeds both the df aggregation and the cover join, and
+    * exchange reuse does not reliably dedupe identical shuffle subtrees.
+    * The RETURNED frame is the persisted lineage root (materialized, the
+    * gram cache released before returning — caller owns the final
+    * unpersist, same contract as [[winnowPairs]]). The df pass is one
+    * gram-keyed aggregation of map-side partials; flagged grams are by
+    * construction a small fraction of the vocabulary, and the cover
+    * pass re-joins the SAME gram-keyed frame against them (an equi-join
+    * on the existing keying — AQE broadcasts the flagged side when it
+    * is small). The union is a doc-keyed aggregation. Nothing is
+    * pairwise; everything shuffled is (long, int, short-string) rows —
+    * linear in corpus size at any duplication rate.
+    */
+  def boilerplateScrub(spark: SparkSession, d: String,
+      n: Int = DefaultBoilerGramN, minDf: Int = DefaultBoilerMinDf): DataFrame = {
+    require(n >= 2, s"gram width must be at least 2, got $n")
+    require(minDf >= 2, s"df threshold must be at least 2, got $minDf")
+    val parts = (0 until n).map(j => s"toks[i-1+$j]").mkString(", ")
+    val t = Tables.documents(spark, d)
+      .select(col("doc_id"), expr(tokensSpark).as("toks"))
+    val g = t.where(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(expr(
+          s"""transform(sequence(1, size(toks) - ${n - 1}),
+             |  i -> struct(i AS pos, concat_ws(' ', $parts) AS gram))"""
+            .stripMargin)).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+      .persist()
+    val flagged = g.groupBy("gram")
+      .agg(countDistinct("doc_id").as("df"))
+      .where(col("df") >= minDf)
+      .select("gram")
+    val cov = g.join(flagged, Seq("gram"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${n - 1})")).as("cp"))
+      .groupBy("doc_id")
+      .agg(countDistinct("cp").as("n_cov"), collect_set("cp").as("cov"))
+    val out = t.join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_toks"),
+        coalesce(col("n_cov"), lit(0L)).as("n_covered"),
+        expr("coalesce(n_cov, 0L) * 10000L div size(toks)").as("cov_e4"),
+        substring(sha2(expr(
+          """concat_ws(' ', filter(
+            |  transform(sequence(1, size(toks)),
+            |    i -> IF(cov IS NOT NULL AND array_contains(cov, i), NULL, toks[i-1])),
+            |  x -> x IS NOT NULL))""".stripMargin), 256), 1, 16).as("scrub_h16"))
+      .orderBy("doc_id").persist()
+    out.count() // materialize so the gram cache can be released
+    g.unpersist()
+    out
+  }
+
+  val boilerplateScrubSql: String = {
+    val n = DefaultBoilerGramN
+    val parts = (0 until n).map(j => s"toks[pos+$j]").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, $tokensDuck AS toks FROM documents),
+       |g0 AS (SELECT doc_id, toks,
+       |         unnest(range(1, len(toks) - ${n - 1} + 1)) AS pos
+       |       FROM t WHERE len(toks) >= $n),
+       |g AS (SELECT doc_id, pos, concat_ws(' ', $parts) AS gram FROM g0),
+       |flagged AS (SELECT gram FROM (
+       |    SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram)
+       |  WHERE df >= $DefaultBoilerMinDf),
+       |cp0 AS (SELECT doc_id, unnest(range(pos, pos + $n)) AS cp
+       |        FROM g JOIN flagged USING (gram)),
+       |cov AS (SELECT doc_id, count(*) AS n_cov, list(cp ORDER BY cp) AS cov
+       |        FROM (SELECT DISTINCT doc_id, cp FROM cp0) GROUP BY doc_id),
+       |s AS (SELECT t.doc_id, t.toks, cov.n_cov, coalesce(cov.cov, []) AS cov
+       |      FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id)
+       |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+       |  CAST(coalesce(n_cov, 0) AS BIGINT) AS n_covered,
+       |  CAST(coalesce(n_cov, 0) * 10000 // len(toks) AS BIGINT) AS cov_e4,
+       |  substr(sha256(coalesce(array_to_string(
+       |    list_transform(
+       |      list_filter(range(1, len(toks) + 1), i -> NOT list_contains(cov, i)),
+       |      i -> toks[i]), ' '), '')), 1, 16) AS scrub_h16
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** PER-SOURCE VOCABULARY CONCENTRATION — the corpus-health panel a
+    * mixture designer reads beside [[graft.operators.TrainingPrep]]'s
+    * mix weights: token volume, vocabulary size, the Herfindahl index
+    * (Σ pᵢ², the log-free concentration twin of unigram entropy — high
+    * HHI = a few tokens dominate = templated/spammy source), and the
+    * single most frequent token with its share. All integer-exact: HHI
+    * in ppm as `Σ cᵢ²·10⁶ div N²` accumulated in Decimal(38,0) (Σ cᵢ²
+    * overflows BIGINT once a source passes ~3·10⁹ tokens — at 100 TB a
+    * single source legitimately does), shares in ppm by floor division.
+    * Ties on the top token resolve to the lexicographically LARGEST
+    * token (struct-max on both engines — shared contract).
+    *
+    * Scale shape: one explode into (source, token) rows, ONE exchange
+    * keyed (source, token) for the counts, then a source-keyed rollup
+    * of vocab-sized partials; the top-token pick is a struct-max
+    * aggregate, not a window. Nothing pairwise, nothing corpus-sized
+    * past the first aggregation.
+    */
+  def vocabConcentration(spark: SparkSession, d: String): DataFrame = {
+    val tc = Tables.documents(spark, d)
+      .select(col("source"), explode(expr(tokensSpark)).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+    tc.groupBy("source")
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("n_vocab"),
+        sum(col("c").cast(DecimalType(38, 0)) * col("c")).as("sum_c2"),
+        max(struct(col("c"), col("token"))).as("m"))
+      .select(col("source"), col("n_tokens"), col("n_vocab"),
+        expr("cast(sum_c2 * 1000000 div (cast(n_tokens as decimal(38,0)) * n_tokens) as bigint)")
+          .as("hhi_ppm"),
+        col("m.token").as("top_token"),
+        expr("m.c * 1000000L div n_tokens").as("top_share_ppm"))
+      .orderBy("source")
+  }
+
+  val vocabConcentrationSql: String =
+    s"""WITH tok AS (SELECT source, unnest($tokensDuck) AS token FROM documents),
+       |tc AS (SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2),
+       |agg AS (SELECT source,
+       |    CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    count(*) AS n_vocab,
+       |    CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sum_c2
+       |  FROM tc GROUP BY source),
+       |top AS (SELECT source, token AS top_token, c AS top_c FROM (
+       |    SELECT source, token, c, row_number() OVER (PARTITION BY source
+       |      ORDER BY c DESC, token DESC) AS rn FROM tc) WHERE rn = 1)
+       |SELECT a.source, a.n_tokens, a.n_vocab,
+       |  CAST(a.sum_c2 * 1000000 // (CAST(a.n_tokens AS HUGEINT) * a.n_tokens) AS BIGINT) AS hhi_ppm,
+       |  t.top_token,
+       |  CAST(t.top_c * 1000000 // a.n_tokens AS BIGINT) AS top_share_ppm
+       |FROM agg a JOIN top t USING (source) ORDER BY a.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_inverted_index" -> ((s, d) => invertedIndex(s, d)),
     "q_text_novelty" -> (textNovelty _),
@@ -1305,6 +1463,8 @@ object TextAnalysis {
     "q_span_coverage" -> ((s, d) => spanCoverage(s, d)),
     "q_text_repetition" -> (textRepetition _),
     "q_rep_coverage" -> ((s, d) => repCoverage(s, d)),
+    "q_boilerplate_scrub" -> ((s, d) => boilerplateScrub(s, d)),
+    "q_vocab_concentration" -> (vocabConcentration _),
     "q_text_tokens" -> (textTokens _),
     "q_text_quality" -> (textQuality _),
     "q_text_langid" -> (textLangId _),
@@ -1329,6 +1489,8 @@ object TextAnalysis {
     "q_span_coverage" -> spanCoverageSql,
     "q_text_repetition" -> textRepetitionSql,
     "q_rep_coverage" -> repCoverageSql,
+    "q_boilerplate_scrub" -> boilerplateScrubSql,
+    "q_vocab_concentration" -> vocabConcentrationSql,
     "q_text_tokens" -> textTokensSql,
     "q_text_quality" -> textQualitySql,
     "q_text_langid" -> textLangIdSql,
