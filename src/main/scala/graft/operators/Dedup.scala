@@ -979,6 +979,42 @@ object Dedup {
        |SELECT cluster_size, count(*) AS n_clusters
        |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
 
+  /** SOFT deduplication (SoftDeDup, He et al. 2024): instead of the
+    * hard keep/drop verdict, every document gets a sampling weight
+    * inversely proportional to its near-dup cluster size —
+    * `weight_ppm = 10⁶ div |cluster|` — so duplicated content is
+    * DOWN-WEIGHTED in the training mix rather than removed, preserving
+    * the (often highest-quality) content that happens to be popular
+    * while still flattening its effective frequency. The
+    * reweighting-not-removal alternative the hard pipeline
+    * ([[dedupKeepCanonical]] → corpus emit) cannot express.
+    *
+    * Scale shape: rides [[dedupClusters]]' funnel (exact-collapse
+    * prelude + capped pairs + label propagation — the degeneracy-proof
+    * composition), then ONE cluster_rep-keyed aggregation and one
+    * equi-join of the label frame against the cluster-size frame (the
+    * size side is cluster-count-sized and broadcastable). Nothing new
+    * is pairwise.
+    */
+  def softDedup(spark: SparkSession, d: String): DataFrame = {
+    val labels = dedupClusters(spark, d)
+    val sizes = labels.groupBy("cluster_rep")
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("cluster_rep"))
+      .select(col("doc_id"), col("cluster_rep"), col("cluster_size"),
+        expr("1000000L div cluster_size").as("weight_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val softDedupSql: String =
+    s"""WITH labels AS (SELECT * FROM (${dedupClustersSql})),
+       |sz AS (SELECT cluster_rep, count(*) AS cluster_size
+       |       FROM labels GROUP BY cluster_rep)
+       |SELECT l.doc_id, l.cluster_rep,
+       |  CAST(sz.cluster_size AS BIGINT) AS cluster_size,
+       |  CAST(1000000 // sz.cluster_size AS BIGINT) AS weight_ppm
+       |FROM labels l JOIN sz USING (cluster_rep) ORDER BY l.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (dedupExact _),
     "q_lsh_tuning" -> (lshTuning _),
@@ -993,7 +1029,8 @@ object Dedup {
     "q_dedup_editdist" -> ((s, d) => dedupEditDistance(s, d)),
     "q_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
     "q_dedup_clusters_star" -> ((s, d) => dedupClustersStar(s, d)),
-    "q_dedup_cluster_sizes" -> (dedupClusterSizes _))
+    "q_dedup_cluster_sizes" -> (dedupClusterSizes _),
+    "q_soft_dedup" -> (softDedup _))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactSql,
@@ -1010,5 +1047,6 @@ object Dedup {
     "q_dedup_clusters" -> dedupClustersSql,
     // same clusters, different algorithm — the oracle is shared
     "q_dedup_clusters_star" -> dedupClustersSql,
-    "q_dedup_cluster_sizes" -> dedupClusterSizesSql)
+    "q_dedup_cluster_sizes" -> dedupClusterSizesSql,
+    "q_soft_dedup" -> softDedupSql)
 }

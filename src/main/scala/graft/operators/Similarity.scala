@@ -581,6 +581,120 @@ object Similarity {
        |FROM c${KCenterK - 1} ORDER BY pick_rank""".stripMargin
   }
 
+  /** Power-iteration count shared by [[embedPca]]'s Scala default and
+    * its SQL oracle (which unrolls the same rounds).
+    */
+  val PcaIters = 3
+
+  /** TOP PRINCIPAL COMPONENT of the embedding corpus by fixed-round
+    * power iteration, with every vector's projection onto it — the
+    * "All-but-the-top" embedding post-process (Mu & Viswanath 2018:
+    * subtracting the mean and the top PCs measurably improves embedding
+    * isotropy) and the diagnostic for a corpus-wide dominant direction
+    * (a too-strong top PC usually means a length/frequency artifact).
+    *
+    * Determinism (the cross-engine contract): exact-integer e6
+    * coordinates; the mean is truncated integer division; the init
+    * vector is the CENTERED hash-smallest vec_id's coordinates (the
+    * k-means seeding rule); each round computes w = Σ_d c_d·(c_d·v)
+    * with per-row dots floored back to e6 scale and Decimal/HUGEINT
+    * column sums, then renormalizes by MAX-ABS to e6 integers (no
+    * sqrt anywhere, so there is no libm rounding to disagree about);
+    * a degenerate all-zero round keeps direction via a greatest(,1)
+    * guard on the divisor. Both engines truncate integer division
+    * toward zero (verified property this repo's k-means already
+    * relies on).
+    *
+    * Scale shape: μ and each round's w are model artifacts (64 numbers)
+    * — the corpus never shuffles: every round is one broadcast-literal
+    * projection (map-side dot) plus ONE 64-group aggregation of
+    * map-side partial sums, exactly the k-means fit legitimacy class;
+    * iters×(1 collect of 64 rows) on the driver. Decimal(38,0)
+    * accumulation because Σ_d c[i]·dot overflows BIGINT at ~10⁵ docs
+    * per partition-free bound (c·dot ≈ 10¹⁴ per row).
+    */
+  def embedPca(spark: SparkSession, d: String,
+      iters: Int = PcaIters): DataFrame = {
+    import org.apache.spark.sql.functions.{zip_with => arrZip}
+    require(iters >= 1, s"need at least one power-iteration round, got $iters")
+    val emb = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("label"), expr(Ve6Expr).as("ve6")).persist()
+    try {
+      val n = emb.count()
+      val sums = emb.agg(
+        sum(element_at(col("ve6"), 1)).as("s0"),
+        (1 until Dims).map(i =>
+          sum(element_at(col("ve6"), i + 1)).as(s"s$i")): _*).collect().head
+      val mu: IndexedSeq[Long] = (0 until Dims).map(i => sums.getLong(i) / n)
+      val muLit = array(mu.map(lit(_)): _*)
+      val withC = emb.withColumn("c", arrZip(col("ve6"), muLit, (x, y) => x - y))
+      val seed = withC
+        .select(col("c"),
+          substring(sha2(col("vec_id").cast(StringType), 256), 1, 16).as("h"),
+          col("vec_id"))
+        .orderBy("h", "vec_id").limit(1).collect().head.getSeq[Long](0)
+      val seedMax = seed.map(math.abs).max.max(1L)
+      var v: IndexedSeq[Long] = seed.map(x => x * 1000000L / seedMax).toIndexedSeq
+      def dotCol: Column = expr(
+        s"""aggregate(zip_with(c, array(${v.mkString("L,")}L),
+           |  (x, y) -> x * y), 0L, (a, x) -> a + x) div 1000000L"""
+          .stripMargin)
+      for (_ <- 0 until iters) {
+        val wRow = withC.withColumn("dot", dotCol)
+          .agg(
+            sum(element_at(col("c"), 1).cast(DecimalType(38, 0)) * col("dot")).as("w0"),
+            (1 until Dims).map(i =>
+              sum(element_at(col("c"), i + 1).cast(DecimalType(38, 0)) * col("dot"))
+                .as(s"w$i")): _*)
+          .collect().head
+        val w: IndexedSeq[BigInt] =
+          (0 until Dims).map(i => BigInt(wRow.getDecimal(i).toBigInteger))
+        val maxAbs = w.map(_.abs).max.max(BigInt(1))
+        v = w.map(wi => (wi * 1000000 / maxAbs).toLong)
+      }
+      val checksum = v.zipWithIndex.map { case (x, i) => x * (i + 1) }.sum
+      withC.select(col("vec_id"), col("label"), dotCol.as("proj"),
+          lit(checksum).as("pc_checksum"))
+        .orderBy("vec_id")
+    } finally emb.unpersist()
+  }
+
+  val embedPcaSql: String = {
+    val rounds = (1 to PcaIters).map { t =>
+      s"""d$t AS (SELECT c.vec_id, c.c,
+         |  CAST(list_sum(list_transform(range(1, ${Dims + 1}), i -> c.c[i] * v[i])) // 1000000 AS BIGINT) AS dot
+         |  FROM c, v${t - 1}),
+         |w$t AS (SELECT g.d, sum(CAST(c[g.d] AS HUGEINT) * dot) AS w
+         |  FROM d$t, generate_series(1, $Dims) g(d) GROUP BY g.d),
+         |m$t AS (SELECT greatest(max(abs(w)), 1) AS m FROM w$t),
+         |v$t AS (SELECT list(CAST(w * 1000000 // m AS BIGINT) ORDER BY d) AS v
+         |  FROM w$t, m$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, label,
+       |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS ve6
+       |  FROM embeddings),
+       |n AS (SELECT count(*) AS n FROM e),
+       |mu AS (SELECT list(s // n ORDER BY d) AS mu FROM (
+       |    SELECT g.d, CAST(sum(ve6[g.d]) AS BIGINT) AS s
+       |    FROM e, generate_series(1, $Dims) g(d) GROUP BY g.d), n),
+       |c AS (SELECT vec_id, label,
+       |  list_transform(range(1, ${Dims + 1}), i -> ve6[i] - mu[i]) AS c
+       |  FROM e, mu),
+       |seed AS (SELECT c FROM (
+       |    SELECT c, substr(sha256(CAST(vec_id AS VARCHAR)), 1, 16) AS h, vec_id
+       |    FROM c) ORDER BY h, vec_id LIMIT 1),
+       |v0 AS (SELECT list_transform(c, x -> CAST(x * 1000000 //
+       |    greatest(list_aggregate(list_transform(c, y -> abs(y)), 'max'), 1) AS BIGINT)) AS v
+       |  FROM seed),
+       |$rounds,
+       |ck AS (SELECT CAST(list_sum(list_transform(range(1, ${Dims + 1}), i -> v[i] * i)) AS BIGINT) AS pc_checksum
+       |  FROM v$PcaIters)
+       |SELECT c.vec_id, c.label,
+       |  CAST(list_sum(list_transform(range(1, ${Dims + 1}), i -> c.c[i] * v[i])) // 1000000 AS BIGINT) AS proj,
+       |  ck.pc_checksum
+       |FROM c, v$PcaIters, ck ORDER BY c.vec_id""".stripMargin
+  }
+
   /** IVF (inverted-file) top-k: the coarse quantizer — k-means centroids
     * TRAINED by [[fitIvfCentroids]] — assigns every vector to its
     * nearest centroid; queries probe their 2 nearest centroids and
@@ -1330,6 +1444,7 @@ object Similarity {
     "q_cluster_purity" -> (clusterPurity _),
     "q_cluster_balanced" -> ((s, d) => clusterBalanced(s, d)),
     "q_kcenter_select" -> ((s, d) => kcenterSelect(s, d)),
+    "q_embed_pca" -> ((s, d) => embedPca(s, d)),
     "q_ann_recall" -> (annRecall _),
     "q_sim_topk_lsh_multi" -> ((s, d) => simTopkLshMulti(s, d)),
     "q_crossmodal_audit" -> ((s, d) => crossmodalAudit(s, d)),
@@ -1350,6 +1465,7 @@ object Similarity {
     "q_cluster_purity" -> clusterPuritySql,
     "q_cluster_balanced" -> clusterBalancedSql,
     "q_kcenter_select" -> kcenterSelectSql,
+    "q_embed_pca" -> embedPcaSql,
     "q_ann_recall" -> annRecallSql,
     "q_sim_topk_lsh_multi" -> simTopkLshMultiSql,
     "q_crossmodal_audit" -> crossmodalAuditSql,

@@ -30,6 +30,26 @@ class DedupClustersSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("soft-dedup weights are exactly 1e6 div cluster size over the labels") {
+    val sizes = clusters.values.groupBy(identity).map { case (r, o) => r -> o.size.toLong }
+    val rows = Dedup.softDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === clusters.size, "every labeled doc gets a weight")
+    rows.foreach { case (doc, rep, size, ppm) =>
+      assert(rep === clusters(doc), s"doc $doc rep")
+      assert(size === sizes(rep), s"doc $doc cluster size")
+      assert(ppm === 1000000L / size, s"doc $doc weight")
+    }
+    // the reweighting contract: each cluster's total weight is ~1e6
+    // (exactly, up to the floor remainder < cluster_size)
+    rows.groupBy(_._2).foreach { case (rep, members) =>
+      val tot = members.map(_._4).sum
+      assert(tot <= 1000000L && tot > 1000000L - members.length,
+        s"cluster $rep effective frequency should flatten to ~1")
+    }
+    assert(rows.exists(_._4 < 1000000L), "fixture should contain real clusters")
+  }
+
   test("both endpoints of every verified near-dup pair share a cluster") {
     assert(verifiedPairs.nonEmpty, "fixture should produce near-dup pairs")
     verifiedPairs.foreach { case (a, b) =>

@@ -112,6 +112,61 @@ class DiversitySelectSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.exists(_._5), "fixture should keep at least one vector")
   }
 
+  test("embed PCA matches a driver power-iteration model") {
+    val dims = 64
+    val vecs: Vector[(Long, Array[Long])] = graft.sources.Tables
+      .embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e6).toLong).toArray)
+      .toVector.sortBy(_._1)
+    val n = vecs.size
+    val mu = (0 until dims).map(i => vecs.map(_._2(i)).sum / n).toArray
+    val c = vecs.map { case (id, v) =>
+      id -> (0 until dims).map(i => v(i) - mu(i)).toArray }
+    val seedC = c.minBy { case (id, _) => (h16(id.toString), id) }._2
+    val seedMax = seedC.map(math.abs).max.max(1L)
+    var v = seedC.map(x => BigInt(x) * 1000000 / seedMax)
+    for (_ <- 0 until Similarity.PcaIters) {
+      val dots = c.map { case (id, cv) =>
+        id -> (0 until dims).map(i => BigInt(cv(i)) * v(i)).sum / 1000000 }
+      val w = (0 until dims).map(i =>
+        c.zip(dots).map { case ((_, cv), (_, dot)) => BigInt(cv(i)) * dot }.sum)
+      val maxAbs = w.map(_.abs).max.max(BigInt(1))
+      v = w.map(_ * 1000000 / maxAbs).toArray
+    }
+    val checksum = v.zipWithIndex.map { case (x, i) => x * (i + 1) }.sum
+    val expected = c.map { case (id, cv) =>
+      id -> (0 until dims).map(i => BigInt(cv(i)) * v(i)).sum / 1000000 }.toMap
+    val got = Similarity.embedPca(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.length === n)
+    got.foreach { case (id, _, proj, ck) =>
+      assert(BigInt(ck) === checksum, s"vec $id pc checksum")
+      assert(BigInt(proj) === expected(id), s"vec $id projection")
+    }
+    assert(spark.sharedState.cacheManager.isEmpty, "embedPca leaked a cache")
+    // top-PC property: the found direction explains at least as much
+    // (integer-scaled) variance as any single coordinate axis
+    def varOf(proj: Seq[BigInt]): BigInt = {
+      val m = proj.sum / proj.size
+      proj.map(p => (p - m) * (p - m)).sum
+    }
+    // variance along a direction u is Var(x·u)/|u|²; the projections
+    // above are x·v/1e6, so Var_along_v ≈ pcVar·1e12/|v|². Cross-multiply
+    // to stay integer-exact, with 10% slack for the fixed (non-converged)
+    // iteration count and the e6 floor noise.
+    val e12 = BigInt(1000000L) * BigInt(1000000L)
+    val vNorm2 = v.map(x => x * x).sum
+    val pcVar = varOf(c.map { case (_, cv) =>
+      (0 until dims).map(i => BigInt(cv(i)) * v(i)).sum / 1000000 })
+    (0 until dims).foreach { ax =>
+      val axVar = varOf(c.map { case (_, cv) => BigInt(cv(ax)) })
+      assert(pcVar * e12 * 10 >= axVar * vNorm2 * 9,
+        s"axis $ax variance should not beat the top PC by more than 10%")
+    }
+  }
+
   test("k-center matches a driver greedy farthest-point model") {
     val vecs: Vector[(Long, Array[Float])] = graft.sources.Tables
       .embeddings(spark, sf)
