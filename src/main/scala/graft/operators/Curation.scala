@@ -1368,8 +1368,59 @@ object Curation {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Decile width over the classifier's [0, 2·10⁶] e6 score range,
+    * shared by [[qualityCalibration]] and its oracle.
+    */
+  val QcDecileWidthE6 = 200000L
+
+  /** CLASSIFIER CALIBRATION against the heuristic rules — the review
+    * table a team reads before trusting a learned quality filter: dock
+    * every document's classifier score into one of 10 deciles and
+    * report, per decile, the population and the HEURISTIC keep-rate
+    * ([[curationVerdict]]'s rule-based verdict). A well-calibrated
+    * classifier shows a monotone-increasing heuristic keep-rate across
+    * deciles; a flat profile means the learned score carries no signal
+    * the rules can see, and an inverted band localizes exactly which
+    * score range to audit. Min/max score bounds per decile make the
+    * bucketing itself verifiable.
+    *
+    * Scale shape: both inputs are existing map-side/one-exchange
+    * frames; the join is doc-keyed (one exchange each side), and the
+    * rollup has exactly 10 groups of map-side partials. Nothing new
+    * shuffles more than the inputs already did.
+    */
+  def qualityCalibration(spark: SparkSession, d: String): DataFrame = {
+    val clf = qualityClassifier(spark, d).select(col("doc_id"), col("score_e6"))
+    val heur = verdictFlags(Tables.documents(spark, d))
+      .select(col("doc_id"), col("keep").as("heur_keep"))
+    clf.join(heur, Seq("doc_id"))
+      .withColumn("decile",
+        least(expr(s"score_e6 div $QcDecileWidthE6"), lit(9L)))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("heur_keep"), 1L).otherwise(0L)).as("n_heur_keep"),
+        min("score_e6").as("min_score_e6"),
+        max("score_e6").as("max_score_e6"))
+      .withColumn("heur_keep_rate_e4", expr("n_heur_keep * 10000L div n_docs"))
+      .orderBy("decile")
+  }
+
+  val qualityCalibrationSql: String =
+    s"""WITH clf AS (SELECT doc_id, score_e6 FROM (${qualityClassifierSql})),
+       |heur AS (SELECT doc_id, keep FROM (${curationVerdictSql})),
+       |j AS (SELECT least(clf.score_e6 // $QcDecileWidthE6, 9) AS decile,
+       |        clf.score_e6, heur.keep
+       |      FROM clf JOIN heur USING (doc_id))
+       |SELECT decile, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_heur_keep,
+       |  min(score_e6) AS min_score_e6,
+       |  max(score_e6) AS max_score_e6,
+       |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS heur_keep_rate_e4
+       |FROM j GROUP BY decile ORDER BY decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_classifier" -> ((s, d) => qualityClassifier(s, d)),
+    "q_quality_calibration" -> (qualityCalibration _),
     "q_sample_hash" -> (sampleHash _),
     "q_sample_weighted" -> ((s, d) => sampleWeighted(s, d)),
     "q_split_assign" -> (splitAssign _),
@@ -1392,6 +1443,7 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     "q_quality_classifier" -> qualityClassifierSql,
+    "q_quality_calibration" -> qualityCalibrationSql,
     "q_sample_hash" -> sampleHashSql,
     "q_sample_weighted" -> sampleWeightedSql,
     "q_split_assign" -> splitAssignSql,

@@ -195,6 +195,32 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.size === srcs.size * (srcs.size - 1) / 2, "matrix not total")
   }
 
+  test("quality calibration is the decile contingency of classifier x verdict") {
+    val w = Curation.QcDecileWidthE6
+    val clf = Curation.qualityClassifier(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val heur = Curation.curationVerdict(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    val expected = clf.toVector.map { case (doc, score) =>
+      (math.min(score / w, 9L), score, heur(doc))
+    }.groupBy(_._1).map { case (dec, rs) =>
+      dec -> ((rs.size.toLong, rs.count(_._3).toLong,
+        rs.map(_._2).min, rs.map(_._2).max,
+        rs.count(_._3).toLong * 10000L / rs.size))
+    }
+    val got = Curation.qualityCalibration(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(got === expected)
+    assert(got.values.map(_._1).sum === clf.size.toLong,
+      "every doc lands in exactly one decile")
+    got.foreach { case (dec, (_, _, lo, hi, _)) =>
+      assert(lo >= dec * w && (dec == 9L || hi < (dec + 1) * w),
+        s"decile $dec score bounds")
+    }
+  }
+
   test("robust filter matches a driver median/MAD model per source") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select("doc_id", "source", "n_chars").collect()

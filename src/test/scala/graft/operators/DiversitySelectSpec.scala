@@ -28,6 +28,10 @@ class DiversitySelectSpec extends AnyFunSuite with SparkTestBase {
       .map(r => r.getLong(0) -> tokens(r.getString(1))).toVector.sortBy(_._1)
 
   test("boilerplate scrub matches a driver df/interval-union model") {
+    // shared JVM-wide session: other suites may hold documented
+    // caller-owns-unpersist caches — start from a clean slate so the
+    // release assertion below sees only THIS operator's caches
+    spark.catalog.clearCache()
     val n = TextAnalysis.DefaultBoilerGramN
     val minDf = TextAnalysis.DefaultBoilerMinDf
     // corpus-global gram -> distinct-doc frequency
@@ -113,6 +117,10 @@ class DiversitySelectSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("embed PCA matches a driver power-iteration model") {
+    // shared JVM-wide session: other suites may hold documented
+    // caller-owns-unpersist caches — start from a clean slate so the
+    // release assertion below sees only THIS operator's caches
+    spark.catalog.clearCache()
     val dims = 64
     val vecs: Vector[(Long, Array[Long])] = graft.sources.Tables
       .embeddings(spark, sf)
@@ -168,6 +176,10 @@ class DiversitySelectSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("k-center matches a driver greedy farthest-point model") {
+    // shared JVM-wide session: other suites may hold documented
+    // caller-owns-unpersist caches — start from a clean slate so the
+    // release assertion below sees only THIS operator's caches
+    spark.catalog.clearCache()
     val vecs: Vector[(Long, Array[Float])] = graft.sources.Tables
       .embeddings(spark, sf)
       .select("vec_id", "embedding").collect()

@@ -179,6 +179,36 @@ class PlanContractSpec extends AnyFunSuite with SparkTestBase {
       s"corpus side of the probe join must not shuffle:\n$streamed")
   }
 
+  test("q_cluster_balanced assigns map-side and ranks through ONE cell exchange") {
+    val plan = stripAqe(
+      Similarity.clusterBalanced(spark, sf).queryExecution.executedPlan)
+    // assignment must ride the broadcast centroid row (corpus unshuffled
+    // below it); both verdict windows must then share a single
+    // cent_id-keyed exchange — a second one would shuffle the corpus twice
+    val hashShuffles = streamedShuffles(plan).filter { s =>
+      s.asInstanceOf[ShuffleExchangeLike]
+        .outputPartitioning.toString.contains("hashpartitioning")
+    }
+    assert(hashShuffles.size == 1 &&
+      hashShuffles.head.asInstanceOf[ShuffleExchangeLike]
+        .outputPartitioning.toString.contains("cent_id"),
+      s"expected exactly one cent_id-keyed exchange in:\n$plan")
+  }
+
+  test("q_embed_pca projections never hash-shuffle the corpus") {
+    val plan = stripAqe(
+      Similarity.embedPca(spark, sf).queryExecution.executedPlan)
+    // the model (mean + direction) is collected driver-side during the
+    // fit; the returned projection frame must be a pure map-side pass —
+    // the only streamed exchange allowed is the presentation range sort
+    val hashShuffles = streamedShuffles(plan).filter { s =>
+      s.asInstanceOf[ShuffleExchangeLike]
+        .outputPartitioning.toString.contains("hashpartitioning")
+    }
+    assert(hashShuffles.isEmpty,
+      s"projection pass must not hash-shuffle the corpus:\n$plan")
+  }
+
   test("q_inverted_index rank window and term agg share ONE token exchange") {
     val plan = stripAqe(
       TextAnalysis.invertedIndex(spark, sf).queryExecution.executedPlan)
