@@ -1418,9 +1418,84 @@ object Curation {
        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS heur_keep_rate_e4
        |FROM j GROUP BY decile ORDER BY decile""".stripMargin
 
+  /** Length-bucket width (tokens) shared by [[distDrift]] and its
+    * oracle; 19 is the capped open-ended top bucket.
+    */
+  val DefaultDriftBucketW = 10L
+
+  /** DISTRIBUTION DRIFT between two corpus snapshots — the log-free
+    * twin of the PSI monitor: token-length histograms of the previous
+    * and current snapshot (same planted old/new discipline as
+    * [[corpusDiff]] — old misses the newest 5% and carries ' legacy'
+    * variants on every 13th doc, new misses the oldest 3%), per-bucket
+    * shares in ppm with the signed share delta, and the total variation
+    * distance `Σ|Δppm| div 2` stamped on every row — the single number
+    * an alerting rule thresholds. PSI's per-bucket `(p−q)·ln(p/q)`
+    * needs a logarithm (engine-dependent rounding); TV distance ranks
+    * drifts the same way for monitoring purposes and is integer-exact.
+    *
+    * Scale shape: two scan-side histogram aggregations (bucket count ≤
+    * 20 groups, map-side partials), one tiny full-outer join on the
+    * bucket id, and two single-row broadcast totals — nothing
+    * corpus-sized survives the first aggregation.
+    */
+  def distDrift(spark: SparkSession, d: String,
+      width: Long = DefaultDriftBucketW): DataFrame = {
+    import TextAnalysis.tokensSpark
+    require(width >= 1, s"bucket width must be at least 1, got $width")
+    val docs = Tables.documents(spark, d).withColumn("b95", bucketSpark)
+    val old = docs.where(col("b95") < 95)
+      .select(expr(
+        s"""least(size(regexp_extract_all(lower(
+           |  CASE WHEN doc_id % 13 = 0 THEN concat(text, ' legacy') ELSE text END),
+           |  '[a-z0-9]+', 0)) div $width, 19L)""".stripMargin).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_old"))
+    val nw = docs.where(col("b95") >= 3)
+      .select(expr(s"least(size($tokensSpark) div $width, 19L)").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_new"))
+    val joined = old.join(nw, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val totals = joined.agg(sum("n_old").as("tot_old"), sum("n_new").as("tot_new"))
+    val shares = joined.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_old"), col("n_new"),
+        expr("n_old * 1000000L div tot_old").as("old_ppm"),
+        expr("n_new * 1000000L div tot_new").as("new_ppm"))
+      .withColumn("delta_ppm", col("new_ppm") - col("old_ppm"))
+    val tv = shares.agg(expr("sum(abs(delta_ppm)) div 2").as("tv_ppm"))
+    shares.crossJoin(broadcast(tv)).orderBy("bucket")
+  }
+
+  val distDriftSql: String = {
+    import TextAnalysis.tokensDuck
+    val w = DefaultDriftBucketW
+    s"""WITH b AS (SELECT doc_id, text, $bucketDuck AS bucket95 FROM documents),
+       |o AS (SELECT least(len(regexp_extract_all(lower(
+       |        CASE WHEN doc_id % 13 = 0 THEN text || ' legacy' ELSE text END),
+       |        '[a-z0-9]+')) // $w, 19) AS bucket, count(*) AS n_old
+       |      FROM b WHERE bucket95 < 95 GROUP BY 1),
+       |n AS (SELECT least(len($tokensDuck) // $w, 19) AS bucket, count(*) AS n_new
+       |      FROM b WHERE bucket95 >= 3 GROUP BY 1),
+       |j AS (SELECT coalesce(o.bucket, n.bucket) AS bucket,
+       |        CAST(coalesce(o.n_old, 0) AS BIGINT) AS n_old,
+       |        CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new
+       |      FROM o FULL OUTER JOIN n ON o.bucket = n.bucket),
+       |t AS (SELECT sum(n_old) AS tot_old, sum(n_new) AS tot_new FROM j),
+       |s AS (SELECT bucket, n_old, n_new,
+       |        CAST(n_old * 1000000 // tot_old AS BIGINT) AS old_ppm,
+       |        CAST(n_new * 1000000 // tot_new AS BIGINT) AS new_ppm
+       |      FROM j, t),
+       |tv AS (SELECT CAST(sum(abs(new_ppm - old_ppm)) // 2 AS BIGINT) AS tv_ppm FROM s)
+       |SELECT s.bucket, s.n_old, s.n_new, s.old_ppm, s.new_ppm,
+       |  s.new_ppm - s.old_ppm AS delta_ppm, tv.tv_ppm
+       |FROM s, tv ORDER BY s.bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quality_classifier" -> ((s, d) => qualityClassifier(s, d)),
     "q_quality_calibration" -> (qualityCalibration _),
+    "q_dist_drift" -> ((s, d) => distDrift(s, d)),
     "q_sample_hash" -> (sampleHash _),
     "q_sample_weighted" -> ((s, d) => sampleWeighted(s, d)),
     "q_split_assign" -> (splitAssign _),
@@ -1444,6 +1519,7 @@ object Curation {
   val oracles: Map[String, String] = Map(
     "q_quality_classifier" -> qualityClassifierSql,
     "q_quality_calibration" -> qualityCalibrationSql,
+    "q_dist_drift" -> distDriftSql,
     "q_sample_hash" -> sampleHashSql,
     "q_sample_weighted" -> sampleWeightedSql,
     "q_split_assign" -> splitAssignSql,

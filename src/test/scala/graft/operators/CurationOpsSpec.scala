@@ -221,6 +221,27 @@ class CurationOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("dist drift is an internally consistent share report with real drift") {
+    val rows = Curation.distDrift(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    // shares sum to 1e6 up to the floor remainder (one per bucket)
+    val sumOld = rows.map(_._4).sum
+    val sumNew = rows.map(_._5).sum
+    assert(sumOld <= 1000000L && sumOld > 1000000L - rows.length, s"old ppm sum $sumOld")
+    assert(sumNew <= 1000000L && sumNew > 1000000L - rows.length, s"new ppm sum $sumNew")
+    // delta and tv are derived exactly from the shares
+    rows.foreach { case (b, _, _, o, nw, delta, _) =>
+      assert(delta === nw - o, s"bucket $b delta")
+    }
+    val tv = rows.map(r => math.abs(r._6)).sum / 2
+    assert(rows.map(_._7).distinct.toSeq === Seq(tv), "tv_ppm constant and exact")
+    // the planted old/new windows guarantee nonzero drift
+    assert(tv > 0L, "planted drift should be visible")
+    assert(tv <= 1000000L, "TV distance is bounded by 1")
+  }
+
   test("robust filter matches a driver median/MAD model per source") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select("doc_id", "source", "n_chars").collect()
