@@ -128,6 +128,101 @@ object TrainingPrep {
        |  chunk_sig, n_copies
        |FROM g ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** CDC cut mask: position i cuts when the rolling hash ≡ 0 (mod
+    * mask), so the expected chunk length is `mask` tokens. Shared by
+    * [[chunkCdc]] and its oracle.
+    */
+  val CdcMask = 16L
+
+  /** CONTENT-DEFINED CHUNKING dedup (the FastCDC/rsync boundary trick
+    * on token streams): chunk boundaries are set where the 3-token
+    * rolling hash ≡ 0 (mod [[CdcMask]]) instead of at fixed offsets, so
+    * an insertion or deletion early in a document SHIFTS boundaries
+    * only until the next content-defined cut — the chunks after it
+    * re-align and still dedup, where [[chunkDedup]]'s fixed-stride
+    * chunks would all shift and miss. The complementary chunk-level
+    * dedup signal for near-identical documents with small edits.
+    *
+    * Per chunk: token count, H16 digest of the chunk text, corpus-wide
+    * copy count, and the dup flag. Documents shorter than the 3-token
+    * rolling window form a single chunk (both engines via the same
+    * null-guard). Cut positions come from the SAME compiled
+    * rolling-hash kernel (and oracle hash chain) the winnow index
+    * uses, so the boundary rule is already differentially pinned.
+    *
+    * Scale shape: boundary detection and chunk assembly are one
+    * map-side array pass per document (no explode until the chunks
+    * themselves); the only exchange is the digest-keyed window for
+    * copy counts — the same single-shuffle shape as chunkDedup.
+    * Expected chunk length is the mask (16 tokens), so the exploded
+    * frame is ~n_tokens/16 rows of short strings.
+    */
+  def chunkCdc(spark: SparkSession, d: String,
+      mask: Long = CdcMask): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(mask >= 2, s"cut mask must be at least 2, got $mask")
+    val t = Tables.documents(spark, d)
+      .select(col("doc_id"), expr(TextAnalysis.tokensSpark).as("toks"),
+        graft.functions.GraftFunctions.rolling_hashes(col("text")).as("rhs"))
+      .where(size(col("toks")) > 0)
+    val chunks = t
+      .withColumn("bounds", expr(
+        s"""CASE WHEN rhs IS NULL THEN array(0, size(toks))
+           |ELSE array_sort(array_distinct(concat(
+           |  array(0),
+           |  transform(filter(sequence(1, size(rhs)),
+           |    i -> element_at(rhs, i) % $mask = 0), i -> i + 2),
+           |  array(size(toks)))))
+           |END""".stripMargin))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(bounds) - 1), k -> struct(
+          |  k AS chunk_idx,
+          |  element_at(bounds, k + 1) - element_at(bounds, k) AS n_toks,
+          |  concat_ws(' ', slice(toks, element_at(bounds, k) + 1,
+          |    element_at(bounds, k + 1) - element_at(bounds, k))) AS chunk_text))"""
+          .stripMargin)).as("c"))
+    chunks
+      .select(col("doc_id"),
+        col("c.chunk_idx").cast(LongType).as("chunk_idx"),
+        col("c.n_toks").cast(LongType).as("n_toks"),
+        substring(sha2(col("c.chunk_text"), 256), 1, 16).as("chunk_h16"))
+      .withColumn("n_copies",
+        count(lit(1)).over(Window.partitionBy("chunk_h16")))
+      .withColumn("is_dup", col("n_copies") > 1)
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val chunkCdcSql: String =
+    s"""WITH t AS (SELECT doc_id, toks FROM
+       |  (SELECT doc_id, $toksDuck AS toks FROM documents) WHERE len(toks) > 0),
+       |tv AS (SELECT doc_id,
+       |         list_transform(toks, tk -> ('0x' || substr(sha256(tk), 1, 8))::BIGINT % 1000000007) AS tvs
+       |       FROM t WHERE len(toks) >= 3),
+       |rh AS (SELECT doc_id,
+       |         list_transform(range(1, len(tvs) - 1), i ->
+       |           ((tvs[i] * 131 + tvs[i+1]) % 1000000007 * 131 + tvs[i+2]) % 1000000007) AS rhs
+       |       FROM tv),
+       |b AS (SELECT t.doc_id, t.toks,
+       |        CASE WHEN rh.rhs IS NULL THEN [CAST(0 AS BIGINT), len(t.toks)]
+       |        ELSE list_sort(list_distinct(list_concat(list_concat(
+       |          [CAST(0 AS BIGINT)],
+       |          list_transform(list_filter(range(1, len(rh.rhs) + 1),
+       |            i -> rh.rhs[i] % $CdcMask = 0), i -> i + 2)),
+       |          [len(t.toks)])))
+       |        END AS bounds
+       |      FROM t LEFT JOIN rh ON t.doc_id = rh.doc_id),
+       |ch0 AS (SELECT doc_id, toks, bounds,
+       |          unnest(range(1, len(bounds))) AS k FROM b),
+       |ch AS (SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+       |         CAST(bounds[k+1] - bounds[k] AS BIGINT) AS n_toks,
+       |         substr(sha256(array_to_string(
+       |           toks[bounds[k]+1 : bounds[k+1]], ' ')), 1, 16) AS chunk_h16
+       |       FROM ch0)
+       |SELECT doc_id, chunk_idx, n_toks, chunk_h16,
+       |  count(*) OVER (PARTITION BY chunk_h16) AS n_copies,
+       |  count(*) OVER (PARTITION BY chunk_h16) > 1 AS is_dup
+       |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** Mixture WEIGHTS: per-source document/token tallies and each
     * source's token share in parts-per-million — the numbers a training
     * run's data-mixture config is written from (domain up/down-weighting
@@ -570,6 +665,7 @@ object TrainingPrep {
     "q_chunk_sliding" -> ((s, d) => chunkSliding(s, d)),
     "q_length_histogram" -> ((s, d) => lengthHistogram(s, d)),
     "q_chunk_dedup" -> ((s, d) => chunkDedup(s, d)),
+    "q_chunk_cdc" -> ((s, d) => chunkCdc(s, d)),
     "q_mix_weights" -> (mixWeights _),
     "q_mix_temperature" -> (mixTemperature _),
     "q_quantile_stats" -> (quantileStats _),
@@ -582,6 +678,7 @@ object TrainingPrep {
     "q_chunk_sliding" -> chunkSlidingSql,
     "q_length_histogram" -> lengthHistogramSql,
     "q_chunk_dedup" -> chunkDedupSql,
+    "q_chunk_cdc" -> chunkCdcSql,
     "q_mix_weights" -> mixWeightsSql,
     "q_mix_temperature" -> mixTemperatureSql,
     "q_quantile_stats" -> quantileStatsSql,

@@ -21,6 +21,75 @@ class TrainingPrepSpec extends AnyFunSuite with SparkTestBase {
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> tokens(r.getString(1))).toMap
 
+  /** Driver twin of the CDC boundary rule (the compiled rolling-hash
+    * chain + mask cut): chunk token-vectors per document.
+    */
+  private def cdcChunks(toks: Vector[String],
+      mask: Long = TrainingPrep.CdcMask): Vector[Vector[String]] = {
+    if (toks.isEmpty) return Vector.empty
+    val bounds: Vector[Int] =
+      if (toks.size < 3) Vector(0, toks.size)
+      else {
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        def tv(t: String): Long = java.lang.Long.parseLong(
+          md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+            .substring(0, 8), 16) % 1000000007L
+        val tvs = toks.map(tv)
+        val rhs = (0 until toks.size - 2).map(i =>
+          ((tvs(i) * 131 + tvs(i + 1)) % 1000000007L * 131 + tvs(i + 2)) % 1000000007L)
+        (0 +: rhs.zipWithIndex.collect {
+          case (h, i) if h % mask == 0 => i + 3
+        } :+ toks.size).distinct.sorted.toVector
+      }
+    bounds.sliding(2).map { case Vector(a, b) => toks.slice(a, b) }.toVector
+  }
+
+  test("CDC chunks match the driver boundary model on the real corpus") {
+    val rows = TrainingPrep.chunkCdc(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getBoolean(5)))
+    val expected = docs.toVector.flatMap { case (id, toks) =>
+      cdcChunks(toks).zipWithIndex.map { case (c, k) =>
+        (id, (k + 1).toLong, c.size.toLong, c.mkString(" ")) }
+    }
+    val gotChunks = rows.map(r => (r._1, r._2, r._3)).sorted
+    assert(gotChunks === expected.map(e => (e._1, e._2, e._3)).sorted)
+    // copy counts: every digest's n_copies equals its multiplicity
+    val mult = expected.groupBy(_._4).view.mapValues(_.size.toLong).toMap
+    val digestOf = expected.map(e => (e._1, e._2) -> e._4).toMap
+    rows.foreach { case (id, k, _, _, copies, dup) =>
+      val m = mult(digestOf((id, k)))
+      assert(copies === m, s"doc $id chunk $k copy count")
+      assert(dup === (m > 1), s"doc $id chunk $k dup flag")
+    }
+    // chunks must re-join to the exact document (total coverage, order)
+    docs.foreach { case (id, toks) =>
+      assert(cdcChunks(toks).flatten === toks, s"doc $id coverage")
+    }
+  }
+
+  test("CDC boundaries re-align after an edit where fixed strides do not") {
+    // take a long doc, prepend tokens (the classic early edit), and
+    // require that most CDC chunk digests survive — the property that
+    // justifies content-defined over fixed-offset chunking
+    val (_, toks) = docs.maxBy(_._2.size)
+    assume(toks.size >= 40, "need a long doc for the property")
+    val edited = Vector("zzzz", "qqqq", "jjjj") ++ toks
+    val orig = cdcChunks(toks).map(_.mkString(" "))
+    val after = cdcChunks(edited).map(_.mkString(" ")).toSet
+    val shared = orig.count(after)
+    assert(shared >= orig.size - 2,
+      s"only $shared/${orig.size} CDC chunks survived the prefix edit")
+    // fixed-stride comparison: the same edit shifts every 16-token
+    // window, so at most the trailing partial chunk can coincide
+    def strideChunks(ts: Vector[String]): Vector[String] =
+      (0 until (ts.size + 15) / 16).map(c =>
+        ts.slice(c * 16, c * 16 + 32).mkString(" ")).toVector
+    val fixedShared = strideChunks(toks).count(strideChunks(edited).toSet)
+    assert(fixedShared < shared,
+      s"fixed-stride chunks ($fixedShared) should not survive as well as CDC ($shared)")
+  }
+
   test("chunking covers every token exactly per the stride model") {
     val chunk = 32
     val stride = 16
