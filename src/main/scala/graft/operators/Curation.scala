@@ -1368,6 +1368,49 @@ object Curation {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** The classifier weight vector as ONE broadcastable map row
+    * (bucket → w_e6) — the same pure-function-of-bucket weights
+    * [[qualityClassifier]] joins against, packaged the way
+    * [[dsirModelRow]] packages the DSIR model so ingest can score
+    * statelessly (a REAL trained model would load into the identical
+    * map row; the synthetic weights keep the oracle engine-exact).
+    */
+  def qcWeightsRow(spark: SparkSession,
+      buckets: Int = DefaultQcBuckets): DataFrame =
+    spark.range(0, buckets).select(
+      col("id").as("bucket"),
+      expr(s"(cast(conv(substring(sha2(concat('w:', cast(id as string)), 256), 1, 8), 16, 10) as bigint) % 2001) * 1000")
+        .as("w_e6"))
+      .agg(map_from_arrays(collect_list(col("bucket")),
+        collect_list(col("w_e6"))).as("m"))
+
+  /** Stateless per-row form of [[qualityClassifier]]: the weight map
+    * travels as one broadcast row and each document folds its own
+    * tokens against it — no explode, no shuffle, no state store, so the
+    * SAME transform scores a batch read or a file stream at ingestion
+    * time (the learned-filter face of the [[dsirScoreFrames]] ingest
+    * pattern; StreamingQualitySpec pins stream == batch fold == the
+    * oracle-checked exchange form). Token-less documents score 0 with
+    * keep = false, matching the batch query's LEFT-join semantics.
+    */
+  def qualityScoreFrames(docs: DataFrame, weightsRow: DataFrame,
+      buckets: Int = DefaultQcBuckets,
+      keepE6: Long = DefaultQcKeepE6): DataFrame = {
+    import TextAnalysis.tokensSpark
+    docs.crossJoin(broadcast(weightsRow))
+      .withColumn("toks", expr(tokensSpark))
+      .select(col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_toks"),
+        expr(
+          s"""CASE WHEN size(toks) = 0 THEN 0L ELSE
+             |  aggregate(
+             |    transform(toks, t -> element_at(m,
+             |      cast(conv(substring(sha2(t, 256), 1, 8), 16, 10) as bigint) % $buckets)),
+             |    0L, (acc, x) -> acc + x) div size(toks)
+             |END""".stripMargin).as("score_e6"))
+      .withColumn("keep", col("score_e6") >= keepE6)
+  }
+
   /** Decile width over the classifier's [0, 2·10⁶] e6 score range,
     * shared by [[qualityCalibration]] and its oracle.
     */
