@@ -1286,6 +1286,50 @@ object TextAnalysis {
        |  GROUP BY token ORDER BY n_exact DESC, token LIMIT 20)
        |ORDER BY token""".stripMargin
 
+  /** Posting-length cap for [[winnowPostings]] (lengths >= the cap
+    * collapse into one open-ended bucket), shared with the oracle.
+    */
+  val PostingLenCap = 10L
+
+  /** WINNOW POSTING-LIST PROFILE — the [[lshTuning]] twin for the
+    * fingerprint funnel: for each posting-list length (docs per
+    * fingerprint, capped into an open-ended >= cap bucket), how many
+    * fingerprints have it, how many (fp, doc) rows they carry, and how
+    * many candidate PAIRS they would generate (Σ n·(n−1)/2 — the exact
+    * cost of the pair join, priced WITHOUT running it). This is the
+    * report that sizes the stop-fingerprint rule: dropping fps with
+    * more than K postings removes `sum_pairs` above the K bucket —
+    * boilerplate fingerprints are precisely the hot tail, and at 100 TB
+    * the profile is what justifies the threshold before committing to
+    * the quadratic join.
+    *
+    * Scale shape: one fp-keyed aggregation of the exploded fingerprint
+    * rows (map-side partials), then a ≤ cap-group rollup — strictly
+    * cheaper than the funnel it prices.
+    */
+  def winnowPostings(spark: SparkSession, d: String,
+      cap: Long = PostingLenCap): DataFrame = {
+    require(cap >= 2, s"posting-length cap must be at least 2, got $cap")
+    winnowFpRows(spark, d)
+      .groupBy("fp").agg(count(lit(1)).as("n_docs"))
+      .select(least(col("n_docs"), lit(cap)).as("posting_len"), col("n_docs"))
+      .groupBy("posting_len")
+      .agg(count(lit(1)).as("n_fps"),
+        sum("n_docs").as("sum_postings"),
+        sum(expr("n_docs * (n_docs - 1) div 2")).as("sum_pairs"))
+      .orderBy("posting_len")
+  }
+
+  val winnowPostingsSql: String =
+    s"""WITH ${winnowDuckCtes()},
+       |pl AS (SELECT fp, count(*) AS n_docs FROM fpx GROUP BY fp),
+       |b AS (SELECT least(n_docs, $PostingLenCap) AS posting_len, n_docs FROM pl)
+       |SELECT posting_len,
+       |  count(*) AS n_fps,
+       |  CAST(sum(n_docs) AS BIGINT) AS sum_postings,
+       |  CAST(sum(n_docs * (n_docs - 1) // 2) AS BIGINT) AS sum_pairs
+       |FROM b GROUP BY posting_len ORDER BY posting_len""".stripMargin
+
   /** Gram width / corpus-frequency threshold for [[boilerplateScrub]],
     * interpolated into both the Scala default and the oracle SQL so an
     * edit cannot desynchronize them. n matches the corpus shingle width;
@@ -1458,6 +1502,7 @@ object TextAnalysis {
     "q_bm25_rank" -> ((s, d) => bm25Rank(s, d)),
     "q_pack_sequences" -> ((s, d) => packSequences(s, d)),
     "q_text_winnow" -> (textWinnow _),
+    "q_winnow_postings" -> ((s, d) => winnowPostings(s, d)),
     "q_winnow_pairs" -> ((s, d) => winnowPairs(s, d)),
     "q_span_dedup" -> ((s, d) => spanDedup(s, d)),
     "q_span_coverage" -> ((s, d) => spanCoverage(s, d)),
@@ -1484,6 +1529,7 @@ object TextAnalysis {
     "q_bm25_rank" -> bm25RankSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_text_winnow" -> textWinnowSql,
+    "q_winnow_postings" -> winnowPostingsSql,
     "q_winnow_pairs" -> winnowPairsSql,
     "q_span_dedup" -> spanDedupSql,
     "q_span_coverage" -> spanCoverageSql,

@@ -166,6 +166,26 @@ class TextIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(got.values.exists(_._2 == 0), "fixture should contain clean docs")
   }
 
+  test("winnow posting profile reconciles with the fingerprint index") {
+    val rows = TextAnalysis.winnowPostings(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val fpRows = TextAnalysis.textWinnow(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // every (doc, fp) row lands in exactly one bucket
+    assert(rows.map(_._3).sum === fpRows.length.toLong)
+    // fp count reconciles with the distinct fingerprints
+    assert(rows.map(_._2).sum === fpRows.map(_._2).distinct.length.toLong)
+    // the exact pair pricing: sum over fps of C(n_docs, 2)
+    val byFp = fpRows.groupBy(_._2).view.mapValues(_.size.toLong)
+    val expectedPairs = byFp.values.map(n => n * (n - 1) / 2).sum
+    assert(rows.map(_._4).sum === expectedPairs)
+    // singleton fingerprints price zero pairs
+    rows.find(_._1 == 1L).foreach { case (_, _, _, pairs) =>
+      assert(pairs === 0L, "posting length 1 cannot produce pairs")
+    }
+    assert(rows.exists(_._1 > 1L), "fixture should contain shared fingerprints")
+  }
+
   test("winnow/span/bpe operators release every intermediate cache") {
     import org.apache.spark.sql.DataFrame
     for ((name, mk) <- Seq[(String, () => DataFrame)](
