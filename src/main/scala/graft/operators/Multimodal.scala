@@ -51,6 +51,10 @@ object Multimodal {
     */
   private[operators] def bmpPayload(docId: Long): Array[Byte] = {
     val (w, h) = plantedDims(docId)
+    buildBmp(w, h, i => plantedRgb(docId, i))
+  }
+
+  private def buildBmp(w: Int, h: Int, rgb: Int => (Int, Int, Int)): Array[Byte] = {
     val rowSize = (w * 3 + 3) / 4 * 4
     val dataSize = rowSize * h
     val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
@@ -62,7 +66,7 @@ object Multimodal {
       .putInt(0).putInt(0)
     for (y <- h - 1 to 0 by -1) {
       for (x <- 0 until w) {
-        val (r, g, b) = plantedRgb(docId, y * w + x)
+        val (r, g, b) = rgb(y * w + x)
         buf.put(b.toByte).put(g.toByte).put(r.toByte)
       }
       (w * 3 until rowSize).foreach(_ => buf.put(0.toByte))
@@ -75,10 +79,14 @@ object Multimodal {
     */
   private[operators] def pngPayload(docId: Long): Array[Byte] = {
     val (w, h) = plantedDims(docId)
+    buildPng(w, h, i => plantedRgb(docId, i))
+  }
+
+  private def buildPng(w: Int, h: Int, rgb: Int => (Int, Int, Int)): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     for (y <- 0 until h; x <- 0 until w) {
-      val (r, g, b) = plantedRgb(docId, y * w + x)
+      val (r, g, b) = rgb(y * w + x)
       img.setRGB(x, y, (r << 16) | (g << 8) | b)
     }
     val baos = new java.io.ByteArrayOutputStream()
@@ -262,6 +270,116 @@ object Multimodal {
     * 64-hex key with map-side partials — the exact-dedup plan at asset
     * granularity; the keeper list then LEFT SEMI-gates the decode.
     */
+  /** Near-dup planting knobs for [[multimodalPhash]], shared with the
+    * oracle: every [[PhashBases]]-th doc shares a base image; the copy
+    * differs by a uniform brightness delta in [0, [[PhashDeltas]]).
+    */
+  val PhashBases = 50L
+  val PhashDeltas = 40L
+
+  private[operators] def nearDims(base: Long): (Int, Int) =
+    ((4 + base % 5).toInt, (4 + base % 3).toInt)
+
+  /** Base pixels range-limited to [0, 200) so the +delta (< 40)
+    * brightness shift can never clip or wrap — the precondition for
+    * dHash invariance (and for the oracle's delta-free shortcut).
+    */
+  private[operators] def nearRgb(base: Long, delta: Int, i: Int): (Int, Int, Int) =
+    (((base * 7 + i * 13) % 200).toInt + delta,
+      ((base * 11 + i * 17) % 200).toInt + delta,
+      ((base * 3 + i * 19) % 200).toInt + delta)
+
+  private[operators] def nearPayload(docId: Long): Array[Byte] = {
+    val base = docId % PhashBases
+    val delta = (docId / PhashBases % PhashDeltas).toInt
+    val (w, h) = nearDims(base)
+    if (docId % 2 == 0) buildBmp(w, h, i => nearRgb(base, delta, i))
+    else buildPng(w, h, i => nearRgb(base, delta, i))
+  }
+
+  /** Difference hash over DECODED pixels on the native grid: one bit
+    * per horizontal neighbor pair, set when the right pixel's integer
+    * luma (BT.601 weights — they sum to 1000, so a uniform brightness
+    * shift moves every luma by exactly the shift) exceeds the left's.
+    * ≤ (w−1)·h ≤ 42 bits, packed row-major into a long.
+    */
+  private[operators] def dhash(img: java.awt.image.BufferedImage): Long = {
+    var bits = 0L
+    var k = 0
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth - 1) {
+      def luma(xx: Int): Int = {
+        val p = img.getRGB(xx, y)
+        (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114) / 1000
+      }
+      if (luma(x + 1) > luma(x)) bits |= 1L << k
+      k += 1
+    }
+    bits
+  }
+
+  /** PERCEPTUAL near-dup detection for images — the dedup stage byte
+    * hashing cannot do: brightness-shifted copies of the same image
+    * have different payload bytes (and different content digests) but
+    * the SAME difference hash, so grouping by dHash collapses them.
+    * The decode is REAL (ImageIO parses independently-authored BMP and
+    * JDK-encoded PNG payloads); the oracle never decodes — it rebuilds
+    * the expected luma comparisons from the planted (base, i)
+    * arithmetic, exploiting that the uniform delta cancels inside every
+    * comparison (the invariance the operator exists to exercise).
+    *
+    * Output per dHash group: keeper doc, image count, and the count of
+    * distinct brightness variants collapsed — n_variants > 1 is the
+    * proof the group contains byte-DISTINCT near-duplicates.
+    *
+    * Scale shape: decode + hash are mapPartitions over the payload
+    * column (the one place a Catalyst expression genuinely can't go);
+    * the group-by ships (long, long) rows through one exchange.
+    */
+  def multimodalPhash(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.sources.Tables.documents(spark, d)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaBlob(id, nearPayload(id))))
+      .mapPartitions { it =>
+        it.map { b =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(b.blob))
+          require(img != null, s"undecodable payload for doc ${b.doc_id}")
+          (b.doc_id, dhash(img))
+        }
+      }
+      .toDF("doc_id", "phash")
+      .withColumn("delta", expr(s"doc_id div $PhashBases % $PhashDeltas"))
+      .groupBy("phash")
+      .agg(min("doc_id").as("keeper_doc_id"),
+        count(lit(1)).as("n_images"),
+        countDistinct("delta").as("n_variants"))
+      .orderBy("keeper_doc_id")
+  }
+
+  val multimodalPhashSql: String =
+    s"""WITH p AS (SELECT doc_id, doc_id % $PhashBases AS base,
+       |             doc_id // $PhashBases % $PhashDeltas AS delta FROM documents),
+       |dm AS (SELECT doc_id, base, delta,
+       |         CAST(4 + base % 5 AS BIGINT) AS w,
+       |         CAST(4 + base % 3 AS BIGINT) AS h FROM p),
+       |ph AS (SELECT doc_id, delta,
+       |  CAST(list_sum(list_transform(range(0, (w - 1) * h), k ->
+       |    CASE WHEN
+       |      ((base * 7 + ((k // (w-1)) * w + k % (w-1) + 1) * 13) % 200 * 299
+       |       + (base * 11 + ((k // (w-1)) * w + k % (w-1) + 1) * 17) % 200 * 587
+       |       + (base * 3 + ((k // (w-1)) * w + k % (w-1) + 1) * 19) % 200 * 114) // 1000
+       |      >
+       |      ((base * 7 + ((k // (w-1)) * w + k % (w-1)) * 13) % 200 * 299
+       |       + (base * 11 + ((k // (w-1)) * w + k % (w-1)) * 17) % 200 * 587
+       |       + (base * 3 + ((k // (w-1)) * w + k % (w-1)) * 19) % 200 * 114) // 1000
+       |    THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+       |  FROM dm)
+       |SELECT phash, min(doc_id) AS keeper_doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_images,
+       |  CAST(count(DISTINCT delta) AS BIGINT) AS n_variants
+       |FROM ph GROUP BY phash ORDER BY keeper_doc_id""".stripMargin
+
   def multimodalDedup(spark: SparkSession, d: String): DataFrame =
     graft.sources.Tables.documents(spark, d)
       .select(col("doc_id"),
@@ -280,6 +398,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_dedup" -> (multimodalDedup _),
+    "q_multimodal_phash" -> (multimodalPhash _),
     "q_multimodal_decode" -> (multimodalDecode _),
     "q_multimodal_frames" -> (multimodalFrames _),
     "q_multimodal_features" -> (multimodalFeatures _),
@@ -287,6 +406,7 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "q_multimodal_dedup" -> multimodalDedupSql,
+    "q_multimodal_phash" -> multimodalPhashSql,
     "q_multimodal_decode" -> multimodalDecodeSql,
     "q_multimodal_frames" -> multimodalFramesSql,
     "q_multimodal_features" -> multimodalFeaturesSql,

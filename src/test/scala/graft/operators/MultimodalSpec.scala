@@ -60,6 +60,35 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("dHash is invariant to the planted brightness shift through a real decode") {
+    import javax.imageio.ImageIO
+    import java.io.ByteArrayInputStream
+    // doc 7 and doc 7+50k share base 7 with different deltas and
+    // different containers (odd/even ids alternate BMP/PNG)
+    val sameBase = Seq(7L, 57L, 107L, 157L)
+    val hashes = sameBase.map { id =>
+      val img = ImageIO.read(new ByteArrayInputStream(Multimodal.nearPayload(id)))
+      Multimodal.dhash(img)
+    }
+    assert(hashes.distinct.size === 1,
+      s"brightness-shifted copies must share a dHash, got $hashes")
+    // a different base must (for these pinned values) hash differently
+    val other = ImageIO.read(new ByteArrayInputStream(Multimodal.nearPayload(8L)))
+    assert(Multimodal.dhash(other) !== hashes.head,
+      "distinct base images should not collide on these fixtures")
+  }
+
+  test("phash groups collapse byte-distinct near-duplicates") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Multimodal.multimodalPhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_._3).sum === nDocs, "groups partition the corpus")
+    assert(rows.forall(_._4 > 1L),
+      "every planted group contains multiple brightness variants")
+    assert(rows.forall(r => r._4 <= r._3), "variants cannot exceed images")
+  }
+
   test("query digests are pinned (decode-chain regression detector)") {
     val rows = Multimodal.multimodalDecode(spark, "/root/testdata/sf0.001")
       .limit(4).collect()
