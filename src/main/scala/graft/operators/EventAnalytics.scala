@@ -509,6 +509,126 @@ object EventAnalytics {
       |GROUP BY o_orderkey
       |ORDER BY revenue_e4 DESC, o_orderkey LIMIT 10""".stripMargin
 
+  /** TPC-H Q18 shape (large-volume orders): the HAVING-filtered
+    * semi-aggregate feeding a multi-join report. The quantity rollup is
+    * ONE map-side-combined exchange on l_orderkey; only the surviving
+    * large orders (a tiny fraction by construction) join onward, so the
+    * customer join streams a filtered fact side. Cents-integer
+    * discipline as in [[q1Agg]]; threshold shared with the oracle.
+    */
+  val Q18QtyCentsMin = 25000L
+
+  def q18LargeOrders(spark: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"),
+        (dec2(col("l_quantity")) * 100).cast(LongType).as("qty_c"))
+      .groupBy("l_orderkey").agg(sum("qty_c").as("sum_qty_cents"))
+      .where(col("sum_qty_cents") > Q18QtyCentsMin)
+    Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate_s"),
+        (dec2(col("o_totalprice")) * 100).cast(LongType).as("totalprice_c"))
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, d).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("orderdate_s"), col("totalprice_c"), col("sum_qty_cents"))
+      .orderBy(col("totalprice_c").desc, col("o_orderkey"))
+  }
+
+  val q18LargeOrdersSql: String =
+    s"""SELECT c_name, c_custkey, o_orderkey,
+       |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate_s,
+       |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS totalprice_c,
+       |  big.sum_qty_cents
+       |FROM orders
+       |JOIN (SELECT l_orderkey,
+       |        CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty_cents
+       |      FROM lineitem GROUP BY l_orderkey
+       |      HAVING sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) > $Q18QtyCentsMin) big
+       |  ON o_orderkey = big.l_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |ORDER BY totalprice_c DESC, o_orderkey""".stripMargin
+
+  /** TPC-H Q10 shape (returned-item report): revenue lost to returns
+    * per customer, top 20. The return-flag filter prunes the fact scan
+    * BEFORE any join (pushed to parquet); customer and nation are
+    * broadcast dimensions; one customer-keyed aggregation; the global
+    * top-20 rides the bounded TakeOrdered path.
+    */
+  def q10ReturnedItem(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+      .where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (dec2(col("l_extendedprice")) * 100).cast(LongType).as("price_c"),
+        (dec2(col("l_discount")) * 100).cast(LongType).as("disc_pct"))
+    Tables.orders(spark, d).select("o_orderkey", "o_custkey")
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(spark, d)
+        .select("c_custkey", "c_name", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, d)
+        .select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(expr("price_c * (100 - disc_pct)"))
+        .cast(DecimalType(38, 0)).cast(LongType).as("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10ReturnedItemSql: String =
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |         * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS revenue_e4
+      |FROM lineitem
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN nation ON n_nationkey = c_nationkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue_e4 DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** TPC-H Q14 shape (promotion effect): the conditional-aggregate
+    * ratio over a dimension attribute. Part is a broadcast dimension;
+    * the whole corpus folds into ONE row of Decimal(38,0) partials, and
+    * the ppm ratio is exact integer division — emitted beside the raw
+    * sums (as digit strings, the [[q1Agg]] overflow discipline).
+    */
+  def q14PromoEffect(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+      .select(col("l_partkey"),
+        (dec2(col("l_extendedprice")) * 100).cast(LongType).as("price_c"),
+        (dec2(col("l_discount")) * 100).cast(LongType).as("disc_pct"))
+    li.join(broadcast(Tables.part(spark, d).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .select(
+        expr("case when p_type = 'PROMO' then price_c * (100 - disc_pct) else 0L end")
+          .cast(DecimalType(38, 0)).as("promo_e4"),
+        expr("price_c * (100 - disc_pct)").cast(DecimalType(38, 0)).as("rev_e4"))
+      .agg(sum("promo_e4").as("p"), sum("rev_e4").as("r"))
+      .select(
+        col("p").cast(DecimalType(38, 0)).cast(StringType).as("promo_revenue_e4"),
+        col("r").cast(DecimalType(38, 0)).cast(StringType).as("total_revenue_e4"),
+        expr("cast(p * 1000000 div r as bigint)").as("promo_ratio_ppm"))
+  }
+
+  val q14PromoEffectSql: String =
+    """WITH t AS (SELECT
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev_e4,
+      |    p_type
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey),
+      |s AS (SELECT
+      |    CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END) AS DECIMAL(38,0)) AS p,
+      |    CAST(sum(rev_e4) AS DECIMAL(38,0)) AS r
+      |  FROM t)
+      |SELECT CAST(p AS VARCHAR) AS promo_revenue_e4,
+      |  CAST(r AS VARCHAR) AS total_revenue_e4,
+      |  -- DECIMAL // in DuckDB ROUNDS; HUGEINT // is the true floor
+      |  CAST(CAST(p AS HUGEINT) * 1000000 // CAST(r AS HUGEINT) AS BIGINT) AS promo_ratio_ppm
+      |FROM s""".stripMargin
+
   /** Salted two-phase aggregation: the skew-safe shape for hot keys at
     * 100 TB. Phase 1 aggregates on (key, salt) — a hot key's rows split
     * across SaltBuckets reducers — phase 2 merges the partials per key.
@@ -1033,7 +1153,10 @@ object EventAnalytics {
     "q_agg_cube" -> (aggCube _),
     "q_set_ops" -> (setOps _),
     "q_merge_upsert" -> (mergeUpsert _),
-    "q3_shipping" -> (q3Shipping _))
+    "q3_shipping" -> (q3Shipping _),
+    "q10_returned_item" -> (q10ReturnedItem _),
+    "q14_promo_effect" -> (q14PromoEffect _),
+    "q18_large_orders" -> (q18LargeOrders _))
 
   val oracles: Map[String, String] = Map(
     "q_pivot_daily" -> pivotDailySql,
@@ -1062,5 +1185,8 @@ object EventAnalytics {
     "q_agg_cube" -> aggCubeSql,
     "q_set_ops" -> setOpsSql,
     "q_merge_upsert" -> mergeUpsertSql,
-    "q3_shipping" -> q3ShippingSql)
+    "q3_shipping" -> q3ShippingSql,
+    "q10_returned_item" -> q10ReturnedItemSql,
+    "q14_promo_effect" -> q14PromoEffectSql,
+    "q18_large_orders" -> q18LargeOrdersSql)
 }
