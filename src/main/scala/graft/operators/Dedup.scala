@@ -574,6 +574,61 @@ object Dedup {
        |FROM pairs JOIN sets sa ON sa.doc_id = doc_a JOIN sets sb ON sb.doc_id = doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Threshold grid for [[dedupThresholdSweep]] (e4 Jaccard), shared
+    * with the oracle.
+    */
+  val SweepThresholdsE4: Seq[Long] = Seq(5000L, 6000L, 7000L, 8000L, 9000L, 10000L)
+
+  /** THRESHOLD-TUNING CURVE for near-dup dedup: for each candidate
+    * Jaccard threshold, how many verified pairs survive and how many
+    * documents get flagged — the aggressiveness curve a pipeline reads
+    * to CHOOSE its dedup threshold instead of guessing (the knee of
+    * n_docs vs threshold is where near-dups end and topical similarity
+    * begins). Computed in ONE pass over the already-verified candidate
+    * pairs: each pair fans out to the thresholds it clears (≤ |grid|
+    * rows), so the curve costs |grid| × pairs short rows — strictly
+    * cheaper than re-running the funnel per threshold. Thresholds that
+    * flag nothing still appear (zero row) via the grid LEFT join.
+    */
+  def dedupThresholdSweep(spark: SparkSession, d: String): DataFrame = {
+    val thArr = s"array(${SweepThresholdsE4.mkString("L,")}L)"
+    val cleared = dedupNgramJaccard(spark, d)
+      .select(col("doc_a"), col("doc_b"), col("jaccard_e4"),
+        explode(expr(thArr)).as("threshold_e4"))
+      .where(col("jaccard_e4") >= col("threshold_e4"))
+    val nPairs = cleared.groupBy("threshold_e4")
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = cleared
+      .select(col("threshold_e4"),
+        explode(expr("array(doc_a, doc_b)")).as("doc_id"))
+      .groupBy("threshold_e4")
+      .agg(countDistinct("doc_id").as("n_docs_flagged"))
+    import spark.implicits._
+    SweepThresholdsE4.toDF("threshold_e4")
+      .join(nPairs, Seq("threshold_e4"), "left")
+      .join(nDocs, Seq("threshold_e4"), "left")
+      .select(col("threshold_e4"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_flagged"), lit(0L)).as("n_docs_flagged"))
+      .orderBy("threshold_e4")
+  }
+
+  val dedupThresholdSweepSql: String =
+    s"""WITH j AS (SELECT doc_a, doc_b, jaccard_e4 FROM (${dedupNgramJaccardSql})),
+       |grid AS (SELECT unnest([${SweepThresholdsE4.mkString(", ")}]) AS threshold_e4),
+       |cleared AS (SELECT g.threshold_e4, j.doc_a, j.doc_b
+       |            FROM j JOIN grid g ON j.jaccard_e4 >= g.threshold_e4),
+       |p AS (SELECT threshold_e4, count(*) AS n_pairs FROM cleared GROUP BY 1),
+       |dd AS (SELECT threshold_e4, count(DISTINCT doc_id) AS n_docs_flagged FROM (
+       |         SELECT threshold_e4, doc_a AS doc_id FROM cleared
+       |         UNION ALL SELECT threshold_e4, doc_b FROM cleared)
+       |       GROUP BY threshold_e4)
+       |SELECT g.threshold_e4,
+       |  CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+       |  CAST(coalesce(dd.n_docs_flagged, 0) AS BIGINT) AS n_docs_flagged
+       |FROM grid g LEFT JOIN p USING (threshold_e4) LEFT JOIN dd USING (threshold_e4)
+       |ORDER BY g.threshold_e4""".stripMargin
+
   /** MinHash estimator-quality AUDIT: the signature-agreement estimate
     * (matching components / numHashes) beside the exact Jaccard, with
     * the signed error — the measurement that decides whether a
@@ -1030,7 +1085,8 @@ object Dedup {
     "q_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
     "q_dedup_clusters_star" -> ((s, d) => dedupClustersStar(s, d)),
     "q_dedup_cluster_sizes" -> (dedupClusterSizes _),
-    "q_soft_dedup" -> (softDedup _))
+    "q_soft_dedup" -> (softDedup _),
+    "q_dedup_threshold_sweep" -> ((s, d) => dedupThresholdSweep(s, d)))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactSql,
@@ -1048,5 +1104,6 @@ object Dedup {
     // same clusters, different algorithm — the oracle is shared
     "q_dedup_clusters_star" -> dedupClustersSql,
     "q_dedup_cluster_sizes" -> dedupClusterSizesSql,
-    "q_soft_dedup" -> softDedupSql)
+    "q_soft_dedup" -> softDedupSql,
+    "q_dedup_threshold_sweep" -> dedupThresholdSweepSql)
 }

@@ -30,6 +30,26 @@ class DedupClustersSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("threshold sweep is monotone and reconciles with the verified pairs") {
+    val rows = Dedup.dedupThresholdSweep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq === Dedup.SweepThresholdsE4, "full grid emitted")
+    // raising the threshold can only shrink the flagged sets
+    rows.sliding(2).foreach { case Array((_, p1, d1), (_, p2, d2)) =>
+      assert(p2 <= p1 && d2 <= d1, "sweep must be non-increasing")
+    }
+    // each point reconciles with an independent filter of the pair frame
+    val pairs = Dedup.dedupNgramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (t, nPairs, nDocs) =>
+      val cleared = pairs.filter(_._3 >= t)
+      assert(nPairs === cleared.length.toLong, s"pairs at $t")
+      assert(nDocs === cleared.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong,
+        s"docs at $t")
+    }
+    assert(rows.head._2 > 0L, "fixture should clear the lowest threshold")
+  }
+
   test("soft-dedup weights are exactly 1e6 div cluster size over the labels") {
     val sizes = clusters.values.groupBy(identity).map { case (r, o) => r -> o.size.toLong }
     val rows = Dedup.softDedup(spark, sf).collect()
