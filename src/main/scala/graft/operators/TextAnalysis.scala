@@ -1488,7 +1488,65 @@ object TextAnalysis {
        |  CAST(t.top_c * 1000000 // a.n_tokens AS BIGINT) AS top_share_ppm
        |FROM agg a JOIN top t USING (source) ORDER BY a.source""".stripMargin
 
+  /** The 36 [a-z0-9] character classes, shared by both engines. */
+  private val CharClasses: Seq[String] = ("abcdefghijklmnopqrstuvwxyz" + "0123456789").map(_.toString)
+
+  /** CHARACTER-DIVERSITY gibberish detector: per-doc inverse-Simpson
+    * concentration over the [a-z0-9] character distribution — the
+    * per-DOC char-level twin of [[vocabConcentration]]'s per-source
+    * token panel. `eff_alphabet_ppm = N²·10⁶ div Σc²` is the effective
+    * alphabet size (1e6 = one character used exclusively, 36e6 = all 36
+    * classes uniform); keyboard mashing, base64 blobs, and
+    * single-char-run spam all collapse it or spike `top_share_e4`, so a
+    * cleaning pipeline thresholds on it where entropy would need libm
+    * logs (inverse Simpson is the RATIONAL diversity index — exact in
+    * integer math, monotone with entropy on the distributions that
+    * matter).
+    *
+    * Per-class counts come from the literal-`replace` length trick
+    * (`len(lw) − len(replace(lw, ch))`) — no regex, no explode; 36
+    * linear passes per doc, all map-side. Overflow: N ≤ 20k chars per
+    * doc → N²·10⁶ ≤ 4·10¹⁴, inside BIGINT (the cap is the fixture's
+    * len_ok ceiling; at a larger per-doc cap lift to Decimal like the
+    * vocab HHI).
+    */
+  def charDiversity(spark: SparkSession, d: String): DataFrame = {
+    val classesArr = CharClasses.map(c => s"'$c'").mkString("array(", ", ", ")")
+    Tables.documents(spark, d)
+      .withColumn("lw", lower(col("text")))
+      .withColumn("cc", expr(
+        s"transform($classesArr, ch -> CAST(length(lw) - length(replace(lw, ch, '')) AS BIGINT))"))
+      .withColumn("n_alnum", expr("aggregate(cc, 0L, (a, v) -> a + v)"))
+      .where(col("n_alnum") > 0)
+      .select(
+        col("doc_id"), col("n_alnum"),
+        expr("n_alnum * n_alnum * 1000000L div aggregate(cc, 0L, (a, v) -> a + v * v)")
+          .as("eff_alphabet_ppm"),
+        expr("array_max(cc) * 10000L div n_alnum").as("top_share_e4"),
+        expr("CAST(size(filter(cc, v -> v > 0)) AS BIGINT)").as("n_distinct_chars"))
+      .withColumn("diverse_ok",
+        col("eff_alphabet_ppm") >= 5000000L && col("top_share_e4") <= 3000L)
+      .orderBy("doc_id")
+  }
+
+  val charDiversitySql: String = {
+    val classesList = CharClasses.map(c => s"'$c'").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, lower(text) AS lw FROM documents),
+       |c AS (SELECT doc_id, list_transform($classesList,
+       |        ch -> CAST(length(lw) - length(replace(lw, ch, '')) AS BIGINT)) AS cc
+       |      FROM t),
+       |s AS (SELECT doc_id, cc, CAST(list_sum(cc) AS BIGINT) AS n_alnum FROM c)
+       |SELECT doc_id, n_alnum,
+       |  n_alnum * n_alnum * 1000000 // CAST(list_sum(list_transform(cc, v -> v * v)) AS BIGINT) AS eff_alphabet_ppm,
+       |  CAST(list_max(cc) AS BIGINT) * 10000 // n_alnum AS top_share_e4,
+       |  CAST(len(list_filter(cc, v -> v > 0)) AS BIGINT) AS n_distinct_chars,
+       |  (n_alnum * n_alnum * 1000000 // CAST(list_sum(list_transform(cc, v -> v * v)) AS BIGINT) >= 5000000
+       |    AND CAST(list_max(cc) AS BIGINT) * 10000 // n_alnum <= 3000) AS diverse_ok
+       |FROM s WHERE n_alnum > 0 ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_char_diversity" -> (charDiversity _),
     "q_inverted_index" -> ((s, d) => invertedIndex(s, d)),
     "q_text_novelty" -> (textNovelty _),
     "q_cms_topk" -> ((s, d) => cmsTopk(s, d)),
@@ -1516,6 +1574,7 @@ object TextAnalysis {
     "q_text_fingerprint" -> (textFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_char_diversity" -> charDiversitySql,
     "q_inverted_index" -> invertedIndexSql,
     "q_text_novelty" -> textNoveltySql,
     "q_cms_topk" -> cmsTopkSql,
