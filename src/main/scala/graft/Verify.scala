@@ -22,10 +22,16 @@ object Verify {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
+    // A query that throws must redden the report, not shrink it: record
+    // every failure in verify_errors.json (empty {} on a clean run) so a
+    // regression can never masquerade as "not run" (round-8 lesson: 24
+    // crashed queries were simply absent from CORRECTNESS_r08.json).
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // dedup/similarity queries persist() intermediates for their own
@@ -53,6 +59,14 @@ object Verify {
     val manifest =
       if (only.isDefined) "oracle_sql.partial.json" else "oracle_sql.json"
     Files.writeString(Paths.get(s"$outDir/$manifest"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    System.err.println(
+      s"[verify] ${queries.size - errors.size}/${queries.size} queries dumped" +
+        (if (errors.nonEmpty) s"; FAILED: ${errors.keys.mkString(", ")}" else ""))
+    // exit 0 even on partial failure: the driver must still DuckDB-compare
+    // the queries that DID dump; verify_errors.json carries the red rows
     spark.stop()
   }
 }

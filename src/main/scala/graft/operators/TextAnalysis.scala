@@ -1505,27 +1505,40 @@ object TextAnalysis {
     *
     * Per-class counts come from the literal-`replace` length trick
     * (`len(lw) − len(replace(lw, ch))`) — no regex, no explode; 36
-    * linear passes per doc, all map-side. Overflow: N ≤ 20k chars per
-    * doc → N²·10⁶ ≤ 4·10¹⁴, inside BIGINT (the cap is the fixture's
-    * len_ok ceiling; at a larger per-doc cap lift to Decimal like the
-    * vocab HHI).
+    * linear passes per doc, all map-side. N²·10⁶ accumulates in
+    * Decimal(38,0)/HUGEINT (like [[vocabConcentration]]'s hhi_ppm), so
+    * docs beyond ~3×10⁶ alnum chars rank correctly instead of silently
+    * wrapping BIGINT. Zero-alnum docs (pure symbol/emoji spam — a prime
+    * gibberish case) are EMITTED with n_alnum = 0 and diverse_ok =
+    * false, not filtered: a pipeline thresholding on this panel must
+    * see the detector's own worst case.
     */
-  def charDiversity(spark: SparkSession, d: String): DataFrame = {
+  def charDiversity(spark: SparkSession, d: String): DataFrame =
+    charDiversityFrom(Tables.documents(spark, d))
+
+  /** Core of [[charDiversity]] over any (doc_id, text) frame — split out
+    * so specs can probe the zero-alnum and >3×10⁶-char regimes the
+    * fixture corpus never exercises.
+    */
+  def charDiversityFrom(docs: DataFrame): DataFrame = {
     val classesArr = CharClasses.map(c => s"'$c'").mkString("array(", ", ", ")")
-    Tables.documents(spark, d)
+    docs
       .withColumn("lw", lower(col("text")))
       .withColumn("cc", expr(
         s"transform($classesArr, ch -> CAST(length(lw) - length(replace(lw, ch, '')) AS BIGINT))"))
       .withColumn("n_alnum", expr("aggregate(cc, 0L, (a, v) -> a + v)"))
-      .where(col("n_alnum") > 0)
       .select(
         col("doc_id"), col("n_alnum"),
-        expr("n_alnum * n_alnum * 1000000L div aggregate(cc, 0L, (a, v) -> a + v * v)")
-          .as("eff_alphabet_ppm"),
-        expr("array_max(cc) * 10000L div n_alnum").as("top_share_e4"),
+        expr("""CASE WHEN n_alnum > 0 THEN CAST(
+            CAST(n_alnum AS DECIMAL(38,0)) * n_alnum * 1000000
+              div aggregate(cc, CAST(0 AS DECIMAL(38,0)), (a, v) -> a + v * v)
+            AS BIGINT) ELSE 0L END""").as("eff_alphabet_ppm"),
+        expr("CASE WHEN n_alnum > 0 THEN array_max(cc) * 10000L div n_alnum ELSE 0L END")
+          .as("top_share_e4"),
         expr("CAST(size(filter(cc, v -> v > 0)) AS BIGINT)").as("n_distinct_chars"))
       .withColumn("diverse_ok",
-        col("eff_alphabet_ppm") >= 5000000L && col("top_share_e4") <= 3000L)
+        col("n_alnum") > 0L &&
+          col("eff_alphabet_ppm") >= 5000000L && col("top_share_e4") <= 3000L)
       .orderBy("doc_id")
   }
 
@@ -1535,14 +1548,20 @@ object TextAnalysis {
        |c AS (SELECT doc_id, list_transform($classesList,
        |        ch -> CAST(length(lw) - length(replace(lw, ch, '')) AS BIGINT)) AS cc
        |      FROM t),
-       |s AS (SELECT doc_id, cc, CAST(list_sum(cc) AS BIGINT) AS n_alnum FROM c)
-       |SELECT doc_id, n_alnum,
-       |  n_alnum * n_alnum * 1000000 // CAST(list_sum(list_transform(cc, v -> v * v)) AS BIGINT) AS eff_alphabet_ppm,
-       |  CAST(list_max(cc) AS BIGINT) * 10000 // n_alnum AS top_share_e4,
-       |  CAST(len(list_filter(cc, v -> v > 0)) AS BIGINT) AS n_distinct_chars,
-       |  (n_alnum * n_alnum * 1000000 // CAST(list_sum(list_transform(cc, v -> v * v)) AS BIGINT) >= 5000000
-       |    AND CAST(list_max(cc) AS BIGINT) * 10000 // n_alnum <= 3000) AS diverse_ok
-       |FROM s WHERE n_alnum > 0 ORDER BY doc_id""".stripMargin
+       |s AS (SELECT doc_id, cc, CAST(coalesce(list_sum(cc), 0) AS BIGINT) AS n_alnum FROM c),
+       |m AS (SELECT doc_id, n_alnum,
+       |    CASE WHEN n_alnum > 0 THEN CAST(
+       |      CAST(n_alnum AS HUGEINT) * n_alnum * 1000000
+       |        // CAST(list_sum(list_transform(cc, v -> v * v)) AS HUGEINT)
+       |      AS BIGINT) ELSE 0 END AS eff_alphabet_ppm,
+       |    CASE WHEN n_alnum > 0
+       |      THEN CAST(list_max(cc) AS BIGINT) * 10000 // n_alnum
+       |      ELSE 0 END AS top_share_e4,
+       |    CAST(len(list_filter(cc, v -> v > 0)) AS BIGINT) AS n_distinct_chars
+       |  FROM s)
+       |SELECT doc_id, n_alnum, eff_alphabet_ppm, top_share_e4, n_distinct_chars,
+       |  (n_alnum > 0 AND eff_alphabet_ppm >= 5000000 AND top_share_e4 <= 3000) AS diverse_ok
+       |FROM m ORDER BY doc_id""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -31,9 +31,19 @@ object Tables {
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
 
-  /** `events` with `ts` restored to a TimestampType (microsecond
-    * truncation of the source nanos — matching DuckDB's `epoch_us`) and
-    * the raw nanos kept as `ts_ns`.
+  /** `events` with `ts` normalized to TimestampType (microseconds, UTC
+    * session — matching DuckDB's `epoch_us`) and the raw nanos kept as
+    * `ts_ns`, whatever encoding the parquet writer chose:
+    *
+    *   - TIMESTAMP(NANOS): Spark's vectorized reader rejects it outright
+    *     ([PARQUET_TYPE_ILLEGAL]); sessions set
+    *     `spark.sql.legacy.parquet.nanosAsLong=true` so it arrives as a
+    *     Long of epoch-nanos (the LongType arm).
+    *   - TIMESTAMP(MICROS/MILLIS, isAdjustedToUTC=false): arrives as
+    *     TIMESTAMP_NTZ (the pandas/pyarrow/DuckDB default). With the UTC
+    *     session timezone the NTZ→TZ cast is instant-exact.
+    *   - TIMESTAMP(…, isAdjustedToUTC=true): arrives as TimestampType
+    *     already.
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     val raw = table(spark, d, "events")
@@ -43,6 +53,9 @@ object Tables {
         // (~1.7e18) are far beyond double's 2^53 exact-integer range.
         raw.withColumnRenamed("ts", "ts_ns")
           .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _: TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
       case _ => raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
     }
   }

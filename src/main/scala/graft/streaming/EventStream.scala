@@ -17,9 +17,11 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Raw parquet schema of the events table (ts as epoch-nanos Long —
-    * see Sessions/Tables nanos handling). readStream requires an
-    * explicit schema.
+  /** Raw parquet schema of the events table as a writer using
+    * TIMESTAMP(NANOS) produces it under `nanosAsLong` (ts as epoch-nanos
+    * Long). readStream requires an explicit schema; [[readEventStream]]
+    * prefers the schema of files already present so either timestamp
+    * encoding works, and falls back to this for an empty source dir.
     */
   val RawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -29,14 +31,33 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream of events parquet under `dir`. */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame =
-    normalize(spark.readStream.schema(RawSchema).parquet(dir))
+  /** File-source stream of events parquet under `dir`. The streaming
+    * source needs a fixed schema up front, so peek at whatever files are
+    * already in the dir (a one-footer batch read — cheap) to learn which
+    * `ts` encoding this corpus uses; only an empty dir assumes nanos.
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema =
+      try spark.read.parquet(dir).schema
+      catch { case _: Exception => RawSchema }
+    normalize(spark.readStream.schema(schema).parquet(dir))
+  }
 
-  /** Same nanos→micros timestamp recovery as the batch reader. */
+  /** Same timestamp recovery as the batch reader (graft.sources.Tables
+    * .events): normalize any of nanos-Long / TIMESTAMP_NTZ / TIMESTAMP
+    * to (`ts` TimestampType micros, `ts_ns` Long epoch-nanos).
+    */
   def normalize(raw: DataFrame): DataFrame =
-    raw.withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _: TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+      case _ =>
+        raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    }
 
   /** Tumbling 1-hour windowed aggregation per event type, tolerating
     * 2 hours of event-time lateness. On a stream this is incremental
