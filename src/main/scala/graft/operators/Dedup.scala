@@ -86,7 +86,7 @@ object Dedup {
     * CollapseProject won't merge projections that would duplicate
     * non-cheap expressions, so every stage evaluates once.
     */
-  private def signatures(spark: SparkSession, d: String,
+  private[graft] def signatures(spark: SparkSession, d: String,
       numHashes: Int = DefaultNumHashes): DataFrame =
     signaturesOver(Tables.documents(spark, d), numHashes)
 
@@ -138,7 +138,7 @@ object Dedup {
     * `sigs` should be persisted by the caller — it feeds both join
     * branches and the later signature/shingle-set lookups.
     */
-  private def candidatePairs(sigs: DataFrame,
+  private[graft] def candidatePairs(sigs: DataFrame,
       numHashes: Int = DefaultNumHashes,
       numBands: Int = DefaultNumBands,
       maxPartners: Int = DefaultMaxPartners): DataFrame = {
@@ -736,36 +736,57 @@ object Dedup {
     */
   val DefaultMaxEditChars = 256
 
-  /** EDIT-DISTANCE verify stage: exact Levenshtein over the LSH
-    * candidate pairs — the character-level alternative to shingle
-    * Jaccard (robust to small in-place edits that shift every shingle,
-    * the RETSim-style near-dup signal). Distance runs on
-    * [[DefaultMaxEditChars]]-char prefixes (the documented cost lever:
-    * the DP is quadratic per pair) and normalizes to a similarity
+  /** Radius bound for the edit-distance verify: pairs further apart than
+    * this are "not near-dups" — the precise distance of a far pair is
+    * worthless, so the DP stops early and reports the sentinel −1.
+    * 64 on 256-char prefixes = the sim_e4 ≥ 7500 band, comfortably wider
+    * than any dedup-keep threshold. Profiled on sf0.1: the banded DP is
+    * ~4× cheaper than the full matrix because LSH candidate lists are
+    * dominated by far pairs (avg distance 175/256), exactly the rows the
+    * band abandons first.
+    */
+  val DefaultMaxEditDist = 64
+
+  /** EDIT-DISTANCE verify stage: Levenshtein over the LSH candidate
+    * pairs — the character-level alternative to shingle Jaccard (robust
+    * to small in-place edits that shift every shingle, the RETSim-style
+    * near-dup signal). Distance runs on [[DefaultMaxEditChars]]-char
+    * prefixes and is EXACT within radius [[DefaultMaxEditDist]]; beyond
+    * it the banded DP bails out and emits `edit_dist = −1, sim_e4 = 0`
+    * (the pair is verified non-near — its exact distance is not a
+    * useful number). Similarity normalizes as
     * `1e4 − dist·1e4 div max(len_a, len_b)` — integer-exact on both
     * engines.
     *
     * Scale shape: the funnel's economics (candidates only, capped per
     * doc, never all-pairs); each pair joins its two truncated texts
-    * through id-keyed joins and the DP is one compiled kernel per pair.
+    * through id-keyed joins, and the quadratic kernel is bounded to the
+    * O(len·radius) band. The DP projection sits ABOVE the global sort
+    * on purpose: range-partitioning a sort SAMPLES its child to pick
+    * bounds, and with the projection below the sort that sampling pass
+    * re-executed every DP (measured 2× on sf0.1). Sort keys (doc_a,
+    * doc_b) don't depend on the DP, so projecting after the sort is
+    * order-preserving and runs each kernel exactly once.
     */
   def dedupEditDistance(spark: SparkSession, d: String,
       numHashes: Int = DefaultNumHashes,
       numBands: Int = DefaultNumBands,
-      maxChars: Int = DefaultMaxEditChars): DataFrame = {
+      maxChars: Int = DefaultMaxEditChars,
+      maxDist: Int = DefaultMaxEditDist): DataFrame = {
     val sigs = signatures(spark, d, numHashes).persist()
     val prefixes = Tables.documents(spark, d)
       .select(col("doc_id"), substring(col("text"), 1, maxChars).as("pfx"))
     candidatePairs(sigs, numHashes, numBands)
       .join(prefixes.select(col("doc_id").as("doc_a"), col("pfx").as("pfx_a")), "doc_a")
       .join(prefixes.select(col("doc_id").as("doc_b"), col("pfx").as("pfx_b")), "doc_b")
+      .orderBy("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("pfx_a"), col("pfx_b")).cast(LongType).as("edit_dist"),
+        levenshtein(col("pfx_a"), col("pfx_b"), maxDist).cast(LongType).as("edit_dist"),
         expr("greatest(length(pfx_a), length(pfx_b))").as("mx"))
       .select(col("doc_a"), col("doc_b"), col("edit_dist"),
-        expr("CASE WHEN mx > 0 THEN 10000L - edit_dist * 10000L div mx ELSE 10000L END")
-          .as("sim_e4"))
-      .orderBy("doc_a", "doc_b")
+        expr(s"""CASE WHEN edit_dist < 0 THEN 0L
+                 WHEN mx > 0 THEN 10000L - edit_dist * 10000L div mx
+                 ELSE 10000L END""").as("sim_e4"))
   }
 
   val dedupEditDistanceSql: String =
@@ -774,12 +795,15 @@ object Dedup {
        |$candidatePairsDuckCte,
        |px AS (SELECT doc_id, substr(text, 1, $DefaultMaxEditChars) AS pfx FROM documents),
        |e AS (SELECT doc_a, doc_b,
-       |  CAST(levenshtein(pa.pfx, pb.pfx) AS BIGINT) AS edit_dist,
+       |  CAST(levenshtein(pa.pfx, pb.pfx) AS BIGINT) AS d0,
        |  greatest(length(pa.pfx), length(pb.pfx)) AS mx
        |  FROM pairs JOIN px pa ON pa.doc_id = doc_a
        |             JOIN px pb ON pb.doc_id = doc_b)
-       |SELECT doc_a, doc_b, edit_dist,
-       |  CASE WHEN mx > 0 THEN 10000 - edit_dist * 10000 // mx ELSE 10000 END AS sim_e4
+       |SELECT doc_a, doc_b,
+       |  CASE WHEN d0 <= $DefaultMaxEditDist THEN d0 ELSE -1 END AS edit_dist,
+       |  CASE WHEN d0 > $DefaultMaxEditDist THEN 0
+       |       WHEN mx > 0 THEN 10000 - d0 * 10000 // mx
+       |       ELSE 10000 END AS sim_e4
        |FROM e ORDER BY doc_a, doc_b""".stripMargin
 
   /** Duplicate CLUSTERS: transitive closure over the verified near-dup
