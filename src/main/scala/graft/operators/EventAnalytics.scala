@@ -629,6 +629,168 @@ object EventAnalytics {
       |  CAST(CAST(p AS HUGEINT) * 1000000 // CAST(r AS HUGEINT) AS BIGINT) AS promo_ratio_ppm
       |FROM s""".stripMargin
 
+  /** TPC-H Q4 shape (priority check): per-priority count of one year's
+    * orders having at least one returned line — the EXISTS decorrelates
+    * to a LEFT-SEMI join, the shape Spark plans it as natively (one
+    * shuffle on the order key, no duplication of matching orders, the
+    * semi side carries only the join key). The date filter prunes the
+    * orders scan before the join.
+    */
+  def q4PriorityExists(spark: SparkSession, d: String): DataFrame = {
+    val returned = Tables.lineitem(spark, d)
+      .where(col("l_returnflag") === "R").select("l_orderkey")
+    Tables.orders(spark, d)
+      .where(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+      .select("o_orderkey", "o_orderpriority")
+      .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q4PriorityExistsSql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    * join with a predicate INSIDE the join condition (customers keep a
+    * row even when every order is filtered away — semantically distinct
+    * from a WHERE, which would drop them), then two cascaded
+    * aggregations. The second groupBy is tiny (|distinct counts| keys);
+    * all the weight is the first customer-keyed count.
+    */
+  def q13CustDist(spark: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(spark, d)
+      .where(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_orderkey", "o_custkey")
+    Tables.customer(spark, d).select("c_custkey")
+      .join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey").agg(count("o_orderkey").as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13CustDistSql: String =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    * count per part descriptor, EXCLUDING a supplier blocklist — the
+    * NOT-IN decorrelates to a LEFT-ANTI join on the fact's supplier
+    * key (broadcast: the blocklist is dimension-sized), the part
+    * dimension broadcasts with its filters pushed into the build side,
+    * and the distinct count is the one real shuffle.
+    */
+  def q16SupplierCnt(spark: SparkSession, d: String): DataFrame = {
+    val excluded = Tables.supplier(spark, d)
+      .where(col("s_name").endsWith("7")).select("s_suppkey")
+    Tables.lineitem(spark, d).select("l_partkey", "l_suppkey")
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(Tables.part(spark, d)
+        .where(col("p_brand") =!= "Brand#45" && col("p_size") <= 25)
+        .select("p_partkey", "p_brand", "p_type", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  val q16SupplierCntSql: String =
+    """SELECT p_brand, p_type, p_size,
+      |  count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#45' AND p_size <= 25
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+      |                        WHERE s_name LIKE '%7')
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): revenue from
+    * lineitems whose quantity is below 20% of their part's average —
+    * the correlated AVG subquery decorrelates to a per-part aggregate
+    * joined back to the fact. The average never materializes as a
+    * fraction: `qty < sum/n/5` is evaluated as the integer
+    * cross-multiplication `5·qty·n < sum`, exact in both engines.
+    * Total divides by 7 ("yearly" normalization) with integer div.
+    */
+  def q17SmallQtyRevenue(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+      .select(col("l_partkey"),
+        (dec2(col("l_quantity")) * 100).cast(LongType).as("qty_c"),
+        (dec2(col("l_extendedprice")) * 100).cast(LongType).as("price_c"))
+    val brandParts = Tables.part(spark, d)
+      .where(col("p_brand") === "Brand#23").select("p_partkey")
+    val perPart = li.groupBy("l_partkey")
+      .agg(sum("qty_c").as("sum_qty_c"), count(lit(1)).as("n_li"))
+    li.join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .join(perPart, Seq("l_partkey"))
+      .where(col("qty_c") * col("n_li") * 5 < col("sum_qty_c"))
+      .agg(coalesce(sum("price_c"), lit(0L)).as("s"))
+      .select(expr("s div 7").as("avg_yearly_c"))
+  }
+
+  val q17SmallQtyRevenueSql: String =
+    """WITH li AS (SELECT l_partkey,
+      |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_c,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+      |  FROM lineitem),
+      |pp AS (SELECT l_partkey, CAST(sum(qty_c) AS BIGINT) AS sum_qty_c,
+      |    count(*) AS n_li FROM li GROUP BY l_partkey)
+      |SELECT CAST(coalesce(sum(price_c), 0) AS BIGINT) // 7 AS avg_yearly_c
+      |FROM li
+      |JOIN part ON p_partkey = l_partkey AND p_brand = 'Brand#23'
+      |JOIN pp USING (l_partkey)
+      |WHERE qty_c * n_li * 5 < sum_qty_c""".stripMargin
+
+  /** TPC-H Q22 shape (global sales opportunity): per-nation count and
+    * balance of above-average-balance customers who never placed an
+    * urgent order. Two decorrelations in one plan: the scalar AVG
+    * subquery becomes a 1-row broadcast joined to every customer
+    * (compared exactly via `bal·n > sum` cross-multiplication), and
+    * the NOT EXISTS becomes a LEFT-ANTI join against the urgent-order
+    * customer keys. Both joins leave the customer table unshuffled
+    * until the final small nation-keyed aggregate.
+    */
+  def q22NoUrgent(spark: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(spark, d)
+      .select(col("c_custkey"), col("c_nationkey"),
+        (dec2(col("c_acctbal")) * 100).cast(LongType).as("bal_c"))
+    val posStats = cust.where(col("bal_c") > 0L)
+      .agg(sum("bal_c").as("sum_pos_c"), count(lit(1)).as("n_pos"))
+    val urgent = Tables.orders(spark, d)
+      .where(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    cust.crossJoin(broadcast(posStats))
+      .where(col("bal_c") * col("n_pos") > col("sum_pos_c"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"), sum("bal_c").as("totacctbal_c"))
+      .orderBy("c_nationkey")
+  }
+
+  val q22NoUrgentSql: String =
+    """WITH cust AS (SELECT c_custkey, c_nationkey,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c
+      |  FROM customer),
+      |pos AS (SELECT CAST(sum(bal_c) AS BIGINT) AS sum_pos_c, count(*) AS n_pos
+      |  FROM cust WHERE bal_c > 0)
+      |SELECT c_nationkey, count(*) AS numcust,
+      |  CAST(sum(bal_c) AS BIGINT) AS totacctbal_c
+      |FROM cust, pos
+      |WHERE bal_c * n_pos > sum_pos_c
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   /** Salted two-phase aggregation: the skew-safe shape for hot keys at
     * 100 TB. Phase 1 aggregates on (key, salt) — a hot key's rows split
     * across SaltBuckets reducers — phase 2 merges the partials per key.
@@ -1156,7 +1318,12 @@ object EventAnalytics {
     "q3_shipping" -> (q3Shipping _),
     "q10_returned_item" -> (q10ReturnedItem _),
     "q14_promo_effect" -> (q14PromoEffect _),
-    "q18_large_orders" -> (q18LargeOrders _))
+    "q18_large_orders" -> (q18LargeOrders _),
+    "q4_priority_exists" -> (q4PriorityExists _),
+    "q13_custdist" -> (q13CustDist _),
+    "q16_supplier_cnt" -> (q16SupplierCnt _),
+    "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
+    "q22_no_urgent" -> (q22NoUrgent _))
 
   val oracles: Map[String, String] = Map(
     "q_pivot_daily" -> pivotDailySql,
@@ -1188,5 +1355,10 @@ object EventAnalytics {
     "q3_shipping" -> q3ShippingSql,
     "q10_returned_item" -> q10ReturnedItemSql,
     "q14_promo_effect" -> q14PromoEffectSql,
-    "q18_large_orders" -> q18LargeOrdersSql)
+    "q18_large_orders" -> q18LargeOrdersSql,
+    "q4_priority_exists" -> q4PriorityExistsSql,
+    "q13_custdist" -> q13CustDistSql,
+    "q16_supplier_cnt" -> q16SupplierCntSql,
+    "q17_small_qty_revenue" -> q17SmallQtyRevenueSql,
+    "q22_no_urgent" -> q22NoUrgentSql)
 }

@@ -344,6 +344,31 @@ class PlanContractSpec extends AnyFunSuite with SparkTestBase {
       s"corpus side of the multi-probe join must not shuffle:\n$streamed")
   }
 
+  test("q4/q16/q22: EXISTS and NOT-IN decorrelate to semi/anti joins") {
+    // the EXISTS must plan as LeftSemi — a rewrite through inner join +
+    // distinct would duplicate-then-dedupe the fact at scale
+    val q4 = stripAqe(
+      EventAnalytics.q4PriorityExists(spark, sf).queryExecution.executedPlan).toString
+    assert(q4.contains("LeftSemi"), s"expected a LeftSemi join in q4:\n$q4")
+    // both blocklist anti-joins must broadcast their dimension-sized side
+    for ((name, plan) <- Seq(
+        "q16" -> EventAnalytics.q16SupplierCnt(spark, sf),
+        "q22" -> EventAnalytics.q22NoUrgent(spark, sf))) {
+      val s = stripAqe(plan.queryExecution.executedPlan).toString
+      assert(s.contains("LeftAnti"), s"expected a LeftAnti join in $name:\n$s")
+    }
+  }
+
+  test("q17 decorrelated average joins the per-part aggregate once") {
+    // the correlated AVG must not replan as a per-row subquery: exactly
+    // one aggregation over the fact feeds the filter join
+    val plan = stripAqe(
+      EventAnalytics.q17SmallQtyRevenue(spark, sf).queryExecution.executedPlan)
+    val s = plan.toString
+    assert(!s.contains("Subquery"), s"correlated subquery not decorrelated:\n$s")
+    assert(s.contains("BroadcastHashJoin"), s"brand filter should broadcast:\n$s")
+  }
+
   test("q_rep_coverage occurrence window is (doc, gram)-partitioned") {
     val plan = stripAqe(
       TextAnalysis.repCoverage(spark, sf).queryExecution.executedPlan)
