@@ -761,12 +761,21 @@ object Dedup {
     * Scale shape: the funnel's economics (candidates only, capped per
     * doc, never all-pairs); each pair joins its two truncated texts
     * through id-keyed joins, and the quadratic kernel is bounded to the
-    * O(len·radius) band. The DP projection sits ABOVE the global sort
-    * on purpose: range-partitioning a sort SAMPLES its child to pick
-    * bounds, and with the projection below the sort that sampling pass
-    * re-executed every DP (measured 2× on sf0.1). Sort keys (doc_a,
-    * doc_b) don't depend on the DP, so projecting after the sort is
-    * order-preserving and runs each kernel exactly once.
+    * O(len·radius) band. Two guards keep the kernel count honest:
+    *
+    *   - equal prefixes short-circuit to distance 0 without a DP (under
+    *     mass duplication these dominate: 240k of 1.44M pairs on the
+    *     10× replica);
+    *   - the DP runs once per DISTINCT (pfx_a, pfx_b) content pair and
+    *     joins back onto the pair list, so duplicated documents never
+    *     repeat a computation (10× replica: 1.44M candidate pairs but
+    *     only 27k distinct prefix pairs — the kernel count stays at
+    *     1×-corpus size while only the cheap join-back scales with the
+    *     duplication). Grouping is BY THE STRINGS themselves — exact,
+    *     no hash-collision leap of faith — and the distinct frame sits
+    *     behind its own exchange, so the final sort's range-partition
+    *     sampling replays shuffle files, not kernels (the round-9
+    *     2×-DP lesson).
     */
   def dedupEditDistance(spark: SparkSession, d: String,
       numHashes: Int = DefaultNumHashes,
@@ -776,17 +785,25 @@ object Dedup {
     val sigs = signatures(spark, d, numHashes).persist()
     val prefixes = Tables.documents(spark, d)
       .select(col("doc_id"), substring(col("text"), 1, maxChars).as("pfx"))
-    candidatePairs(sigs, numHashes, numBands)
+    // consumed twice (distinct-DP + join-back): persist, or the whole
+    // LSH funnel runs once per consumer
+    val cand = candidatePairs(sigs, numHashes, numBands)
       .join(prefixes.select(col("doc_id").as("doc_a"), col("pfx").as("pfx_a")), "doc_a")
       .join(prefixes.select(col("doc_id").as("doc_b"), col("pfx").as("pfx_b")), "doc_b")
-      .orderBy("doc_a", "doc_b")
+      .persist()
+    val dists = cand.where(col("pfx_a") =!= col("pfx_b"))
+      .select("pfx_a", "pfx_b").distinct()
+      .select(col("pfx_a"), col("pfx_b"),
+        levenshtein(col("pfx_a"), col("pfx_b"), maxDist).cast(LongType).as("ed"))
+    cand.join(dists, Seq("pfx_a", "pfx_b"), "left")
       .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("pfx_a"), col("pfx_b"), maxDist).cast(LongType).as("edit_dist"),
+        when(col("pfx_a") === col("pfx_b"), 0L).otherwise(col("ed")).as("edit_dist"),
         expr("greatest(length(pfx_a), length(pfx_b))").as("mx"))
       .select(col("doc_a"), col("doc_b"), col("edit_dist"),
         expr(s"""CASE WHEN edit_dist < 0 THEN 0L
                  WHEN mx > 0 THEN 10000L - edit_dist * 10000L div mx
                  ELSE 10000L END""").as("sim_e4"))
+      .orderBy("doc_a", "doc_b")
   }
 
   val dedupEditDistanceSql: String =
