@@ -90,7 +90,7 @@ object Dedup {
       numHashes: Int = DefaultNumHashes): DataFrame =
     signaturesOver(Tables.documents(spark, d), numHashes)
 
-  private def signaturesOver(docs: DataFrame, numHashes: Int): DataFrame =
+  private[graft] def signaturesOver(docs: DataFrame, numHashes: Int = DefaultNumHashes): DataFrame =
     docs
       .select(col("doc_id"),
         graft.functions.GraftFunctions.minhash_sig(col("text"), numHashes).as("sig"))
@@ -761,44 +761,84 @@ object Dedup {
     * Scale shape: the funnel's economics (candidates only, capped per
     * doc, never all-pairs); each pair joins its two truncated texts
     * through id-keyed joins, and the quadratic kernel is bounded to the
-    * O(len·radius) band. Two guards keep the kernel count honest:
+    * O(len·radius) band. Mass duplication (the replica studies' 100×
+    * corpus of exact copies) is absorbed by a STRICT exact-collapse
+    * prelude: docs group by raw-text sha256 (raw, not the cluster
+    * funnels' token-normalized [[exactCollapse]] — the DP and the
+    * distance-0 claim need byte-identical prefixes), the LSH funnel and
+    * every DP run over one canonical per group, cross-group pairs
+    * expand back through the (doc_id, gid) membership join, and
+    * intra-group pairs emit distance 0 directly.
     *
-    *   - equal prefixes short-circuit to distance 0 without a DP (under
-    *     mass duplication these dominate: 240k of 1.44M pairs on the
-    *     10× replica);
-    *   - the DP runs once per DISTINCT (pfx_a, pfx_b) content pair and
-    *     joins back onto the pair list, so duplicated documents never
-    *     repeat a computation (10× replica: 1.44M candidate pairs but
-    *     only 27k distinct prefix pairs — the kernel count stays at
-    *     1×-corpus size while only the cheap join-back scales with the
-    *     duplication). Grouping is BY THE STRINGS themselves — exact,
-    *     no hash-collision leap of faith — and the distinct frame sits
-    *     behind its own exchange, so the final sort's range-partition
-    *     sampling replays shuffle files, not kernels (the round-9
-    *     2×-DP lesson).
+    * Output equivalence (why the oracle doesn't change): identical raw
+    * text ⇒ identical shingles, signatures, band values, AND prefixes.
+    * So a member pair is an LSH candidate iff its canonicals are (or
+    * share a group — all bands equal), and its distance equals its
+    * canonicals' distance (0 within a group). Measured: the pre-collapse
+    * form cost 674 s on the 100× replica (the band join itself explodes
+    * ~C(R,2) per duplicated doc); collapsed, the funnel is 1×-sized and
+    * only the output expansion scales with duplication.
     */
   def dedupEditDistance(spark: SparkSession, d: String,
       numHashes: Int = DefaultNumHashes,
       numBands: Int = DefaultNumBands,
       maxChars: Int = DefaultMaxEditChars,
       maxDist: Int = DefaultMaxEditDist): DataFrame = {
-    val sigs = signatures(spark, d, numHashes).persist()
-    val prefixes = Tables.documents(spark, d)
-      .select(col("doc_id"), substring(col("text"), 1, maxChars).as("pfx"))
-    // consumed twice (distinct-DP + join-back): persist, or the whole
-    // LSH funnel runs once per consumer
-    val cand = candidatePairs(sigs, numHashes, numBands)
-      .join(prefixes.select(col("doc_id").as("doc_a"), col("pfx").as("pfx_a")), "doc_a")
-      .join(prefixes.select(col("doc_id").as("doc_b"), col("pfx").as("pfx_b")), "doc_b")
+    import org.apache.spark.sql.expressions.Window
+    val membership = Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"), sha2(col("text"), 256).as("rh"))
+      .withColumn("gid", min("doc_id").over(Window.partitionBy("rh")))
+      .select("doc_id", "gid", "text")
       .persist()
-    val dists = cand.where(col("pfx_a") =!= col("pfx_b"))
-      .select("pfx_a", "pfx_b").distinct()
-      .select(col("pfx_a"), col("pfx_b"),
-        levenshtein(col("pfx_a"), col("pfx_b"), maxDist).cast(LongType).as("ed"))
-    cand.join(dists, Seq("pfx_a", "pfx_b"), "left")
-      .select(col("doc_a"), col("doc_b"),
-        when(col("pfx_a") === col("pfx_b"), 0L).otherwise(col("ed")).as("edit_dist"),
-        expr("greatest(length(pfx_a), length(pfx_b))").as("mx"))
+    // materialize NOW: membership fans out to ~8 plan branches (both
+    // sides of two self-joins, three prefix consumers, the signature
+    // chain); inside one action an unmaterialized cache is recomputed
+    // per branch — measured 20× on the 10× replica
+    membership.count()
+    val reps = membership.where(col("doc_id") === col("gid"))
+      .select(col("doc_id"), col("text"))
+    val sigs = signaturesOver(reps, numHashes).persist()
+    sigs.count()
+    val pfx = reps.select(col("doc_id"), substring(col("text"), 1, maxChars).as("pfx"))
+    // per-canonical-pair distance: distinct content by construction, so
+    // every DP is novel work; equal prefixes (docs diverging only past
+    // maxChars) still short-circuit
+    val gd = candidatePairs(sigs, numHashes, numBands)
+      .join(pfx.select(col("doc_id").as("doc_a"), col("pfx").as("pfx_a")), "doc_a")
+      .join(pfx.select(col("doc_id").as("doc_b"), col("pfx").as("pfx_b")), "doc_b")
+      .select(col("doc_a").as("ga"), col("doc_b").as("gb"),
+        when(col("pfx_a") === col("pfx_b"), 0L)
+          .otherwise(levenshtein(col("pfx_a"), col("pfx_b"), maxDist).cast(LongType))
+          .as("edit_dist"),
+        greatest(length(col("pfx_a")), length(col("pfx_b"))).as("mx"))
+      .persist()
+    // materialize the kernel BEFORE the expansion joins consume it:
+    // whole-stage codegen evaluates an unmaterialized projection at its
+    // point of USE, which after the membership fan-out is once per
+    // EXPANDED row — measured 1.2M DP evaluations instead of 12k (95 s
+    // vs 3 s on the 10× replica). The persist pins one evaluation per
+    // canonical pair; the frame is model-sized (capped candidate pairs
+    // of distinct content) at any corpus scale.
+    gd.count()
+    val mem = membership.select("doc_id", "gid")
+    val cross = gd
+      .join(mem.select(col("gid").as("ga"), col("doc_id").as("da")), "ga")
+      .join(mem.select(col("gid").as("gb"), col("doc_id").as("db")), "gb")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        col("edit_dist"), col("mx"))
+    // intra-group pairs: the raw funnel emits them only when the group
+    // participates in banding at all (docs with no shingles never band),
+    // hence the restriction to groups whose canonical has a signature
+    val intraMem = mem.join(sigs.select(col("doc_id").as("gid")), "gid")
+    val intra = intraMem.as("x")
+      .join(intraMem.as("y"),
+        col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0L).as("edit_dist"), col("x.gid").as("gid"))
+      .join(pfx.select(col("doc_id").as("gid"), length(col("pfx")).as("mx")), "gid")
+      .select("doc_a", "doc_b", "edit_dist", "mx")
+    cross.unionByName(intra)
       .select(col("doc_a"), col("doc_b"), col("edit_dist"),
         expr(s"""CASE WHEN edit_dist < 0 THEN 0L
                  WHEN mx > 0 THEN 10000L - edit_dist * 10000L div mx
