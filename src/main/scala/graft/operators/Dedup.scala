@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -349,17 +349,12 @@ object Dedup {
     */
   def dedupMinhashLsh(spark: SparkSession, d: String,
       numHashes: Int = DefaultNumHashes,
-      numBands: Int = DefaultNumBands,
-      maxPartners: Int = DefaultMaxPartners): DataFrame = {
-    val sigs = signatures(spark, d, numHashes).persist()
-    candidatePairs(sigs, numHashes, numBands, maxPartners)
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-      .select(
-        col("doc_a"), col("doc_b"),
-        expr(sigAgreementExpr(numHashes)).as("est_jaccard_e4"))
-      .orderBy("doc_a", "doc_b")
-  }
+      numBands: Int = DefaultNumBands): DataFrame =
+    collapsedPairVerify(spark, d, numHashes, numBands,
+      base => base.select(col("doc_a"), col("doc_b"),
+        expr(sigAgreementExpr(numHashes)).as("est_jaccard_e4")),
+      // identical content: identical signatures, full agreement
+      Seq("est_jaccard_e4" -> lit(10000L)))
 
   val dedupMinhashLshSql: String = {
     val n = DefaultNumHashes
@@ -427,11 +422,18 @@ object Dedup {
     * buckets quadratic.
     */
   def dedupSimhash64(spark: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
-    val sigs = Tables.documents(spark, d)
+    // same exact-collapse composition as [[collapsedPairVerify]], over
+    // the simhash signature family: identical token content gives an
+    // identical 64-bit fingerprint, so member pairs band exactly when
+    // their canonicals do, with equal Hamming distance (0 in-group)
+    val membership = exactCollapse(spark, d)
+    membership.count()
+    val sigs = membership.where(col("doc_id") === col("gid"))
       .select(col("doc_id"),
         graft.functions.GraftFunctions.simhash64_bands(col("text")).as("sbands"))
       .where(col("sbands").isNotNull)
       .persist()
+    sigs.count()
     val bands = sigs.select(col("doc_id"),
       posexplode(col("sbands")).as(Seq("band_id", "band_val")))
     val pairs = bands.as("a").join(bands.as("b"),
@@ -444,12 +446,27 @@ object Dedup {
       .map(j => bit_count(col("sbands_a").getItem(j)
         .bitwiseXOR(col("sbands_b").getItem(j))))
       .reduce(_ + _).cast(LongType)
-    pairs
+    val gd = pairs
       .join(sigs.select(col("doc_id").as("doc_a"), col("sbands").as("sbands_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sbands").as("sbands_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
+      .select(col("doc_a").as("ga"), col("doc_b").as("gb"), hamming.as("hamming"))
       .withColumn("within_3", col("hamming") <= maxHamming)
-      .orderBy("doc_a", "doc_b")
+      .persist()
+    gd.count()
+    val mem = membership.select("doc_id", "gid")
+    val cross = gd
+      .join(mem.select(col("gid").as("ga"), col("doc_id").as("da")), "ga")
+      .join(mem.select(col("gid").as("gb"), col("doc_id").as("db")), "gb")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        col("hamming"), col("within_3"))
+    val im = mem.join(sigs.select(col("doc_id").as("gid")), Seq("gid"), "left_semi")
+    val intra = im.as("x")
+      .join(im.as("y"),
+        col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0L).as("hamming"), lit(true).as("within_3"))
+    cross.unionByName(intra).orderBy("doc_a", "doc_b")
   }
 
   val dedupSimhash64Sql: String =
@@ -546,21 +563,99 @@ object Dedup {
       .persist()
   }
 
+  /** Collapsed candidate→verify funnel for PAIR-EMITTING queries — the
+    * [[exactCollapse]] composition (already standard in the cluster
+    * capstones) applied to operators whose OUTPUT is one row per
+    * candidate pair. The funnel, the set/signature joins, and the
+    * verify metric all run over one canonical per exact-duplicate
+    * group; member pairs are then reconstructed by two membership
+    * equi-joins (cross-group pairs inherit their canonicals' metric)
+    * plus a per-group self-join (intra-group pairs get the
+    * identical-content metric literals). Output is row-identical to the
+    * uncollapsed funnel — identical token content gives identical
+    * shingle sets, signatures, and band values, so member pairs are
+    * candidates exactly when their canonicals are, with equal metrics —
+    * but pair-level work no longer grows quadratically with duplication
+    * (measured on the 10× exact replica: these queries ran 8–25× slower
+    * pre-collapse; the funnel is 1×-sized after it).
+    *
+    * `metric` maps the canonical pair frame (doc_a, doc_b, set_a,
+    * set_b, sig_a, sig_b) to (doc_a, doc_b, <metric cols named as in
+    * `intraMetrics`>). The metric frame is persisted AND counted before
+    * the expansion joins: codegen evaluates unmaterialized projections
+    * at their point of use, which after a row-multiplying join means
+    * once per EXPANDED row (the round-9 editdist lesson).
+    */
+  private def collapsedPairVerify(spark: SparkSession, d: String,
+      numHashes: Int, numBands: Int,
+      metric: DataFrame => DataFrame,
+      intraMetrics: Seq[(String, Column)],
+      // DIRECTIONAL metric columns (e.g. containment): when the member
+      // pair reorients relative to its canonical pair (da > db), each
+      // key takes its partner's value. Symmetric metrics omit this.
+      swapOnFlip: Map[String, String] = Map.empty): DataFrame = {
+    val membership = exactCollapse(spark, d)
+    membership.count()
+    val reps = membership.where(col("doc_id") === col("gid"))
+      .select(col("doc_id"), col("text"))
+    val sets = reps
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.shingle_set(col("text")).as("sset"))
+      .where(col("sset").isNotNull)
+      .persist()
+    val sigs = signaturesOver(reps, numHashes).persist()
+    sets.count(); sigs.count()
+    val base = candidatePairs(sigs, numHashes, numBands)
+      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b")), "doc_b")
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+    val names = intraMetrics.map(_._1)
+    val gd = metric(base)
+      .select(col("doc_a").as("ga") +: col("doc_b").as("gb") +: names.map(col): _*)
+      .persist()
+    gd.count()
+    val mem = membership.select("doc_id", "gid")
+    val cross = gd
+      .join(mem.select(col("gid").as("ga"), col("doc_id").as("da")), "ga")
+      .join(mem.select(col("gid").as("gb"), col("doc_id").as("db")), "gb")
+      .select(least(col("da"), col("db")).as("doc_a") +:
+        greatest(col("da"), col("db")).as("doc_b") +:
+        names.map { n =>
+          swapOnFlip.get(n) match {
+            case Some(partner) =>
+              when(col("da") < col("db"), col(n)).otherwise(col(partner)).as(n)
+            case None => col(n)
+          }
+        }: _*)
+    // intra-group pairs exist in the raw funnel only when the doc both
+    // bands (non-null signature) and carries a shingle set — the two
+    // inner joins above; restrict groups identically
+    val elig = sets.select(col("doc_id").as("gid"))
+      .join(sigs.select(col("doc_id").as("gid")), Seq("gid"), "left_semi")
+    val im = mem.join(elig, Seq("gid"), "left_semi")
+    val intra = im.as("x")
+      .join(im.as("y"),
+        col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a") +: col("y.doc_id").as("doc_b") +:
+        intraMetrics.map { case (n, c) => c.as(n) }: _*)
+    cross.unionByName(intra).orderBy("doc_a", "doc_b")
+  }
+
   /** Exact n-gram Jaccard, verified only on the LSH candidate pairs —
     * the candidate→verify funnel that makes near-dedup tractable at
     * scale (all-pairs Jaccard is quadratic; LSH candidates are ~linear).
+    * Composed through [[collapsedPairVerify]]: identical-content pairs
+    * have Jaccard exactly 10000 without touching their sets.
     */
   def dedupNgramJaccard(spark: SparkSession, d: String,
       numHashes: Int = DefaultNumHashes,
-      numBands: Int = DefaultNumBands): DataFrame = {
-    val (_, _, joined) = candidatePairSets(spark, d, numHashes, numBands)
-    joined
-      .select(
-        col("doc_a"), col("doc_b"),
+      numBands: Int = DefaultNumBands): DataFrame =
+    collapsedPairVerify(spark, d, numHashes, numBands,
+      base => base.select(col("doc_a"), col("doc_b"),
         graft.functions.GraftFunctions.jaccard_e4(col("set_a"), col("set_b"))
-          .as("jaccard_e4"))
-      .orderBy("doc_a", "doc_b")
-  }
+          .as("jaccard_e4")),
+      Seq("jaccard_e4" -> lit(10000L)))
 
   val dedupNgramJaccardSql: String =
     s"""WITH ${signaturesDuckCte()},
@@ -654,18 +749,16 @@ object Dedup {
     */
   def minhashEstAudit(spark: SparkSession, d: String,
       numHashes: Int = DefaultNumHashes,
-      numBands: Int = DefaultNumBands): DataFrame = {
-    val (_, sigs, joined) = candidatePairSets(spark, d, numHashes, numBands)
-    joined
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        expr(sigAgreementExpr(numHashes)).as("est_e4"),
-        graft.functions.GraftFunctions.jaccard_e4(col("set_a"), col("set_b"))
-          .as("exact_e4"))
-      .withColumn("err_e4", col("est_e4") - col("exact_e4"))
-      .orderBy("doc_a", "doc_b")
-  }
+      numBands: Int = DefaultNumBands): DataFrame =
+    collapsedPairVerify(spark, d, numHashes, numBands,
+      base => base.select(col("doc_a"), col("doc_b"),
+          expr(sigAgreementExpr(numHashes)).as("est_e4"),
+          graft.functions.GraftFunctions.jaccard_e4(col("set_a"), col("set_b"))
+            .as("exact_e4"))
+        .withColumn("err_e4", col("est_e4") - col("exact_e4")),
+      // identical content: all signature components agree, exact = est
+      Seq("est_e4" -> lit(10000L), "exact_e4" -> lit(10000L),
+        "err_e4" -> lit(0L)))
 
   val minhashEstAuditSql: String =
     s"""WITH ${signaturesDuckCte()},
@@ -697,18 +790,21 @@ object Dedup {
     */
   def dedupContainment(spark: SparkSession, d: String,
       numHashes: Int = DefaultNumHashes,
-      numBands: Int = DefaultNumBands): DataFrame = {
-    val (_, _, joined) = candidatePairSets(spark, d, numHashes, numBands)
-    joined
-      .select(col("doc_a"), col("doc_b"),
-        graft.functions.GraftFunctions.overlap_stats(col("set_a"), col("set_b"))
-          .as("ov"))
-      .select(col("doc_a"), col("doc_b"),
-        expr("ov[0] * 10000L div ov[1]").as("cont_a_in_b_e4"),
-        expr("ov[0] * 10000L div ov[2]").as("cont_b_in_a_e4"),
-        expr("ov[0] * 10000L div (ov[1] + ov[2] - ov[0])").as("jaccard_e4"))
-      .orderBy("doc_a", "doc_b")
-  }
+      numBands: Int = DefaultNumBands): DataFrame =
+    collapsedPairVerify(spark, d, numHashes, numBands,
+      base => base
+        .select(col("doc_a"), col("doc_b"),
+          graft.functions.GraftFunctions.overlap_stats(col("set_a"), col("set_b"))
+            .as("ov"))
+        .select(col("doc_a"), col("doc_b"),
+          expr("ov[0] * 10000L div ov[1]").as("cont_a_in_b_e4"),
+          expr("ov[0] * 10000L div ov[2]").as("cont_b_in_a_e4"),
+          expr("ov[0] * 10000L div (ov[1] + ov[2] - ov[0])").as("jaccard_e4")),
+      // identical content: full mutual containment
+      Seq("cont_a_in_b_e4" -> lit(10000L), "cont_b_in_a_e4" -> lit(10000L),
+        "jaccard_e4" -> lit(10000L)),
+      swapOnFlip = Map("cont_a_in_b_e4" -> "cont_b_in_a_e4",
+        "cont_b_in_a_e4" -> "cont_a_in_b_e4"))
 
   val dedupContainmentSql: String =
     s"""WITH ${signaturesDuckCte()},
