@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Curation, Dedup, EventAnalytics, Multimodal,
-  ParityQueries, PlannerQueries, Similarity, TextAnalysis, TrainingPrep}
+  ParityQueries, PlannerQueries, RelationalShapes, Similarity, TextAnalysis,
+  TrainingPrep}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,7 +25,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityQueries.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ EventAnalytics.queries ++ Multimodal.queries ++
-      PlannerQueries.queries ++ Curation.queries ++ TrainingPrep.queries
+      PlannerQueries.queries ++ Curation.queries ++ TrainingPrep.queries ++
+      RelationalShapes.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -32,5 +34,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ParityQueries.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ EventAnalytics.oracles ++ Multimodal.oracles ++
-      PlannerQueries.oracles ++ Curation.oracles ++ TrainingPrep.oracles
+      PlannerQueries.oracles ++ Curation.oracles ++ TrainingPrep.oracles ++
+      RelationalShapes.oracles
 }

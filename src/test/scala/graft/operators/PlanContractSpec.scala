@@ -369,6 +369,77 @@ class PlanContractSpec extends AnyFunSuite with SparkTestBase {
     assert(s.contains("BroadcastHashJoin"), s"brand filter should broadcast:\n$s")
   }
 
+  /** Live (non-cached) parquet scans of the final plan, by table file
+    * name — descent stops at cache boundaries, so a persisted shared
+    * aggregate's lineage doesn't count as a rescan.
+    */
+  private def liveScans(p: SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    stripAqe(p) match {
+      case _: InMemoryTableScanExec => Nil
+      case f: FileSourceScanExec =>
+        Seq(f.relation.location.rootPaths.map(_.getName).mkString)
+      case o => o.children.flatMap(liveScans) ++ o.subqueries.flatMap(liveScans)
+    }
+  }
+
+  test("q6 pushes the shipdate range and the raw-column hulls into the scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = RelationalShapes.q6ForecastRevenue(spark, sf)
+    val plan = stripAqe(df.queryExecution.executedPlan)
+    val scan = plan.collectFirst { case s: FileSourceScanExec => s }
+    assert(scan.nonEmpty, s"expected a parquet scan in:\n$plan")
+    val pushed = scan.get.metadata.getOrElse("PushedFilters", "")
+    // the exact predicates live on derived cents columns; the scan must
+    // still see the shipdate range AND the widened raw-double hulls
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount") &&
+      pushed.contains("l_quantity"),
+      s"q6 predicates not reaching the parquet reader: $pushed")
+    val read = scan.get.requiredSchema.fieldNames.toSet
+    assert(!read.contains("l_tax") && !read.contains("l_returnflag"),
+      s"q6 reads columns it never uses: $read")
+  }
+
+  test("q15/q20/q2/q11: the shared aggregate caches — the final job never rescans the fact") {
+    for ((name, fn) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)](
+        "q15" -> (RelationalShapes.q15TopSupplier _),
+        "q20" -> (RelationalShapes.q20PartConcentration _),
+        "q2" -> (RelationalShapes.q2MincostSupplier _),
+        "q11" -> (RelationalShapes.q11ImportantValue _))) {
+      val df = fn(spark, sf) // runs the persist + force eagerly
+      val facts = liveScans(df.queryExecution.executedPlan)
+        .filter(_.startsWith("lineitem"))
+      assert(facts.isEmpty,
+        s"$name: final plan rescans the fact ${facts.size}x — the shared " +
+          "aggregate lost its cache (exchange reuse does NOT dedupe these)")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("q21 reads the fact once; both correlations fold into order-partitioned windows") {
+    val df = RelationalShapes.q21WaitingSupplier(spark, sf)
+    val plan = stripAqe(df.queryExecution.executedPlan)
+    val facts = liveScans(plan).filter(_.startsWith("lineitem"))
+    assert(facts.size == 1,
+      s"q21 must scan lineitem exactly once (the EXISTS/NOT-EXISTS pair " +
+        s"folds into window counts), got ${facts.size}:\n$plan")
+    val s = plan.toString
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(s).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("l_orderkey")),
+      s"q21 windows must partition by l_orderkey: $specs")
+  }
+
+  test("q2 decorrelates the per-part min and broadcasts the join-back") {
+    val df = RelationalShapes.q2MincostSupplier(spark, sf)
+    val s = stripAqe(df.queryExecution.executedPlan).toString
+    assert(!s.contains("Subquery"), s"correlated min not decorrelated:\n$s")
+    assert(s.contains("BroadcastHashJoin"),
+      s"per-part min join-back should broadcast:\n$s")
+    spark.catalog.clearCache()
+  }
+
   test("q_rep_coverage occurrence window is (doc, gram)-partitioned") {
     val plan = stripAqe(
       TextAnalysis.repCoverage(spark, sf).queryExecution.executedPlan)
