@@ -71,6 +71,94 @@ object Curation {
        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
        |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
 
+  /** Jaccard threshold above which a cross-split pair counts as
+    * leakage — the sweep grid's dedup knee (see
+    * [[Dedup.SweepThresholdsE4]]), shared with the oracle.
+    */
+  val LeakThresholdE4 = 8000L
+
+  /** SPLIT-LEAKAGE AUDIT: near-duplicate pairs that STRADDLE the
+    * train/val/test boundary — the failure [[splitAssign]]'s key-pure
+    * hash cannot prevent, because near-dup COPIES carry different
+    * doc_ids and hash independently (a 5% val split leaves ~10% of a
+    * duplicated pair-population crossing a boundary). An eval doc with
+    * a train-side near-twin inflates benchmark scores silently; this
+    * is the audit a pipeline runs AFTER splitting and BEFORE training.
+    *
+    * Output: one row per unordered split pair (all three rows always
+    * present via the grid LEFT join, zeros when clean) with the pair
+    * count and the distinct contaminated docs on each side.
+    *
+    * Scale: reuses the full [[Dedup.dedupNgramJaccard]] funnel
+    * (bucketed LSH + exact-collapse, never all-pairs); the split
+    * labels join on the already-shuffled pair keys, and the rollup
+    * collapses to ≤3 rows map-side.
+    */
+  def splitLeakage(spark: SparkSession, d: String): DataFrame = {
+    val splits = Tables.documents(spark, d)
+      .withColumn("bucket", bucketSpark)
+      .select(col("doc_id"),
+        when(col("bucket") < 90, lit("train"))
+          .when(col("bucket") < 95, lit("val"))
+          .otherwise(lit("test")).as("split"))
+    val leaks = Dedup.dedupNgramJaccard(spark, d)
+      .where(col("jaccard_e4") >= LeakThresholdE4)
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")),
+        Seq("doc_a"))
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")),
+        Seq("doc_b"))
+      .where(col("split_a") =!= col("split_b"))
+      .select(
+        least(col("split_a"), col("split_b")).as("split_lo"),
+        greatest(col("split_a"), col("split_b")).as("split_hi"),
+        when(col("split_a") <= col("split_b"), col("doc_a"))
+          .otherwise(col("doc_b")).as("doc_lo"),
+        when(col("split_a") <= col("split_b"), col("doc_b"))
+          .otherwise(col("doc_a")).as("doc_hi"))
+      .groupBy("split_lo", "split_hi")
+      .agg(count(lit(1)).as("n_leak_pairs"),
+        countDistinct("doc_lo").as("n_docs_lo"),
+        countDistinct("doc_hi").as("n_docs_hi"))
+    import spark.implicits._
+    Seq(("test", "train"), ("test", "val"), ("train", "val"))
+      .toDF("split_lo", "split_hi")
+      .join(leaks, Seq("split_lo", "split_hi"), "left")
+      .select(col("split_lo"), col("split_hi"),
+        coalesce(col("n_leak_pairs"), lit(0L)).as("n_leak_pairs"),
+        coalesce(col("n_docs_lo"), lit(0L)).as("n_docs_lo"),
+        coalesce(col("n_docs_hi"), lit(0L)).as("n_docs_hi"))
+      .orderBy("split_lo", "split_hi")
+  }
+
+  val splitLeakageSql: String =
+    s"""WITH j AS (SELECT doc_a, doc_b, jaccard_e4
+       |  FROM (${Dedup.dedupNgramJaccardSql})),
+       |sp AS (SELECT doc_id,
+       |  CASE WHEN bucket < 90 THEN 'train'
+       |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT doc_id, $bucketDuck AS bucket FROM documents)),
+       |x AS (SELECT
+       |    least(sa.split, sb.split) AS split_lo,
+       |    greatest(sa.split, sb.split) AS split_hi,
+       |    CASE WHEN sa.split <= sb.split THEN doc_a ELSE doc_b END AS doc_lo,
+       |    CASE WHEN sa.split <= sb.split THEN doc_b ELSE doc_a END AS doc_hi
+       |  FROM j
+       |  JOIN sp sa ON sa.doc_id = doc_a
+       |  JOIN sp sb ON sb.doc_id = doc_b
+       |  WHERE jaccard_e4 >= $LeakThresholdE4 AND sa.split <> sb.split),
+       |agg AS (SELECT split_lo, split_hi, count(*) AS n_leak_pairs,
+       |    count(DISTINCT doc_lo) AS n_docs_lo,
+       |    count(DISTINCT doc_hi) AS n_docs_hi
+       |  FROM x GROUP BY split_lo, split_hi),
+       |grid AS (SELECT * FROM (VALUES ('test','train'), ('test','val'),
+       |    ('train','val')) g(split_lo, split_hi))
+       |SELECT g.split_lo, g.split_hi,
+       |  CAST(coalesce(n_leak_pairs, 0) AS BIGINT) AS n_leak_pairs,
+       |  CAST(coalesce(n_docs_lo, 0) AS BIGINT) AS n_docs_lo,
+       |  CAST(coalesce(n_docs_hi, 0) AS BIGINT) AS n_docs_hi
+       |FROM grid g LEFT JOIN agg USING (split_lo, split_hi)
+       |ORDER BY g.split_lo, g.split_hi""".stripMargin
+
   /** Benchmark decontamination: documents sharing any 3-gram shingle
     * with the "benchmark" set (here: doc_id < 5, standing in for an eval
     * suite) are flagged.
@@ -1542,6 +1630,7 @@ object Curation {
     "q_sample_hash" -> (sampleHash _),
     "q_sample_weighted" -> ((s, d) => sampleWeighted(s, d)),
     "q_split_assign" -> (splitAssign _),
+    "q_split_leakage" -> (splitLeakage _),
     "q_decontaminate" -> (decontaminate _),
     "q_decontaminate_bloom" -> ((s, d) => decontaminateBloom(s, d)),
     "q_stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
@@ -1566,6 +1655,7 @@ object Curation {
     "q_sample_hash" -> sampleHashSql,
     "q_sample_weighted" -> sampleWeightedSql,
     "q_split_assign" -> splitAssignSql,
+    "q_split_leakage" -> splitLeakageSql,
     "q_decontaminate" -> decontaminateSql,
     "q_decontaminate_bloom" -> decontaminateBloomSql,
     "q_stratified_sample" -> stratifiedSampleSql,

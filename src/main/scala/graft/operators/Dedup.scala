@@ -356,6 +356,49 @@ object Dedup {
       // identical content: identical signatures, full agreement
       Seq("est_jaccard_e4" -> lit(10000L)))
 
+  /** The front half of [[dedupMinhashLsh]] WITHOUT the member
+    * expansion: exact-dup membership (doc_id, gid, text), the eligible
+    * gids (canonicals that band AND carry a shingle set — the exact
+    * candidacy filter of [[collapsedPairVerify]]), and the
+    * canonical-level candidate pairs with their signature-agreement
+    * estimate, persisted and forced.
+    *
+    * For composers (e.g. [[Similarity.crossmodalAudit]]) that must
+    * attach their own per-GROUP payloads before pairs explode back to
+    * members — expanding first and joining payloads after multiplies
+    * the payload join by the duplication quadratic. Candidacy semantics
+    * here MIRROR collapsedPairVerify (same sets/sigs inner filters);
+    * CrossmodalCollapseSpec pins the equivalence through the composed
+    * query.
+    */
+  private[operators] def minhashCollapsedPairs(spark: SparkSession, d: String,
+      numHashes: Int = DefaultNumHashes,
+      numBands: Int = DefaultNumBands): (DataFrame, DataFrame, DataFrame) = {
+    val membership = exactCollapse(spark, d)
+    membership.count()
+    val reps = membership.where(col("doc_id") === col("gid"))
+      .select(col("doc_id"), col("text"))
+    val sets = reps
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.shingle_set(col("text")).as("sset"))
+      .where(col("sset").isNotNull)
+      .persist()
+    val sigs = signaturesOver(reps, numHashes).persist()
+    sets.count(); sigs.count()
+    val gd = candidatePairs(sigs, numHashes, numBands)
+      .join(sets.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(sets.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .select(col("doc_a").as("ga"), col("doc_b").as("gb"),
+        expr(sigAgreementExpr(numHashes)).as("est_jaccard_e4"))
+      .persist()
+    gd.count()
+    val elig = sets.select(col("doc_id").as("gid"))
+      .join(sigs.select(col("doc_id").as("gid")), Seq("gid"), "left_semi")
+    (membership, elig, gd)
+  }
+
   val dedupMinhashLshSql: String = {
     val n = DefaultNumHashes
     s"""WITH ${signaturesDuckCte()},

@@ -781,18 +781,89 @@ object Similarity {
     */
   val DefaultCrossmodalMinCos = 300000L
 
+  /** (Semantics in the audit Scaladoc above.) Guarded group-collapse:
+    * the naive shape — expand member pairs, LEFT-join embeddings twice
+    * and run the cosine per pair — multiplies a ~1KB vector payload
+    * join by the duplication quadratic (measured: 253 s at the 100×
+    * mass-duplication replica, 55× the 10× time, all in the two wide
+    * joins). But unlike text metrics, an embedding is NOT a function of
+    * the text — identical docs may legitimately carry different
+    * vectors — so the collapse cannot be assumed; it must be GUARDED:
+    * one linear pass joins members to embeddings and checks, per
+    * exact-dup group, that every member has the same non-null vector
+    * (`uniform`). Pairs between uniform groups inherit their
+    * canonicals' cosine through a narrow (ga, gb) broadcast join; pairs
+    * touching a non-uniform group (mixed vectors, missing rows — the
+    * very faults this audit surfaces) fall back to the per-pair wide
+    * joins, which are then small. Output is row-identical to the naive
+    * shape; CrossmodalCollapseSpec pins it, including a doctored
+    * mixed-embedding fixture that forces the fallback.
+    */
   def crossmodalAudit(spark: SparkSession, d: String,
       minCosE6: Long = DefaultCrossmodalMinCos): DataFrame = {
+    val (membership, elig, gd) = Dedup.minhashCollapsedPairs(spark, d)
+    val mem = membership.select("doc_id", "gid")
     val emb = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
-    // LEFT joins: a pair whose doc lacks an embedding row is the very
-    // id-alignment fault this audit exists to surface — it must appear
-    // with a null cosine and a false verdict, not vanish
-    Dedup.dedupMinhashLsh(spark, d)
+    // one LINEAR wide join: every member doc's embedding (LEFT — a doc
+    // without an embedding row is an alignment fault, not a skip)
+    val memberEmb = mem
+      .join(emb, col("doc_id") === col("vec_id"), "left")
+      .select(col("doc_id"), col("gid"), col("embedding"))
+      .persist()
+    memberEmb.count()
+    val groupInfo = memberEmb
+      .groupBy("gid")
+      .agg(count(lit(1)).as("n_mem"),
+        count(col("embedding")).as("n_emb"),
+        countDistinct(col("embedding")).as("n_dist"))
+      .select(col("gid"),
+        (col("n_emb") === col("n_mem") && col("n_dist") === 1).as("uniform"))
+    val repEmb = memberEmb.where(col("doc_id") === col("gid"))
+      .select(col("gid"), col("embedding").as("rep_emb"))
+    // expanded pairs, KEEPING group ids (narrow): cross-group pairs from
+    // the canonical frame, intra-group pairs with the identical-content
+    // estimate literal — the collapsedPairVerify expansion, inlined so
+    // ga/gb survive for the payload join
+    val cross = gd
+      .join(mem.select(col("gid").as("ga"), col("doc_id").as("da")), "ga")
+      .join(mem.select(col("gid").as("gb"), col("doc_id").as("db")), "gb")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        col("ga"), col("gb"), col("est_jaccard_e4"))
+    val im = mem.join(elig, Seq("gid"), "left_semi")
+    val intra = im.as("x")
+      .join(im.as("y"),
+        col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.gid").as("ga"), col("y.gid").as("gb"),
+        lit(10000L).as("est_jaccard_e4"))
+    val expanded = cross.unionByName(intra)
+      .join(groupInfo.select(col("gid").as("ga"), col("uniform").as("ua")), "ga")
+      .join(groupInfo.select(col("gid").as("gb"), col("uniform").as("ub")), "gb")
+    // canonical cosine once per needed (ga, gb) key — includes ga==gb
+    // (intra pairs of a uniform group score cos(v, v) through the same
+    // kernel, never an assumed literal)
+    val canonCos = gd.select("ga", "gb")
+      .unionByName(elig.select(col("gid").as("ga"), col("gid").as("gb")))
+      .distinct()
+      .join(repEmb.select(col("gid").as("ga"), col("rep_emb").as("emb_a")), "ga")
+      .join(repEmb.select(col("gid").as("gb"), col("rep_emb").as("emb_b")), "gb")
+      .select(col("ga"), col("gb"),
+        when(col("emb_a").isNotNull && col("emb_b").isNotNull,
+          cosE6("emb_a", "emb_b")).as("cos_can"))
+      .persist()
+    canonCos.count()
+    val fast = expanded.where(col("ua") && col("ub"))
+      .join(canonCos, Seq("ga", "gb"))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard_e4"),
+        col("cos_can").as("cos_e6"))
+    val slow = expanded.where(!(col("ua") && col("ub")))
       .join(emb.toDF("doc_a", "emb_a"), Seq("doc_a"), "left")
       .join(emb.toDF("doc_b", "emb_b"), Seq("doc_b"), "left")
       .select(col("doc_a"), col("doc_b"), col("est_jaccard_e4"),
         when(col("emb_a").isNotNull && col("emb_b").isNotNull,
           cosE6("emb_a", "emb_b")).as("cos_e6"))
+    fast.unionByName(slow)
       .withColumn("embeds_agree",
         coalesce(col("cos_e6") >= minCosE6, lit(false)))
       .orderBy("doc_a", "doc_b")

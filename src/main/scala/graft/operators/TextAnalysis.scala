@@ -485,6 +485,63 @@ object TextAnalysis {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** TOKENIZER FERTILITY per language: how many BPE tokens the trained
+    * tokenizer spends per whitespace word (`fertility_ppm`) and how
+    * many characters each token carries (`chars_per_token_e4`), rolled
+    * up per language — THE table a multilingual budget planner reads:
+    * a language with fertility 2.5× another pays 2.5× the context
+    * window for the same text, and a tokenizer trained on a skewed mix
+    * shows it here first (Ács' fertility metric; the per-doc face is
+    * [[bpeEncode]]).
+    *
+    * Scale: identical economics to [[bpeEncode]] — k vocab-sized
+    * trainer rounds, then ONE corpus explode joined against the
+    * broadcast (word → token-count) map; the rollup collapses to
+    * |languages| rows via map-side partial aggregation, so the
+    * per-language face is strictly cheaper than the per-doc one.
+    */
+  def tokenFertility(spark: SparkSession, d: String,
+      rounds: Int = DefaultBpeTrainRounds): DataFrame = {
+    val wf = wordFreq(spark, d).persist()
+    val (_, seg) = bpeTrainLoop(wf, rounds)
+    val wordLens = seg.select(col("word"),
+      length(col("word")).cast(LongType).as("n_chars"),
+      (size(split(col("seg"), " ")) - 1).cast(LongType).as("n_bpe"))
+    val out = Tables.documents(spark, d)
+      .select(col("lang"), explode(expr(tokensSpark)).as("word"))
+      .join(broadcast(wordLens), Seq("word"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_chars").as("n_chars"),
+        sum("n_bpe").as("n_bpe_tokens"))
+      .withColumn("fertility_ppm",
+        expr("n_bpe_tokens * 1000000L div n_words"))
+      .withColumn("chars_per_token_e4",
+        expr("n_chars * 10000L div n_bpe_tokens"))
+      .orderBy("lang")
+      .persist()
+    out.count() // materialize so the vocabulary cache can be released
+    wf.unpersist()
+    out
+  }
+
+  val tokenFertilitySql: String = {
+    val rounds = DefaultBpeTrainRounds
+    s"""WITH ${bpeRoundCtes(rounds)},
+       |wl AS (SELECT word, CAST(length(word) AS BIGINT) AS n_chars,
+       |  CAST(len(string_split(seg, ' ')) - 1 AS BIGINT) AS n_bpe
+       |  FROM s$rounds),
+       |tx AS (SELECT lang, unnest($tokensDuck) AS word FROM documents),
+       |pl AS (SELECT lang, count(*) AS n_words,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens
+       |  FROM tx JOIN wl USING (word) GROUP BY lang)
+       |SELECT lang, n_words, n_chars, n_bpe_tokens,
+       |  n_bpe_tokens * 1000000 // n_words AS fertility_ppm,
+       |  n_chars * 10000 // n_bpe_tokens AS chars_per_token_e4
+       |FROM pl ORDER BY lang""".stripMargin
+  }
+
   /** Corpus vocabulary: token document-frequency and collection-
     * frequency, top-50 — the explode→groupBy shape (one shuffle on the
     * token; map-side partial counts keep the explosion from ever being
@@ -1575,6 +1632,7 @@ object TextAnalysis {
     "q_bpe_apply" -> ((s, d) => bpeApply(s, d)),
     "q_bpe_train" -> ((s, d) => bpeTrain(s, d)),
     "q_bpe_encode" -> ((s, d) => bpeEncode(s, d)),
+    "q_token_fertility" -> ((s, d) => tokenFertility(s, d)),
     "q_tfidf_topterms" -> ((s, d) => tfidfTopTerms(s, d)),
     "q_bm25_rank" -> ((s, d) => bm25Rank(s, d)),
     "q_pack_sequences" -> ((s, d) => packSequences(s, d)),
@@ -1603,6 +1661,7 @@ object TextAnalysis {
     "q_bpe_apply" -> bpeApplySql,
     "q_bpe_train" -> bpeTrainSql,
     "q_bpe_encode" -> bpeEncodeSql,
+    "q_token_fertility" -> tokenFertilitySql,
     "q_tfidf_topterms" -> tfidfTopTermsSql,
     "q_bm25_rank" -> bm25RankSql,
     "q_pack_sequences" -> packSequencesSql,
