@@ -1439,9 +1439,11 @@ object Curation {
     * aggregate — (k+1)·2 corpus passes, driver state is 5 longs (the
     * k-means/BPE collect discipline: model-sized scalars only).
     */
-  def lrTrain(spark: SparkSession, d: String,
-      iterations: Int = LrIterations): DataFrame = {
-    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+  /** The centered integer feature frame shared by [[lrTrain]] and
+    * [[lrScore]]: (doc_id, y, x0..x4), persisted and forced; the
+    * caller unpersists.
+    */
+  private def lrFeatures(spark: SparkSession, d: String): (DataFrame, Long) = {
     import graft.functions.GraftFunctions
     val markers = GraftFunctions.DefaultLangMarkers
     val ownScore = markers.zipWithIndex.foldLeft(lit(0L)) {
@@ -1483,11 +1485,22 @@ object Curation {
       .persist()
     feats.count()
     rawFeats.unpersist()
+    (feats, n)
+  }
+
+  private def lrDot(w: Array[Long]): String =
+    (0 to 4).map(j => s"${w(j)}L*x$j").mkString("(", " + ", ") div 10000L")
+
+  /** `iterations` batch-GD rounds over the feature frame; returns the
+    * weight vector after EACH round.
+    */
+  private def lrRounds(feats: DataFrame, n: Long,
+      iterations: Int): Seq[Array[Long]] = {
     val w = Array.fill(5)(0L)
-    def dot = (0 to 4).map(j => s"${w(j)}L*x$j").mkString("(", " + ", ") div 10000L")
-    val trajectory = Seq.newBuilder[(Long, Long, Long, Long, Long, Long, Long)]
-    for (r <- 1 to iterations) {
-      val err = s"greatest(0L, least(10000L, 5000L + ($dot) div 4L)) - y * 10000L"
+    val hist = Seq.newBuilder[Array[Long]]
+    for (_ <- 1 to iterations) {
+      val err =
+        s"greatest(0L, least(10000L, 5000L + (${lrDot(w)}) div 4L)) - y * 10000L"
       val g = feats.select(
         (0 to 4).map(j =>
           sum(expr(s"cast(($err) * x$j as decimal(38,0))")).as(s"g$j")): _*)
@@ -1496,18 +1509,59 @@ object Curation {
         val gj = BigInt(g.getDecimal(j).toBigInteger)
         w(j) = w(j) - (gj / (BigInt(n) * LrStepDenom)).toLong
       }
-      val nCorrect = feats.select(
-        sum(expr(s"CASE WHEN (($dot) >= 0L) = (y = 1L) THEN 1L ELSE 0L END"))
-          .as("c")).collect()(0).getLong(0)
-      trajectory += ((r.toLong, w(0), w(1), w(2), w(3), w(4),
-        nCorrect * 10000L / n))
+      hist += w.clone()
+    }
+    hist.result()
+  }
+
+  def lrTrain(spark: SparkSession, d: String,
+      iterations: Int = LrIterations): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val (feats, n) = lrFeatures(spark, d)
+    val trajectory = lrRounds(feats, n, iterations).zipWithIndex.map {
+      case (w, i) =>
+        val nCorrect = feats.select(
+          sum(expr(s"CASE WHEN ((${lrDot(w)}) >= 0L) = (y = 1L) THEN 1L ELSE 0L END"))
+            .as("c")).collect()(0).getLong(0)
+        (i + 1L, w(0), w(1), w(2), w(3), w(4), nCorrect * 10000L / n)
     }
     feats.unpersist()
     val spark0 = spark
     import spark0.implicits._
-    trajectory.result()
+    trajectory
       .toDF("iter", "w0", "w1", "w2", "w3", "w4", "acc_e4")
       .orderBy("iter")
+  }
+
+  /** The trained model's INFERENCE face: [[lrTrain]]'s final-round
+    * weights applied per document — e4 logit, hard-sigmoid probability,
+    * verdict, and agreement with the teacher label — the distillation
+    * fidelity table a pipeline inspects before swapping the heuristic
+    * for the model (which documents does the student get wrong, and
+    * how confidently?). Same exact-integer arithmetic as training, so
+    * the oracle reproduces every score bit-for-bit by re-training in
+    * SQL and scoring from its own final weights.
+    *
+    * Scale: training cost (k aggregate passes) plus ONE map-side
+    * scoring projection over the persisted feature frame.
+    */
+  def lrScore(spark: SparkSession, d: String,
+      iterations: Int = LrIterations): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val (feats, n) = lrFeatures(spark, d)
+    val w = lrRounds(feats, n, iterations).last
+    val out = feats.select(
+      col("doc_id"), col("y"),
+      expr(lrDot(w)).as("s_e4"))
+      .select(col("doc_id"), col("y"), col("s_e4"),
+        expr("greatest(0L, least(10000L, 5000L + s_e4 div 4L))").as("p_e4"),
+        expr("CASE WHEN s_e4 >= 0L THEN 1L ELSE 0L END").as("predicted"))
+      .withColumn("correct", col("predicted") === col("y"))
+      .orderBy("doc_id")
+      .persist()
+    out.count() // materialize before the feature cache drops
+    feats.unpersist()
+    out
   }
 
   /** Oracle twin: the identical training rounds unrolled as chained
@@ -1515,7 +1569,16 @@ object Curation {
     * the full trajectory from the raw corpus in HUGEINT and must land
     * on the same weights after every round.
     */
-  val lrTrainSql: String = {
+  private val lrJs = 0 to 4
+  private val lrDotDuck: String =
+    lrJs.map(j => s"w$j*x$j").mkString("(", " + ", ") // 10000")
+
+  /** The shared oracle CTE chain: features → centering → i0 and the k
+    * training rounds (g/i/a per round) — embedded by BOTH
+    * [[lrTrainSql]] (trajectory report) and [[lrScoreSql]] (final-round
+    * scoring), so the two oracles cannot train different models.
+    */
+  private val lrOracleCtes: String = {
     import TextAnalysis.{tokensDuck, shinglesDuck}
     val k = LrIterations
     val markers = graft.functions.GraftFunctions.DefaultLangMarkers
@@ -1529,8 +1592,8 @@ object Curation {
       s"WHEN lang = '$l' THEN sc_$l"
     }.mkString(" ") + " ELSE 0 END"
     val tot = markers.map(m => s"sc_${m._1}").mkString(" + ")
-    val js = 0 to 4
-    val dot = js.map(j => s"w$j*x$j").mkString("(", " + ", ") // 10000")
+    val js = lrJs
+    val dot = lrDotDuck
     def round(r: Int): String = {
       val prev = s"i${r - 1}"
       val gs = js.map(j => s"CAST(sum(err*x$j) AS HUGEINT) AS g$j").mkString(", ")
@@ -1544,14 +1607,7 @@ object Curation {
          |      THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS acc_e4
          |  FROM f, i$r)""".stripMargin
     }
-    val union = (1 to k).map { r =>
-      val ws = js.map(j => s"CAST((SELECT w$j FROM i$r) AS BIGINT) AS w$j")
-        .mkString(",\n  ")
-      s"""SELECT CAST($r AS BIGINT) AS iter,
-         |  $ws,
-         |  (SELECT acc_e4 FROM a$r) AS acc_e4""".stripMargin
-    }.mkString("\n  UNION ALL\n  ")
-    s"""WITH t0 AS (SELECT doc_id, lang, $tokensDuck AS toks FROM documents),
+    s"""t0 AS (SELECT doc_id, lang, $tokensDuck AS toks FROM documents),
        |t1 AS (SELECT doc_id, lang, toks, CAST(len(toks) AS BIGINT) AS n_toks,
        |    CAST(len(list_filter(toks, tk -> tk IN ($stops))) AS BIGINT) AS stop_hits,
        |    CAST(len(list_distinct($shinglesDuck)) AS BIGINT) AS n_sh,
@@ -1575,10 +1631,32 @@ object Curation {
        |    CAST(r3 - m3 AS HUGEINT) AS x3, CAST(r4 - m4 AS HUGEINT) AS x4
        |  FROM r, m),
        |i0 AS (SELECT ${js.map(j => s"CAST(0 AS HUGEINT) AS w$j").mkString(", ")}),
-       |${(1 to k).map(round).mkString(",\n")}
+       |${(1 to k).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  val lrTrainSql: String = {
+    val union = (1 to LrIterations).map { r =>
+      val ws = lrJs.map(j => s"CAST((SELECT w$j FROM i$r) AS BIGINT) AS w$j")
+        .mkString(",\n  ")
+      s"""SELECT CAST($r AS BIGINT) AS iter,
+         |  $ws,
+         |  (SELECT acc_e4 FROM a$r) AS acc_e4""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $lrOracleCtes
        |SELECT * FROM (
        |  $union)
        |ORDER BY iter""".stripMargin
+  }
+
+  val lrScoreSql: String = {
+    val k = LrIterations
+    s"""WITH $lrOracleCtes
+       |SELECT doc_id, CAST(y AS BIGINT) AS y,
+       |  CAST($lrDotDuck AS BIGINT) AS s_e4,
+       |  CAST(greatest(0, least(10000, 5000 + (($lrDotDuck) // 4))) AS BIGINT) AS p_e4,
+       |  CAST(CASE WHEN ($lrDotDuck) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS predicted,
+       |  (CASE WHEN ($lrDotDuck) >= 0 THEN 1 ELSE 0 END) = y AS correct
+       |FROM f, i$k ORDER BY doc_id""".stripMargin
   }
 
   /** fastText-style QUALITY-CLASSIFIER INFERENCE: hashed-unigram
@@ -1816,6 +1894,7 @@ object Curation {
     "q_split_assign" -> (splitAssign _),
     "q_split_leakage" -> (splitLeakage _),
     "q_lr_train" -> ((s, d) => lrTrain(s, d)),
+    "q_lr_score" -> ((s, d) => lrScore(s, d)),
     "q_decontaminate" -> (decontaminate _),
     "q_decontaminate_bloom" -> ((s, d) => decontaminateBloom(s, d)),
     "q_stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
@@ -1842,6 +1921,7 @@ object Curation {
     "q_split_assign" -> splitAssignSql,
     "q_split_leakage" -> splitLeakageSql,
     "q_lr_train" -> lrTrainSql,
+    "q_lr_score" -> lrScoreSql,
     "q_decontaminate" -> decontaminateSql,
     "q_decontaminate_bloom" -> decontaminateBloomSql,
     "q_stratified_sample" -> stratifiedSampleSql,
