@@ -96,8 +96,9 @@ object Dedup {
         graft.functions.GraftFunctions.minhash_sig(col("text"), numHashes).as("sig"))
       .where(col("sig").isNotNull)
 
-  private def signaturesDuckCte(numHashes: Int = DefaultNumHashes): String =
-    s"""t AS (SELECT doc_id, $tokensDuck AS toks FROM documents),
+  private def signaturesDuckCte(numHashes: Int = DefaultNumHashes,
+      src: String = "documents"): String =
+    s"""t AS (SELECT doc_id, $tokensDuck AS toks FROM $src),
        |sh AS (SELECT doc_id, $shinglesDuck AS shingles FROM t),
        |hs0 AS (SELECT doc_id, list_transform(shingles, s2 -> substr(sha256(s2), 1, 28)) AS hs
        |        FROM sh WHERE len(shingles) > 0),
@@ -281,6 +282,193 @@ object Dedup {
        |  (prior.ch IS NULL AND b.rn = 1) AS accepted
        |FROM b LEFT JOIN prior ON b.ch = prior.ch
        |ORDER BY doc_id""".stripMargin
+
+  /** Near-dup Jaccard threshold for [[dedupIncrementalLsh]], shared
+    * with its oracle (the sweep grid's dedup knee).
+    */
+  val IncrementalLshThresholdE4 = 8000L
+
+  /** INCREMENTAL NEAR-dup admission — the LSH face of
+    * [[dedupIncremental]] and the production ingestion mode: each NEW
+    * document (odd ids, standing in for the incoming batch) is scored
+    * against the REGISTRY (even ids, standing in for the persisted
+    * signature store) — exact-content hit, best verified Jaccard over
+    * LSH-candidate registry content, candidate-group count, and the
+    * admission verdict. In-batch near-dups are deliberately out of
+    * scope (that is the batch family's job before registry merge);
+    * exact in-batch arrivals are [[dedupIncremental]]'s.
+    *
+    * Scale shape: everything runs at CANONICAL (distinct-content)
+    * level — [[exactCollapse]] first, then one band equi-join between
+    * canonical signatures and one Jaccard verify per canonical pair;
+    * verdicts expand back to member docs through the membership join.
+    * A batch of a million copies of one registry document costs ONE
+    * signature, ONE verify, and a linear expansion — the naive
+    * member-level band join would pay the duplication quadratic. The
+    * oracle runs rep-level too (identical content ⇒ identical bands,
+    * so member-level collision ⟺ canonical collision), sourced from a
+    * text-partitioned window instead of the hash kernel.
+    */
+  def dedupIncrementalLsh(spark: SparkSession, d: String,
+      numHashes: Int = DefaultNumHashes,
+      numBands: Int = DefaultNumBands,
+      thresholdE4: Long = IncrementalLshThresholdE4): DataFrame = {
+    val membership = exactCollapse(spark, d)
+    membership.count()
+    val groupReg = membership.where(col("doc_id") % 2 === 0)
+      .select(col("gid")).distinct().withColumn("has_reg", lit(true))
+    val reps = membership.where(col("doc_id") === col("gid"))
+      .select(col("doc_id"), col("text"))
+    val sets = reps
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.shingle_set(col("text")).as("sset"))
+      .where(col("sset").isNotNull)
+      .persist()
+    val sigs = signaturesOver(reps, numHashes).persist()
+    sets.count(); sigs.count()
+    val pj = candidatePairs(sigs, numHashes, numBands)
+      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.GraftFunctions.jaccard_e4(col("set_a"), col("set_b"))
+          .as("j"))
+      .persist()
+    pj.count() // one kernel eval per canonical pair (codegen inlining gotcha)
+    val dir = pj.select(col("doc_a").as("ga"), col("doc_b").as("gb"), col("j"))
+      .unionByName(pj.select(col("doc_b").as("ga"), col("doc_a").as("gb"), col("j")))
+    val crossBest = dir
+      .join(groupReg.select(col("gid").as("gb")), Seq("gb"), "left_semi")
+      .groupBy("ga")
+      .agg(max("j").as("best_cross"), countDistinct("gb").as("n_cross"))
+    membership.where(col("doc_id") % 2 === 1)
+      .select("doc_id", "gid")
+      .join(groupReg, Seq("gid"), "left")
+      .join(crossBest.select(col("ga").as("gid"), col("best_cross"), col("n_cross")),
+        Seq("gid"), "left")
+      .select(col("doc_id"),
+        coalesce(col("has_reg"), lit(false)).as("exact_dup"),
+        greatest(when(coalesce(col("has_reg"), lit(false)), lit(10000L))
+            .otherwise(lit(0L)),
+          coalesce(col("best_cross"), lit(0L))).as("best_jaccard_e4"),
+        (coalesce(col("n_cross"), lit(0L)) +
+          when(coalesce(col("has_reg"), lit(false)), 1L).otherwise(0L))
+          .as("n_candidate_groups"))
+      .withColumn("is_dup", col("best_jaccard_e4") >= thresholdE4)
+      .orderBy("doc_id")
+  }
+
+  val dedupIncrementalLshSql: String =
+    s"""WITH grp AS (SELECT doc_id, text,
+       |    -- token-normalized grouping: the content_hash kernel hashes the
+       |    -- single-space token join, not the raw text
+       |    CAST(min(doc_id) OVER (
+       |      PARTITION BY array_to_string($tokensDuck, ' ')) AS BIGINT) AS gid
+       |  FROM documents),
+       |reps AS (SELECT gid AS doc_id, text FROM grp WHERE doc_id = gid),
+       |${signaturesDuckCte(src = "reps")},
+       |${bandsDuckCte()},
+       |$candidatePairsDuckCte,
+       |sets AS (SELECT doc_id, list_distinct(shingles) AS sset
+       |         FROM sh WHERE len(shingles) > 0),
+       |pj AS (SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(sa.sset, sb.sset)) * 10000 AS BIGINT)
+       |      // len(list_distinct(list_concat(sa.sset, sb.sset))) AS j
+       |  FROM pairs JOIN sets sa ON sa.doc_id = doc_a
+       |  JOIN sets sb ON sb.doc_id = doc_b),
+       |dir AS (SELECT doc_a AS ga, doc_b AS gb, j FROM pj
+       |  UNION ALL SELECT doc_b, doc_a, j FROM pj),
+       |reg AS (SELECT DISTINCT gid FROM grp WHERE doc_id % 2 = 0),
+       |crossb AS (SELECT ga, CAST(max(j) AS BIGINT) AS best_cross,
+       |    count(DISTINCT gb) AS n_cross
+       |  FROM dir WHERE gb IN (SELECT gid FROM reg) GROUP BY ga)
+       |SELECT g2.doc_id,
+       |  (g2.gid IN (SELECT gid FROM reg)) AS exact_dup,
+       |  greatest(CASE WHEN g2.gid IN (SELECT gid FROM reg) THEN 10000 ELSE 0 END,
+       |    coalesce(crossb.best_cross, 0)) AS best_jaccard_e4,
+       |  CAST(coalesce(crossb.n_cross, 0)
+       |    + CASE WHEN g2.gid IN (SELECT gid FROM reg) THEN 1 ELSE 0 END
+       |    AS BIGINT) AS n_candidate_groups,
+       |  greatest(CASE WHEN g2.gid IN (SELECT gid FROM reg) THEN 10000 ELSE 0 END,
+       |    coalesce(crossb.best_cross, 0)) >= $IncrementalLshThresholdE4 AS is_dup
+       |FROM grp g2 LEFT JOIN crossb ON crossb.ga = g2.gid
+       |WHERE g2.doc_id % 2 = 1
+       |ORDER BY g2.doc_id""".stripMargin
+
+  /** The static half of STREAMING near-dup admission: the registry's
+    * canonical-level LSH index — (band table, shingle sets, content
+    * hashes with their canonical gid) over the already-ingested corpus
+    * (even ids). Built once in batch; every micro-batch probes it.
+    */
+  def registryIndex(spark: SparkSession, d: String,
+      numHashes: Int = DefaultNumHashes,
+      numBands: Int = DefaultNumBands): (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val reg = Tables.documents(spark, d)
+      .where(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"),
+        graft.functions.GraftFunctions.content_hash(col("text")).as("ch"))
+      .withColumn("rgid", min("doc_id").over(Window.partitionBy("ch")))
+    val canon = reg.where(col("doc_id") === col("rgid"))
+      .select(col("rgid"), col("text")).persist()
+    canon.count()
+    val regBands = bands(
+      signaturesOver(canon.select(col("rgid").as("doc_id"), col("text")),
+        numHashes), numHashes, numBands)
+      .select(col("doc_id").as("rgid"), col("band_id"), col("band_val"))
+    val regSets = canon
+      .select(col("rgid"),
+        graft.functions.GraftFunctions.shingle_set(col("text")).as("rset"))
+      .where(col("rset").isNotNull)
+    val regHashes = reg.select(col("ch"), col("rgid")).distinct()
+    (regBands, regSets, regHashes)
+  }
+
+  /** The stateless per-batch half: admission verdicts for a frame of
+    * new documents against a prebuilt [[registryIndex]] — the same
+    * columns as [[dedupIncrementalLsh]], computable inside
+    * `foreachBatch` with no state store (the registry is the state,
+    * merged between batches by the ingestion job). Exact-content hits
+    * enter the candidate union as literal-10000 rows, so a doc too
+    * short to shingle still scores its byte-twin; band candidates
+    * always have sets on both sides (bands exist ⇒ shingles exist).
+    * StreamingIncrementalLshSpec pins stream == the batch query.
+    */
+  def incrementalLshProbe(newDocs: DataFrame,
+      regBands: DataFrame, regSets: DataFrame, regHashes: DataFrame,
+      numHashes: Int = DefaultNumHashes,
+      numBands: Int = DefaultNumBands,
+      thresholdE4: Long = IncrementalLshThresholdE4): DataFrame = {
+    val base = newDocs.select(col("doc_id"), col("text"),
+      graft.functions.GraftFunctions.content_hash(col("text")).as("ch"))
+    val exact = base
+      .join(regHashes, Seq("ch"))
+      .select(col("doc_id"), col("rgid"), lit(10000L).as("j"))
+    val sigs = signaturesOver(base.select(col("doc_id"), col("text")), numHashes)
+    val mySets = base
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.shingle_set(col("text")).as("sset"))
+      .where(col("sset").isNotNull)
+    val cand = bands(sigs, numHashes, numBands)
+      .join(regBands, Seq("band_id", "band_val"))
+      .select(col("doc_id"), col("rgid")).distinct()
+      .join(mySets, Seq("doc_id"))
+      .join(regSets, Seq("rgid"))
+      .select(col("doc_id"), col("rgid"),
+        graft.functions.GraftFunctions.jaccard_e4(col("sset"), col("rset"))
+          .as("j"))
+    val perDoc = cand.unionByName(exact)
+      .groupBy("doc_id")
+      .agg(max("j").as("best"), countDistinct("rgid").as("n_groups"))
+    base.select(col("doc_id"), col("ch"))
+      .join(regHashes.select(col("ch"), lit(true).as("exact_hit")).distinct(),
+        Seq("ch"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("exact_hit"), lit(false)).as("exact_dup"),
+        coalesce(col("best"), lit(0L)).as("best_jaccard_e4"),
+        coalesce(col("n_groups"), lit(0L)).as("n_candidate_groups"))
+      .withColumn("is_dup", col("best_jaccard_e4") >= thresholdE4)
+  }
 
   /** Stateless projection half of STREAMING exact dedup at ingest:
     * (doc_id, content_hash, ingest_ts) — the same content-hash kernel
@@ -1294,6 +1482,7 @@ object Dedup {
     "q_dedup_exact" -> (dedupExact _),
     "q_lsh_tuning" -> (lshTuning _),
     "q_dedup_incremental" -> (dedupIncremental _),
+    "q_dedup_incremental_lsh" -> ((s, d) => dedupIncrementalLsh(s, d)),
     "q_dedup_keep_canonical" -> (dedupKeepCanonical _),
     "q_dedup_minhash_lsh" -> ((s, d) => dedupMinhashLsh(s, d)),
     "q_dedup_simhash" -> (dedupSimhash _),
@@ -1312,6 +1501,7 @@ object Dedup {
     "q_dedup_exact" -> dedupExactSql,
     "q_lsh_tuning" -> lshTuningSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
+    "q_dedup_incremental_lsh" -> dedupIncrementalLshSql,
     "q_dedup_keep_canonical" -> dedupKeepCanonicalSql,
     "q_dedup_minhash_lsh" -> dedupMinhashLshSql,
     "q_dedup_simhash" -> dedupSimhashSql,
