@@ -309,14 +309,16 @@ object Dedup {
     * so member-level collision ⟺ canonical collision), sourced from a
     * text-partitioned window instead of the hash kernel.
     */
-  def dedupIncrementalLsh(spark: SparkSession, d: String,
+  /** Canonical-level funnel with EXACT Jaccard per candidate pair —
+    * the [[minhashCollapsedPairs]] sibling for composers that verify
+    * rather than estimate: (membership, eligible gids, (ga, gb, j)
+    * pairs, persisted and forced).
+    */
+  private[operators] def jaccardCollapsedPairs(spark: SparkSession, d: String,
       numHashes: Int = DefaultNumHashes,
-      numBands: Int = DefaultNumBands,
-      thresholdE4: Long = IncrementalLshThresholdE4): DataFrame = {
+      numBands: Int = DefaultNumBands): (DataFrame, DataFrame, DataFrame) = {
     val membership = exactCollapse(spark, d)
     membership.count()
-    val groupReg = membership.where(col("doc_id") % 2 === 0)
-      .select(col("gid")).distinct().withColumn("has_reg", lit(true))
     val reps = membership.where(col("doc_id") === col("gid"))
       .select(col("doc_id"), col("text"))
     val sets = reps
@@ -329,13 +331,25 @@ object Dedup {
     val pj = candidatePairs(sigs, numHashes, numBands)
       .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
+      .select(col("doc_a").as("ga"), col("doc_b").as("gb"),
         graft.functions.GraftFunctions.jaccard_e4(col("set_a"), col("set_b"))
           .as("j"))
       .persist()
     pj.count() // one kernel eval per canonical pair (codegen inlining gotcha)
-    val dir = pj.select(col("doc_a").as("ga"), col("doc_b").as("gb"), col("j"))
-      .unionByName(pj.select(col("doc_b").as("ga"), col("doc_a").as("gb"), col("j")))
+    val elig = sets.select(col("doc_id").as("gid"))
+      .join(sigs.select(col("doc_id").as("gid")), Seq("gid"), "left_semi")
+    (membership, elig, pj)
+  }
+
+  def dedupIncrementalLsh(spark: SparkSession, d: String,
+      numHashes: Int = DefaultNumHashes,
+      numBands: Int = DefaultNumBands,
+      thresholdE4: Long = IncrementalLshThresholdE4): DataFrame = {
+    val (membership, _, pj) = jaccardCollapsedPairs(spark, d, numHashes, numBands)
+    val groupReg = membership.where(col("doc_id") % 2 === 0)
+      .select(col("gid")).distinct().withColumn("has_reg", lit(true))
+    val dir = pj
+      .unionByName(pj.select(col("gb").as("ga"), col("ga").as("gb"), col("j")))
     val crossBest = dir
       .join(groupReg.select(col("gid").as("gb")), Seq("gb"), "left_semi")
       .groupBy("ga")
@@ -652,7 +666,8 @@ object Dedup {
     * exact dedup, which removes the identical-copy mass that makes
     * buckets quadratic.
     */
-  def dedupSimhash64(spark: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
+  private def simhash64Banded(spark: SparkSession, d: String,
+      wide: Boolean, maxHamming: Int, flagName: String): DataFrame = {
     // same exact-collapse composition as [[collapsedPairVerify]], over
     // the simhash signature family: identical token content gives an
     // identical 64-bit fingerprint, so member pairs band exactly when
@@ -665,8 +680,16 @@ object Dedup {
       .where(col("sbands").isNotNull)
       .persist()
     sigs.count()
-    val bands = sigs.select(col("doc_id"),
-      posexplode(col("sbands")).as(Seq("band_id", "band_val")))
+    // 4×16-bit bands guarantee detection at Hamming ≤ 3; fusing them
+    // pairwise into 2×32-bit bands (wide) guarantees only ≤ 1 but cuts
+    // the bucket collision rate quadratically — the banding S-curve
+    // knob production turns as the corpus grows
+    val bands =
+      if (wide) sigs.select(col("doc_id"), posexplode(expr(
+          "array(sbands[0] * 65536L + sbands[1], sbands[2] * 65536L + sbands[3])"))
+          .as(Seq("band_id", "band_val")))
+      else sigs.select(col("doc_id"),
+        posexplode(col("sbands")).as(Seq("band_id", "band_val")))
     val pairs = bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_val") === col("b.band_val") &&
@@ -681,7 +704,7 @@ object Dedup {
       .join(sigs.select(col("doc_id").as("doc_a"), col("sbands").as("sbands_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sbands").as("sbands_b")), "doc_b")
       .select(col("doc_a").as("ga"), col("doc_b").as("gb"), hamming.as("hamming"))
-      .withColumn("within_3", col("hamming") <= maxHamming)
+      .withColumn(flagName, col("hamming") <= maxHamming)
       .persist()
     gd.count()
     val mem = membership.select("doc_id", "gid")
@@ -690,15 +713,30 @@ object Dedup {
       .join(mem.select(col("gid").as("gb"), col("doc_id").as("db")), "gb")
       .select(least(col("da"), col("db")).as("doc_a"),
         greatest(col("da"), col("db")).as("doc_b"),
-        col("hamming"), col("within_3"))
+        col("hamming"), col(flagName))
     val im = mem.join(sigs.select(col("doc_id").as("gid")), Seq("gid"), "left_semi")
     val intra = im.as("x")
       .join(im.as("y"),
         col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        lit(0L).as("hamming"), lit(true).as("within_3"))
+        lit(0L).as("hamming"), lit(true).as(flagName))
     cross.unionByName(intra).orderBy("doc_a", "doc_b")
   }
+
+  def dedupSimhash64(spark: SparkSession, d: String, maxHamming: Int = 3): DataFrame =
+    simhash64Banded(spark, d, wide = false, maxHamming, "within_3")
+
+  /** The WIDE-band face: 2×32-bit bands over the same fingerprints —
+    * the scale mitigation the 100× replica study names for
+    * [[dedupSimhash64]]'s output-volume tail (its 16-bit buckets emit
+    * ~10× the candidate pairs of MinHash banding at 100× mass
+    * duplication). Detection guarantee drops from Hamming ≤ 3 to ≤ 1;
+    * the candidate set shrinks quadratically with bucket collision
+    * probability. Emitted as its own query so the sweep measures the
+    * precision/recall/cost trade empirically instead of by argument.
+    */
+  def dedupSimhash64Wide(spark: SparkSession, d: String): DataFrame =
+    simhash64Banded(spark, d, wide = true, maxHamming = 1, "within_1")
 
   val dedupSimhash64Sql: String =
     s"""WITH t AS (SELECT doc_id, $tokensDuck AS toks FROM documents),
@@ -730,6 +768,40 @@ object Dedup {
        |    bit_count(xor(sa.sbands[j], sb2.sbands[j])))) AS BIGINT) AS hamming,
        |  CAST(list_sum(list_transform(range(1, 5), j ->
        |    bit_count(xor(sa.sbands[j], sb2.sbands[j])))) AS BIGINT) <= 3 AS within_3
+       |FROM pairs JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb2 ON sb2.doc_id = doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val dedupSimhash64WideSql: String =
+    s"""WITH t AS (SELECT doc_id, $tokensDuck AS toks FROM documents),
+       |v AS (SELECT doc_id,
+       |        list_transform(toks, tk -> ('0x' || substr(sha256(tk), 1, 8))::BIGINT) AS his,
+       |        list_transform(toks, tk -> ('0x' || substr(sha256(tk), 9, 8))::BIGINT) AS los
+       |      FROM t WHERE len(toks) > 0),
+       |bits AS (SELECT doc_id,
+       |        list_transform(range(0, 64), b ->
+       |          CASE WHEN list_sum(list_transform(range(1, len(his) + 1), i ->
+       |                 CASE WHEN (CASE WHEN b < 32 THEN los[i] >> b
+       |                            ELSE his[i] >> (b - 32) END) & 1 = 1
+       |                 THEN 1 ELSE -1 END)) >= 0
+       |          THEN 1 ELSE 0 END) AS sb
+       |      FROM v),
+       |sig AS (SELECT doc_id,
+       |        list_transform(range(0, 4), j ->
+       |          CAST(list_sum(list_transform(range(0, 16), k ->
+       |            sb[16*j + k + 1] * (1 << k))) AS BIGINT)) AS sbands
+       |      FROM bits),
+       |bands AS (SELECT doc_id, j AS band_id,
+       |            sbands[2*j + 1] * 65536 + sbands[2*j + 2] AS band_val
+       |          FROM sig, generate_series(0, 1) g(j)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM bands a JOIN bands b
+       |            ON a.band_id = b.band_id AND a.band_val = b.band_val
+       |           AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(list_sum(list_transform(range(1, 5), j ->
+       |    bit_count(xor(sa.sbands[j], sb2.sbands[j])))) AS BIGINT) AS hamming,
+       |  CAST(list_sum(list_transform(range(1, 5), j ->
+       |    bit_count(xor(sa.sbands[j], sb2.sbands[j])))) AS BIGINT) <= 1 AS within_1
        |FROM pairs JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb2 ON sb2.doc_id = doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
 
@@ -916,25 +988,55 @@ object Dedup {
     * cheaper than re-running the funnel per threshold. Thresholds that
     * flag nothing still appear (zero row) via the grid LEFT join.
     */
+  /** Counts-only, so it never expands: the verified canonical pairs
+    * carry their member MULTIPLICITIES instead of being exploded to
+    * member pairs — a cleared canonical pair (A, B) contributes
+    * |A|·|B| pairs and flags every member of both groups; an eligible
+    * duplicate group of size s contributes C(s,2) identical-content
+    * pairs (Jaccard 10000, clears every grid threshold) and flags all
+    * s members. Counting this way is algebraically identical to
+    * counting over the expanded pair list (what the oracle still does,
+    * and the previous implementation did) but the frames stay
+    * canonical-sized: the 100× mass-duplication replica ran the
+    * expanded form in 134.8 s — all of it materializing 6 × 147M
+    * cleared-pair rows that only ever got counted.
+    */
   def dedupThresholdSweep(spark: SparkSession, d: String): DataFrame = {
+    val (membership, elig, pj) = jaccardCollapsedPairs(spark, d)
+    val sz = membership.groupBy(col("gid")).agg(count(lit(1)).as("sz"))
     val thArr = s"array(${SweepThresholdsE4.mkString("L,")}L)"
-    val cleared = dedupNgramJaccard(spark, d)
-      .select(col("doc_a"), col("doc_b"), col("jaccard_e4"),
+    // cross-group contributions per grid threshold (canonical-sized ×6)
+    val crossTh = pj
+      .join(sz.select(col("gid").as("ga"), col("sz").as("sz_a")), "ga")
+      .join(sz.select(col("gid").as("gb"), col("sz").as("sz_b")), "gb")
+      .select(col("ga"), col("gb"), col("j"),
+        (col("sz_a") * col("sz_b")).as("n_member_pairs"),
         explode(expr(thArr)).as("threshold_e4"))
-      .where(col("jaccard_e4") >= col("threshold_e4"))
-    val nPairs = cleared.groupBy("threshold_e4")
-      .agg(count(lit(1)).as("n_pairs"))
-    val nDocs = cleared
-      .select(col("threshold_e4"),
-        explode(expr("array(doc_a, doc_b)")).as("doc_id"))
+      .where(col("j") >= col("threshold_e4"))
+    val crossPairs = crossTh.groupBy("threshold_e4")
+      .agg(sum("n_member_pairs").as("n_cross"))
+    // identical-content groups clear EVERY threshold in the grid
+    val intraStats = elig.join(sz, Seq("gid"))
+      .where(col("sz") >= 2)
+      .agg(coalesce(sum(expr("sz * (sz - 1) div 2")), lit(0L)).as("n_intra"))
+    // docs flagged at t = every member of a group touched by a cleared
+    // cross pair at t, or of any eligible duplicate group
+    val flaggedCross = crossTh
+      .select(col("threshold_e4"), explode(expr("array(ga, gb)")).as("gid"))
+    val flaggedIntra = elig.join(sz, Seq("gid")).where(col("sz") >= 2)
+      .select(col("gid"), explode(expr(thArr)).as("threshold_e4"))
+      .select("threshold_e4", "gid")
+    val nDocs = flaggedCross.unionByName(flaggedIntra).distinct()
+      .join(sz, Seq("gid"))
       .groupBy("threshold_e4")
-      .agg(countDistinct("doc_id").as("n_docs_flagged"))
+      .agg(sum("sz").as("n_docs_flagged"))
     import spark.implicits._
     SweepThresholdsE4.toDF("threshold_e4")
-      .join(nPairs, Seq("threshold_e4"), "left")
+      .join(crossPairs, Seq("threshold_e4"), "left")
       .join(nDocs, Seq("threshold_e4"), "left")
+      .crossJoin(broadcast(intraStats))
       .select(col("threshold_e4"),
-        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        (coalesce(col("n_cross"), lit(0L)) + col("n_intra")).as("n_pairs"),
         coalesce(col("n_docs_flagged"), lit(0L)).as("n_docs_flagged"))
       .orderBy("threshold_e4")
   }
@@ -1487,6 +1589,7 @@ object Dedup {
     "q_dedup_minhash_lsh" -> ((s, d) => dedupMinhashLsh(s, d)),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_simhash64" -> ((s, d) => dedupSimhash64(s, d)),
+    "q_dedup_simhash64_wide" -> (dedupSimhash64Wide _),
     "q_dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(s, d)),
     "q_minhash_est_audit" -> ((s, d) => minhashEstAudit(s, d)),
     "q_dedup_containment" -> ((s, d) => dedupContainment(s, d)),
@@ -1506,6 +1609,7 @@ object Dedup {
     "q_dedup_minhash_lsh" -> dedupMinhashLshSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_simhash64" -> dedupSimhash64Sql,
+    "q_dedup_simhash64_wide" -> dedupSimhash64WideSql,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "q_minhash_est_audit" -> minhashEstAuditSql,
     "q_dedup_containment" -> dedupContainmentSql,
