@@ -118,6 +118,58 @@ object Similarity {
        |SELECT q_id, vec_id, cos_e6, rank FROM r WHERE rank <= $K
        |ORDER BY q_id, rank""".stripMargin
 
+  /** HYBRID RETRIEVAL by reciprocal-rank fusion: the lexical list
+    * ([[TextAnalysis.bm25Rank]]'s top-k for the fixed term query) and
+    * the semantic list ([[simTopkBrute]]'s top-k for query vector 0)
+    * fused by RRF — `Σ 1e6 div (60 + rank)` over the lists a doc
+    * appears in, the standard log-free fusion rule (Cormack et al.'s
+    * k=60) — the targeted-selection shape a curation pipeline uses to
+    * pull "docs about X" with both surface terms AND embedding
+    * neighborhood agreeing. A doc missing from one list simply
+    * contributes nothing for it (nullable rank preserved in the
+    * output, so the fusion provenance is auditable).
+    *
+    * Scale: both inputs are already top-k (bounded) lists — the
+    * full-outer fusion join and the rank window touch ≤ 2k rows no
+    * matter the corpus size; all the scale weight lives in the two
+    * upstream retrievers, which are independently plan-audited.
+    */
+  /** Fused-list size: both input lists in full (lexical 20 + semantic
+    * K), interpolated into the oracle.
+    */
+  val HybridK = 20
+
+  def hybridRetrieval(spark: SparkSession, d: String, k: Int = HybridK): DataFrame = {
+    val lex = TextAnalysis.bm25Rank(spark, d)
+      .withColumn("rank_lex", row_number().over(
+        Window.orderBy(col("score_e6").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank_lex"))
+    val sem = simTopkBrute(spark, d).where(col("q_id") === 0)
+      .select(col("vec_id").as("doc_id"), col("rank").as("rank_sem"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rank_lex"), col("rank_sem"),
+        (coalesce(expr("1000000L div (60 + rank_lex)"), lit(0L)) +
+          coalesce(expr("1000000L div (60 + rank_sem)"), lit(0L))).as("rrf_e6"))
+      .orderBy(col("rrf_e6").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  // lazy: simTopkBruteSql is defined further down this object, and a
+  // strict val here would read it as null during object initialization
+  lazy val hybridRetrievalSql: String =
+    s"""WITH lex0 AS (SELECT doc_id, score_e6 FROM (${TextAnalysis.bm25RankSql})),
+       |lex AS (SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS BIGINT)
+       |      AS rank_lex FROM lex0),
+       |sem AS (SELECT vec_id AS doc_id, CAST(rank AS BIGINT) AS rank_sem
+       |        FROM ($simTopkBruteSql) WHERE q_id = 0)
+       |SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+       |  lex.rank_lex, sem.rank_sem,
+       |  coalesce(1000000 // (60 + lex.rank_lex), 0)
+       |    + coalesce(1000000 // (60 + sem.rank_sem), 0) AS rrf_e6
+       |FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+       |ORDER BY rrf_e6 DESC, doc_id LIMIT $HybridK""".stripMargin
+
   /** LSH-bucketed top-k: same queries, but candidates limited to the
     * query's sign bucket — the approximate, corpus-scale path.
     */
@@ -1509,6 +1561,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_graph" -> ((s, d) => knnGraph(s, d)),
     "q_sim_topk_brute" -> (simTopkBrute _),
+    "q_hybrid_retrieval" -> ((s, d) => hybridRetrieval(s, d)),
     "q_sim_topk_lsh" -> ((s, d) => simTopkLsh(s, d)),
     "q_sim_topk_ivf" -> ((s, d) => simTopkIvf(s, d)),
     "q_ivf_centroids" -> (ivfCentroids _),
@@ -1530,6 +1583,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "q_knn_graph" -> knnGraphSql,
     "q_sim_topk_brute" -> simTopkBruteSql,
+    "q_hybrid_retrieval" -> hybridRetrievalSql,
     "q_sim_topk_lsh" -> simTopkLshSql,
     "q_sim_topk_ivf" -> simTopkIvfSql,
     "q_ivf_centroids" -> ivfCentroidsSql,
