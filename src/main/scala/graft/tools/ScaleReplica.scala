@@ -49,12 +49,16 @@ object ScaleReplica {
       val out = shiftCols.get(t) match {
         case None => df // dimension table: one copy
         case Some(cols) =>
-          (0 until copies).map { k =>
-            cols.foldLeft(df) { (d, c) =>
-              d.withColumn(c,
-                (col(c) + lit(k * ShiftStep)).cast(d.schema(c).dataType))
-            }
-          }.reduce(_ unionByName _)
+          // one cross join with a copy-index range, not a `copies`-way
+          // union: the union plan is O(copies) deep and chokes Catalyst
+          // past a few hundred copies; this stays one operator at any
+          // multiplier
+          val rep = df.crossJoin(
+            spark.range(copies).select(col("id").as("__copy")))
+          cols.foldLeft(rep) { (d, c) =>
+            d.withColumn(c,
+              (col(c) + col("__copy") * ShiftStep).cast(d.schema(c).dataType))
+          }.drop("__copy")
       }
       out.write.mode("overwrite").parquet(s"${dst.stripSuffix("/")}/$t.parquet")
       println(s"replicated $t x${if (shiftCols.contains(t)) copies else 1}")
