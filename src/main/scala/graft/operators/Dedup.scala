@@ -309,14 +309,24 @@ object Dedup {
     * so member-level collision ⟺ canonical collision), sourced from a
     * text-partitioned window instead of the hash kernel.
     */
-  /** Canonical-level funnel with EXACT Jaccard per candidate pair —
-    * the [[minhashCollapsedPairs]] sibling for composers that verify
-    * rather than estimate: (membership, eligible gids, (ga, gb, j)
-    * pairs, persisted and forced).
+  /** ONE canonical-level (collapsed) candidate funnel shared by every
+    * pair-verifying operator: [[exactCollapse]], per-canonical shingle
+    * sets and MinHash signatures (persisted + forced), the set-bearing
+    * LSH candidate pairs, and the eligible gids (canonicals that band
+    * AND carry a shingle set). `score` attaches the operator's pair
+    * metric from the shared (candidates, sets, sigs) frames and must
+    * emit (ga, gb, <metric cols>); the scored frame is persisted AND
+    * counted before any expansion join so the kernel evaluates once per
+    * CANONICAL pair (codegen re-evaluates unmaterialized projections at
+    * their point of use — once per EXPANDED row after a row-multiplying
+    * join; the round-9 editdist lesson). A single definition so the
+    * Jaccard and signature-estimate faces can never drift in candidacy
+    * semantics (the r9 advice item).
     */
-  private[operators] def jaccardCollapsedPairs(spark: SparkSession, d: String,
-      numHashes: Int = DefaultNumHashes,
-      numBands: Int = DefaultNumBands): (DataFrame, DataFrame, DataFrame) = {
+  private def collapsedFunnel(spark: SparkSession, d: String,
+      numHashes: Int, numBands: Int)(
+      score: (DataFrame, DataFrame, DataFrame) => DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val membership = exactCollapse(spark, d)
     membership.count()
     val reps = membership.where(col("doc_id") === col("gid"))
@@ -328,18 +338,34 @@ object Dedup {
       .persist()
     val sigs = signaturesOver(reps, numHashes).persist()
     sets.count(); sigs.count()
-    val pj = candidatePairs(sigs, numHashes, numBands)
-      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b")), "doc_b")
-      .select(col("doc_a").as("ga"), col("doc_b").as("gb"),
-        graft.functions.GraftFunctions.jaccard_e4(col("set_a"), col("set_b"))
-          .as("j"))
-      .persist()
-    pj.count() // one kernel eval per canonical pair (codegen inlining gotcha)
+    // candidacy = both endpoints band AND carry a shingle set; the semi
+    // joins enforce it once for every score function
+    val cand = candidatePairs(sigs, numHashes, numBands)
+      .join(sets.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(sets.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+    val gd = score(cand, sets, sigs).persist()
+    gd.count()
     val elig = sets.select(col("doc_id").as("gid"))
       .join(sigs.select(col("doc_id").as("gid")), Seq("gid"), "left_semi")
-    (membership, elig, pj)
+    (membership, elig, gd)
   }
+
+  /** Canonical-level funnel with EXACT Jaccard per candidate pair —
+    * the [[minhashCollapsedPairs]] sibling for composers that verify
+    * rather than estimate: (membership, eligible gids, (ga, gb, j)
+    * pairs, persisted and forced).
+    */
+  private[operators] def jaccardCollapsedPairs(spark: SparkSession, d: String,
+      numHashes: Int = DefaultNumHashes,
+      numBands: Int = DefaultNumBands): (DataFrame, DataFrame, DataFrame) =
+    collapsedFunnel(spark, d, numHashes, numBands) { (cand, sets, _) =>
+      cand
+        .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b")), "doc_b")
+        .select(col("doc_a").as("ga"), col("doc_b").as("gb"),
+          graft.functions.GraftFunctions.jaccard_e4(col("set_a"), col("set_b"))
+            .as("j"))
+    }
 
   def dedupIncrementalLsh(spark: SparkSession, d: String,
       numHashes: Int = DefaultNumHashes,
@@ -549,59 +575,65 @@ object Dedup {
   /** MinHash + LSH banding: candidate near-dup pairs with the estimated
     * Jaccard (fraction of agreeing minhashes, scaled 1e4).
     */
+  /** MinHash-LSH near-dup detection, DEFAULT (scale-safe) face: the
+    * member-pair census by signature-agreement estimate — for each of
+    * the ≤ numHashes+1 possible estimate values, how many member pairs
+    * band together at that agreement and how many documents they touch.
+    * Counted at CANONICAL level through [[pairCountsByKey]] (a cleared
+    * canonical pair carries |A|·|B| member multiplicity; an eligible
+    * duplicate group of size s contributes C(s,2) full-agreement
+    * pairs), so the output is bounded at numHashes+1 rows and nothing
+    * grows with duplication mass. The expanded per-pair dump — the 100×
+    * sweep's measured tail — is the explicit audit face
+    * [[dedupMinhashLshPairs]] (`q_dedup_minhash_lsh_pairs`).
+    */
   def dedupMinhashLsh(spark: SparkSession, d: String,
       numHashes: Int = DefaultNumHashes,
-      numBands: Int = DefaultNumBands): DataFrame =
-    collapsedPairVerify(spark, d, numHashes, numBands,
-      base => base.select(col("doc_a"), col("doc_b"),
-        expr(sigAgreementExpr(numHashes)).as("est_jaccard_e4")),
+      numBands: Int = DefaultNumBands): DataFrame = {
+    val (membership, elig, gd) = minhashCollapsedPairs(spark, d, numHashes, numBands)
+    pairCountsByKey(membership, elig, gd, Seq("est_jaccard_e4"),
+      Seq("est_jaccard_e4" -> lit(10000L)))
+      .orderBy("est_jaccard_e4")
+  }
+
+  /** AUDIT face: the expanded member-level pair dump (doc_a, doc_b,
+    * est_jaccard_e4). Output volume is pair-expansion-bound under mass
+    * duplication — run it to inspect specific pairs, not as the
+    * standing pipeline face.
+    */
+  def dedupMinhashLshPairs(spark: SparkSession, d: String,
+      numHashes: Int = DefaultNumHashes,
+      numBands: Int = DefaultNumBands): DataFrame = {
+    val (membership, elig, gd) = minhashCollapsedPairs(spark, d, numHashes, numBands)
+    expandMemberPairs(membership, elig, gd, Seq("est_jaccard_e4"),
       // identical content: identical signatures, full agreement
       Seq("est_jaccard_e4" -> lit(10000L)))
+  }
 
-  /** The front half of [[dedupMinhashLsh]] WITHOUT the member
-    * expansion: exact-dup membership (doc_id, gid, text), the eligible
-    * gids (canonicals that band AND carry a shingle set — the exact
-    * candidacy filter of [[collapsedPairVerify]]), and the
-    * canonical-level candidate pairs with their signature-agreement
-    * estimate, persisted and forced.
+  /** The collapsed funnel scored with the signature-agreement estimate:
+    * exact-dup membership (doc_id, gid, text), the eligible gids, and
+    * the canonical-level candidate pairs with est_jaccard_e4, persisted
+    * and forced.
     *
     * For composers (e.g. [[Similarity.crossmodalAudit]]) that must
     * attach their own per-GROUP payloads before pairs explode back to
     * members — expanding first and joining payloads after multiplies
-    * the payload join by the duplication quadratic. Candidacy semantics
-    * here MIRROR collapsedPairVerify (same sets/sigs inner filters);
+    * the payload join by the duplication quadratic.
     * CrossmodalCollapseSpec pins the equivalence through the composed
     * query.
     */
   private[operators] def minhashCollapsedPairs(spark: SparkSession, d: String,
       numHashes: Int = DefaultNumHashes,
-      numBands: Int = DefaultNumBands): (DataFrame, DataFrame, DataFrame) = {
-    val membership = exactCollapse(spark, d)
-    membership.count()
-    val reps = membership.where(col("doc_id") === col("gid"))
-      .select(col("doc_id"), col("text"))
-    val sets = reps
-      .select(col("doc_id"),
-        graft.functions.GraftFunctions.shingle_set(col("text")).as("sset"))
-      .where(col("sset").isNotNull)
-      .persist()
-    val sigs = signaturesOver(reps, numHashes).persist()
-    sets.count(); sigs.count()
-    val gd = candidatePairs(sigs, numHashes, numBands)
-      .join(sets.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
-      .join(sets.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-      .select(col("doc_a").as("ga"), col("doc_b").as("gb"),
-        expr(sigAgreementExpr(numHashes)).as("est_jaccard_e4"))
-      .persist()
-    gd.count()
-    val elig = sets.select(col("doc_id").as("gid"))
-      .join(sigs.select(col("doc_id").as("gid")), Seq("gid"), "left_semi")
-    (membership, elig, gd)
-  }
+      numBands: Int = DefaultNumBands): (DataFrame, DataFrame, DataFrame) =
+    collapsedFunnel(spark, d, numHashes, numBands) { (cand, _, sigs) =>
+      cand
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .select(col("doc_a").as("ga"), col("doc_b").as("gb"),
+          expr(sigAgreementExpr(numHashes)).as("est_jaccard_e4"))
+    }
 
-  val dedupMinhashLshSql: String = {
+  val dedupMinhashLshPairsSql: String = {
     val n = DefaultNumHashes
     s"""WITH ${signaturesDuckCte()},
        |${bandsDuckCte()},
@@ -611,6 +643,23 @@ object Dedup {
        |FROM pairs JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  /** Oracle for the counts face: the NAIVE expanded pair list,
+    * aggregated — the algebraic identity the collapsed counting is
+    * checked against.
+    */
+  val dedupMinhashLshSql: String =
+    s"""WITH pr AS (SELECT est_jaccard_e4, doc_a, doc_b
+       |            FROM ($dedupMinhashLshPairsSql)),
+       |p AS (SELECT est_jaccard_e4, count(*) AS n_pairs FROM pr GROUP BY 1),
+       |dd AS (SELECT est_jaccard_e4, count(DISTINCT doc_id) AS n_docs FROM (
+       |         SELECT est_jaccard_e4, doc_a AS doc_id FROM pr
+       |         UNION ALL SELECT est_jaccard_e4, doc_b FROM pr) GROUP BY 1)
+       |SELECT p.est_jaccard_e4,
+       |  CAST(p.n_pairs AS BIGINT) AS n_pairs,
+       |  CAST(dd.n_docs AS BIGINT) AS n_docs
+       |FROM p JOIN dd USING (est_jaccard_e4)
+       |ORDER BY est_jaccard_e4""".stripMargin
 
   /** SimHash (16-bit here; 64-bit in production is the same shape):
     * per-token 16-bit hashes vote per bit position; the signature is the
