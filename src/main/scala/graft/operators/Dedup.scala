@@ -715,8 +715,15 @@ object Dedup {
     * exact dedup, which removes the identical-copy mass that makes
     * buckets quadratic.
     */
-  private def simhash64Banded(spark: SparkSession, d: String,
-      wide: Boolean, maxHamming: Int, flagName: String): DataFrame = {
+  /** The collapsed simhash64 funnel: exact-dup membership, eligible
+    * gids (canonicals carrying a fingerprint), and the canonical-level
+    * banded candidate pairs with exact Hamming distance and the
+    * detection flag — the shared front half of the counts and pairs
+    * faces.
+    */
+  private def simhash64CollapsedPairs(spark: SparkSession, d: String,
+      wide: Boolean, maxHamming: Int, flagName: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     // same exact-collapse composition as [[collapsedPairVerify]], over
     // the simhash signature family: identical token content gives an
     // identical 64-bit fingerprint, so member pairs band exactly when
@@ -756,23 +763,39 @@ object Dedup {
       .withColumn(flagName, col("hamming") <= maxHamming)
       .persist()
     gd.count()
-    val mem = membership.select("doc_id", "gid")
-    val cross = gd
-      .join(mem.select(col("gid").as("ga"), col("doc_id").as("da")), "ga")
-      .join(mem.select(col("gid").as("gb"), col("doc_id").as("db")), "gb")
-      .select(least(col("da"), col("db")).as("doc_a"),
-        greatest(col("da"), col("db")).as("doc_b"),
-        col("hamming"), col(flagName))
-    val im = mem.join(sigs.select(col("doc_id").as("gid")), Seq("gid"), "left_semi")
-    val intra = im.as("x")
-      .join(im.as("y"),
-        col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        lit(0L).as("hamming"), lit(true).as(flagName))
-    cross.unionByName(intra).orderBy("doc_a", "doc_b")
+    val elig = sigs.select(col("doc_id").as("gid"))
+    (membership, elig, gd)
   }
 
-  def dedupSimhash64(spark: SparkSession, d: String, maxHamming: Int = 3): DataFrame =
+  private def simhash64Banded(spark: SparkSession, d: String,
+      wide: Boolean, maxHamming: Int, flagName: String): DataFrame = {
+    val (membership, elig, gd) =
+      simhash64CollapsedPairs(spark, d, wide, maxHamming, flagName)
+    expandMemberPairs(membership, elig, gd, Seq("hamming", flagName),
+      // identical content: identical fingerprints, Hamming 0
+      Seq("hamming" -> lit(0L), flagName -> lit(true)))
+  }
+
+  /** 64-bit SimHash near-dup detection, DEFAULT (scale-safe) face: the
+    * member-pair census by exact Hamming distance — for each distance
+    * the banding surfaces, how many member pairs and how many distinct
+    * documents. Bounded at 65 rows (Hamming 0..64) regardless of
+    * duplication mass; the r9 100× replica spent 1271 s materializing
+    * this query's expanded pair dump, which is now the explicit audit
+    * face [[dedupSimhash64Pairs]] (`q_dedup_simhash64_pairs`).
+    */
+  def dedupSimhash64(spark: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
+    val (membership, elig, gd) =
+      simhash64CollapsedPairs(spark, d, wide = false, maxHamming, "within_3")
+    pairCountsByKey(membership, elig, gd, Seq("hamming", "within_3"),
+      Seq("hamming" -> lit(0L), "within_3" -> lit(true)))
+      .orderBy("hamming")
+  }
+
+  /** AUDIT face: the expanded member-level pair dump
+    * (doc_a, doc_b, hamming, within_3) of the 4×16-band funnel. */
+  def dedupSimhash64Pairs(spark: SparkSession, d: String,
+      maxHamming: Int = 3): DataFrame =
     simhash64Banded(spark, d, wide = false, maxHamming, "within_3")
 
   /** The WIDE-band face: 2×32-bit bands over the same fingerprints —
@@ -787,7 +810,7 @@ object Dedup {
   def dedupSimhash64Wide(spark: SparkSession, d: String): DataFrame =
     simhash64Banded(spark, d, wide = true, maxHamming = 1, "within_1")
 
-  val dedupSimhash64Sql: String =
+  val dedupSimhash64PairsSql: String =
     s"""WITH t AS (SELECT doc_id, $tokensDuck AS toks FROM documents),
        |v AS (SELECT doc_id,
        |        list_transform(toks, tk -> ('0x' || substr(sha256(tk), 1, 8))::BIGINT) AS his,
@@ -819,6 +842,23 @@ object Dedup {
        |    bit_count(xor(sa.sbands[j], sb2.sbands[j])))) AS BIGINT) <= 3 AS within_3
        |FROM pairs JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb2 ON sb2.doc_id = doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Oracle for the counts face: the NAIVE expanded pair list,
+    * aggregated — the same algebraic identity as
+    * [[dedupMinhashLshSql]].
+    */
+  val dedupSimhash64Sql: String =
+    s"""WITH pr AS (SELECT hamming, within_3, doc_a, doc_b
+       |            FROM ($dedupSimhash64PairsSql)),
+       |p AS (SELECT hamming, within_3, count(*) AS n_pairs FROM pr GROUP BY 1, 2),
+       |dd AS (SELECT hamming, within_3, count(DISTINCT doc_id) AS n_docs FROM (
+       |         SELECT hamming, within_3, doc_a AS doc_id FROM pr
+       |         UNION ALL SELECT hamming, within_3, doc_b FROM pr) GROUP BY 1, 2)
+       |SELECT p.hamming, p.within_3,
+       |  CAST(p.n_pairs AS BIGINT) AS n_pairs,
+       |  CAST(dd.n_docs AS BIGINT) AS n_docs
+       |FROM p JOIN dd USING (hamming, within_3)
+       |ORDER BY p.hamming""".stripMargin
 
   val dedupSimhash64WideSql: String =
     s"""WITH t AS (SELECT doc_id, $tokensDuck AS toks FROM documents),
@@ -915,6 +955,87 @@ object Dedup {
       .persist()
   }
 
+  /** Member-pair CENSUS over a collapsed funnel, counted WITHOUT
+    * expansion: for each distinct value of `keyCols` (metric columns of
+    * the canonical pair frame `gd` = (ga, gb, metrics…)), the number of
+    * member pairs (`n_pairs`) and distinct member docs (`n_docs`) the
+    * expanded pair list would contain. Algebraically identical to
+    * expand-then-aggregate (the oracle's form), but every frame stays
+    * canonical-sized: a cleared canonical pair (A, B) carries
+    * |A|·|B| member-pair multiplicity and touches every member of both
+    * groups; an eligible exact-dup group of size s contributes C(s,2)
+    * identical-content pairs at the `intraKeys` literal values and
+    * touches all s members. The multiplicity arithmetic is the
+    * generalization of [[dedupThresholdSweep]]'s inline sweep counting.
+    */
+  private[operators] def pairCountsByKey(membership: DataFrame,
+      elig: DataFrame, gd: DataFrame, keyCols: Seq[String],
+      intraKeys: Seq[(String, Column)]): DataFrame = {
+    val sz = membership.groupBy(col("gid")).agg(count(lit(1)).as("sz"))
+    val keyed = gd
+      .join(sz.select(col("gid").as("ga"), col("sz").as("sz_a")), "ga")
+      .join(sz.select(col("gid").as("gb"), col("sz").as("sz_b")), "gb")
+    val intraGroups = elig.join(sz, Seq("gid")).where(col("sz") >= 2)
+    // member-pair multiplicities per key: |A|·|B| cross, C(s,2) intra
+    val crossCnt = keyed.select(
+      keyCols.map(col) :+ (col("sz_a") * col("sz_b")).as("m"): _*)
+    val intraCnt = intraGroups.select(
+      intraKeys.map { case (n, c) => c.as(n) } :+
+        expr("sz * (sz - 1) div 2").as("m"): _*)
+    val nPairs = crossCnt.unionByName(intraCnt)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum("m").as("n_pairs"))
+    // docs touched at key k: every member of a group on a cross pair at
+    // k, or of any eligible dup group when k is the identical-content
+    // key — distinct at (key, gid) BEFORE summing sizes, since a group
+    // may sit on many pairs with the same key
+    val crossTouch = keyed.select(
+      keyCols.map(col) :+ explode(expr("array(ga, gb)")).as("gid"): _*)
+    val intraTouch = intraGroups.select(
+      intraKeys.map { case (n, c) => c.as(n) } :+ col("gid"): _*)
+    val nDocs = crossTouch.unionByName(intraTouch).distinct()
+      .join(sz, Seq("gid"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum("sz").as("n_docs"))
+    nPairs.join(nDocs, keyCols)
+  }
+
+  /** Member-level EXPANSION of a collapsed funnel's canonical pair
+    * frame — the back half of [[collapsedPairVerify]], extracted so
+    * audit faces over a shared [[collapsedFunnel]] can reuse it:
+    * cross-group canonical pairs (ga, gb, metrics…) explode through two
+    * membership equi-joins (member pairs inherit their canonicals'
+    * metrics, reoriented doc_a < doc_b); eligible exact-dup groups
+    * self-join into intra-group pairs carrying the `intraMetrics`
+    * identical-content literals. Directional metrics swap values via
+    * `swapOnFlip` when the member pair reorients against its canonical.
+    */
+  private[operators] def expandMemberPairs(membership: DataFrame,
+      elig: DataFrame, gd: DataFrame, names: Seq[String],
+      intraMetrics: Seq[(String, Column)],
+      swapOnFlip: Map[String, String] = Map.empty): DataFrame = {
+    val mem = membership.select("doc_id", "gid")
+    val cross = gd
+      .join(mem.select(col("gid").as("ga"), col("doc_id").as("da")), "ga")
+      .join(mem.select(col("gid").as("gb"), col("doc_id").as("db")), "gb")
+      .select(least(col("da"), col("db")).as("doc_a") +:
+        greatest(col("da"), col("db")).as("doc_b") +:
+        names.map { n =>
+          swapOnFlip.get(n) match {
+            case Some(partner) =>
+              when(col("da") < col("db"), col(n)).otherwise(col(partner)).as(n)
+            case None => col(n)
+          }
+        }: _*)
+    val im = mem.join(elig, Seq("gid"), "left_semi")
+    val intra = im.as("x")
+      .join(im.as("y"),
+        col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a") +: col("y.doc_id").as("doc_b") +:
+        intraMetrics.map { case (n, c) => c.as(n) }: _*)
+    cross.unionByName(intra).orderBy("doc_a", "doc_b")
+  }
+
   /** Collapsed candidate→verify funnel for PAIR-EMITTING queries — the
     * [[exactCollapse]] composition (already standard in the cluster
     * capstones) applied to operators whose OUTPUT is one row per
@@ -967,31 +1088,12 @@ object Dedup {
       .select(col("doc_a").as("ga") +: col("doc_b").as("gb") +: names.map(col): _*)
       .persist()
     gd.count()
-    val mem = membership.select("doc_id", "gid")
-    val cross = gd
-      .join(mem.select(col("gid").as("ga"), col("doc_id").as("da")), "ga")
-      .join(mem.select(col("gid").as("gb"), col("doc_id").as("db")), "gb")
-      .select(least(col("da"), col("db")).as("doc_a") +:
-        greatest(col("da"), col("db")).as("doc_b") +:
-        names.map { n =>
-          swapOnFlip.get(n) match {
-            case Some(partner) =>
-              when(col("da") < col("db"), col(n)).otherwise(col(partner)).as(n)
-            case None => col(n)
-          }
-        }: _*)
     // intra-group pairs exist in the raw funnel only when the doc both
     // bands (non-null signature) and carries a shingle set — the two
     // inner joins above; restrict groups identically
     val elig = sets.select(col("doc_id").as("gid"))
       .join(sigs.select(col("doc_id").as("gid")), Seq("gid"), "left_semi")
-    val im = mem.join(elig, Seq("gid"), "left_semi")
-    val intra = im.as("x")
-      .join(im.as("y"),
-        col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a") +: col("y.doc_id").as("doc_b") +:
-        intraMetrics.map { case (n, c) => c.as(n) }: _*)
-    cross.unionByName(intra).orderBy("doc_a", "doc_b")
+    expandMemberPairs(membership, elig, gd, names, intraMetrics, swapOnFlip)
   }
 
   /** Exact n-gram Jaccard, verified only on the LSH candidate pairs —
@@ -1636,8 +1738,10 @@ object Dedup {
     "q_dedup_incremental_lsh" -> ((s, d) => dedupIncrementalLsh(s, d)),
     "q_dedup_keep_canonical" -> (dedupKeepCanonical _),
     "q_dedup_minhash_lsh" -> ((s, d) => dedupMinhashLsh(s, d)),
+    "q_dedup_minhash_lsh_pairs" -> ((s, d) => dedupMinhashLshPairs(s, d)),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_simhash64" -> ((s, d) => dedupSimhash64(s, d)),
+    "q_dedup_simhash64_pairs" -> ((s, d) => dedupSimhash64Pairs(s, d)),
     "q_dedup_simhash64_wide" -> (dedupSimhash64Wide _),
     "q_dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(s, d)),
     "q_minhash_est_audit" -> ((s, d) => minhashEstAudit(s, d)),
@@ -1656,8 +1760,10 @@ object Dedup {
     "q_dedup_incremental_lsh" -> dedupIncrementalLshSql,
     "q_dedup_keep_canonical" -> dedupKeepCanonicalSql,
     "q_dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "q_dedup_minhash_lsh_pairs" -> dedupMinhashLshPairsSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_simhash64" -> dedupSimhash64Sql,
+    "q_dedup_simhash64_pairs" -> dedupSimhash64PairsSql,
     "q_dedup_simhash64_wide" -> dedupSimhash64WideSql,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "q_minhash_est_audit" -> minhashEstAuditSql,

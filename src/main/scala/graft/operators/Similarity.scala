@@ -851,13 +851,20 @@ object Similarity {
     * shape; CrossmodalCollapseSpec pins it, including a doctored
     * mixed-embedding fixture that forces the fallback.
     */
-  def crossmodalAudit(spark: SparkSession, d: String,
-      minCosE6: Long = DefaultCrossmodalMinCos): DataFrame = {
+  /** Shared guarded-collapse prelude of both crossmodal faces: the
+    * collapsed text funnel, each member's embedding (one LINEAR LEFT
+    * join — a doc without an embedding row is an alignment fault, not a
+    * skip), the per-group uniformity verdict, and the canonical-level
+    * cosine for every needed (ga, gb) key INCLUDING self keys (intra
+    * pairs of a uniform group score cos(v, v) through the same kernel,
+    * never an assumed literal). memberEmb and canonCos come back
+    * persisted and forced.
+    */
+  private def crossmodalPrelude(spark: SparkSession, d: String): (
+      DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val (membership, elig, gd) = Dedup.minhashCollapsedPairs(spark, d)
     val mem = membership.select("doc_id", "gid")
     val emb = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
-    // one LINEAR wide join: every member doc's embedding (LEFT — a doc
-    // without an embedding row is an alignment fault, not a skip)
     val memberEmb = mem
       .join(emb, col("doc_id") === col("vec_id"), "left")
       .select(col("doc_id"), col("gid"), col("embedding"))
@@ -872,6 +879,27 @@ object Similarity {
         (col("n_emb") === col("n_mem") && col("n_dist") === 1).as("uniform"))
     val repEmb = memberEmb.where(col("doc_id") === col("gid"))
       .select(col("gid"), col("embedding").as("rep_emb"))
+    val canonCos = gd.select("ga", "gb")
+      .unionByName(elig.select(col("gid").as("ga"), col("gid").as("gb")))
+      .distinct()
+      .join(repEmb.select(col("gid").as("ga"), col("rep_emb").as("emb_a")), "ga")
+      .join(repEmb.select(col("gid").as("gb"), col("rep_emb").as("emb_b")), "gb")
+      .select(col("ga"), col("gb"),
+        when(col("emb_a").isNotNull && col("emb_b").isNotNull,
+          cosE6("emb_a", "emb_b")).as("cos_can"))
+      .persist()
+    canonCos.count()
+    (mem, elig, gd, memberEmb, groupInfo, canonCos)
+  }
+
+  /** AUDIT face: the expanded per-pair dump (doc_a, doc_b,
+    * est_jaccard_e4, cos_e6, embeds_agree) — output volume is
+    * pair-expansion-bound under mass duplication; the standing pipeline
+    * face is the bounded census [[crossmodalAudit]].
+    */
+  def crossmodalAuditPairs(spark: SparkSession, d: String,
+      minCosE6: Long = DefaultCrossmodalMinCos): DataFrame = {
+    val (mem, elig, gd, memberEmb, groupInfo, canonCos) = crossmodalPrelude(spark, d)
     // expanded pairs, KEEPING group ids (narrow): cross-group pairs from
     // the canonical frame, intra-group pairs with the identical-content
     // estimate literal — the collapsedPairVerify expansion, inlined so
@@ -892,26 +920,15 @@ object Similarity {
     val expanded = cross.unionByName(intra)
       .join(groupInfo.select(col("gid").as("ga"), col("uniform").as("ua")), "ga")
       .join(groupInfo.select(col("gid").as("gb"), col("uniform").as("ub")), "gb")
-    // canonical cosine once per needed (ga, gb) key — includes ga==gb
-    // (intra pairs of a uniform group score cos(v, v) through the same
-    // kernel, never an assumed literal)
-    val canonCos = gd.select("ga", "gb")
-      .unionByName(elig.select(col("gid").as("ga"), col("gid").as("gb")))
-      .distinct()
-      .join(repEmb.select(col("gid").as("ga"), col("rep_emb").as("emb_a")), "ga")
-      .join(repEmb.select(col("gid").as("gb"), col("rep_emb").as("emb_b")), "gb")
-      .select(col("ga"), col("gb"),
-        when(col("emb_a").isNotNull && col("emb_b").isNotNull,
-          cosE6("emb_a", "emb_b")).as("cos_can"))
-      .persist()
-    canonCos.count()
     val fast = expanded.where(col("ua") && col("ub"))
       .join(canonCos, Seq("ga", "gb"))
       .select(col("doc_a"), col("doc_b"), col("est_jaccard_e4"),
         col("cos_can").as("cos_e6"))
     val slow = expanded.where(!(col("ua") && col("ub")))
-      .join(emb.toDF("doc_a", "emb_a"), Seq("doc_a"), "left")
-      .join(emb.toDF("doc_b", "emb_b"), Seq("doc_b"), "left")
+      .join(memberEmb.select(col("doc_id").as("doc_a"),
+        col("embedding").as("emb_a")), Seq("doc_a"), "left")
+      .join(memberEmb.select(col("doc_id").as("doc_b"),
+        col("embedding").as("emb_b")), Seq("doc_b"), "left")
       .select(col("doc_a"), col("doc_b"), col("est_jaccard_e4"),
         when(col("emb_a").isNotNull && col("emb_b").isNotNull,
           cosE6("emb_a", "emb_b")).as("cos_e6"))
@@ -921,9 +938,101 @@ object Similarity {
       .orderBy("doc_a", "doc_b")
   }
 
-  val crossmodalAuditSql: String =
+  /** CROSS-MODAL audit, DEFAULT (scale-safe) face: the member-pair
+    * census by (signature-agreement estimate, embedding verdict) — how
+    * many text-near-dup member pairs the embedding stage agrees on at
+    * each estimate level, and how many documents they touch. The health
+    * signal the audit exists for (text near-dups whose embeddings
+    * disagree) is the `embeds_agree = false` row mass; drilling into
+    * WHICH pairs is the audit face [[crossmodalAuditPairs]]
+    * (`q_crossmodal_audit_pairs`).
+    *
+    * Scale shape: uniform×uniform canonical pairs (the overwhelming
+    * mass — uniformity is the healthy case) contribute their canonical
+    * cosine verdict at |A|·|B| member-pair multiplicity without ever
+    * expanding; uniform eligible groups contribute C(s,2) self-cosine
+    * pairs. Only pairs TOUCHING a non-uniform group (mixed vectors,
+    * missing rows — the fault mass this audit surfaces, small by
+    * construction) expand to member level for per-pair cosines. The r9
+    * 100× replica spent 243 s materializing the expanded dump this
+    * census replaces; n_docs dedupes member touches per key with one
+    * linear membership join, never a pair expansion.
+    */
+  def crossmodalAudit(spark: SparkSession, d: String,
+      minCosE6: Long = DefaultCrossmodalMinCos): DataFrame = {
+    val (mem, elig, gd, memberEmb, groupInfo, canonCos) = crossmodalPrelude(spark, d)
+    val sz = mem.groupBy(col("gid")).agg(count(lit(1)).as("sz"))
+    val gdU = gd
+      .join(groupInfo.select(col("gid").as("ga"), col("uniform").as("ua")), "ga")
+      .join(groupInfo.select(col("gid").as("gb"), col("uniform").as("ub")), "gb")
+    // FAST cross: both groups uniform — the canonical cosine IS every
+    // member pair's cosine; multiplicity |A|·|B|
+    val fastCross = gdU.where(col("ua") && col("ub"))
+      .join(canonCos, Seq("ga", "gb"))
+      .join(sz.select(col("gid").as("ga"), col("sz").as("sz_a")), "ga")
+      .join(sz.select(col("gid").as("gb"), col("sz").as("sz_b")), "gb")
+      .select(col("est_jaccard_e4"),
+        coalesce(col("cos_can") >= minCosE6, lit(false)).as("embeds_agree"),
+        (col("sz_a") * col("sz_b")).as("m"), col("ga"), col("gb"))
+    // FAST intra: uniform eligible dup groups — self-cosine, C(s,2)
+    val fastIntra = elig.join(sz, Seq("gid")).where(col("sz") >= 2)
+      .join(groupInfo.where(col("uniform")), Seq("gid"), "left_semi")
+      .join(canonCos.where(col("ga") === col("gb"))
+        .select(col("ga").as("gid"), col("cos_can")), Seq("gid"))
+      .select(lit(10000L).as("est_jaccard_e4"),
+        coalesce(col("cos_can") >= minCosE6, lit(false)).as("embeds_agree"),
+        expr("sz * (sz - 1) div 2").as("m"), col("gid"))
+    // SLOW: member pairs touching a non-uniform group expand (bounded
+    // by the fault mass) and score per-pair through memberEmb
+    val slowCross = gdU.where(!(col("ua") && col("ub")))
+      .join(mem.select(col("gid").as("ga"), col("doc_id").as("da")), "ga")
+      .join(mem.select(col("gid").as("gb"), col("doc_id").as("db")), "gb")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("est_jaccard_e4"))
+    val imNon = mem.join(elig, Seq("gid"), "left_semi")
+      .join(groupInfo.where(!col("uniform")), Seq("gid"), "left_semi")
+    val slowIntra = imNon.as("x")
+      .join(imNon.as("y"),
+        col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(10000L).as("est_jaccard_e4"))
+    val slow = slowCross.unionByName(slowIntra)
+      .join(memberEmb.select(col("doc_id").as("doc_a"),
+        col("embedding").as("emb_a")), Seq("doc_a"), "left")
+      .join(memberEmb.select(col("doc_id").as("doc_b"),
+        col("embedding").as("emb_b")), Seq("doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard_e4"),
+        coalesce(when(col("emb_a").isNotNull && col("emb_b").isNotNull,
+          cosE6("emb_a", "emb_b")) >= minCosE6, lit(false)).as("embeds_agree"))
+      .persist()
+    slow.count()
+    val keys = Seq("est_jaccard_e4", "embeds_agree")
+    val kc = keys.map(col)
+    val nPairs = fastCross.select(kc :+ col("m"): _*)
+      .unionByName(fastIntra.select(kc :+ col("m"): _*))
+      .unionByName(slow.select(kc :+ lit(1L).as("m"): _*))
+      .groupBy(kc: _*).agg(sum("m").as("n_pairs"))
+    // docs touched per key: whole groups from the fast paths (distinct
+    // at (key, gid) first — a group sits on many pairs), individual
+    // endpoints from the slow path; distinct at DOC level across paths
+    // because a uniform group can also border a non-uniform one
+    val fastTouch = fastCross
+      .select(kc :+ explode(expr("array(ga, gb)")).as("gid"): _*)
+      .unionByName(fastIntra.select(kc :+ col("gid"): _*))
+      .distinct()
+      .join(mem.select(col("gid"), col("doc_id")), Seq("gid"))
+      .select(kc :+ col("doc_id"): _*)
+    val slowTouch = slow.select(kc :+ col("doc_a").as("doc_id"): _*)
+      .unionByName(slow.select(kc :+ col("doc_b").as("doc_id"): _*))
+    val nDocs = fastTouch.unionByName(slowTouch).distinct()
+      .groupBy(kc: _*).agg(count(lit(1)).as("n_docs"))
+    nPairs.join(nDocs, keys)
+      .orderBy("est_jaccard_e4", "embeds_agree")
+  }
+
+  val crossmodalAuditPairsSql: String =
     s"""WITH p AS (SELECT doc_a, doc_b, est_jaccard_e4
-       |  FROM (${Dedup.dedupMinhashLshSql})),
+       |  FROM (${Dedup.dedupMinhashLshPairsSql})),
        |c AS (SELECT p.doc_a, p.doc_b, p.est_jaccard_e4,
        |  CASE WHEN ea.vec_id IS NOT NULL AND eb.vec_id IS NOT NULL
        |    THEN ${cosE6Duck("ea.embedding", "eb.embedding")} END AS cos_e6
@@ -933,6 +1042,24 @@ object Similarity {
        |SELECT doc_a, doc_b, est_jaccard_e4, cos_e6,
        |  coalesce(cos_e6 >= $DefaultCrossmodalMinCos, false) AS embeds_agree
        |FROM c ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Oracle for the census face: the NAIVE expanded pair list,
+    * aggregated — the identity the guarded collapse is checked against.
+    */
+  val crossmodalAuditSql: String =
+    s"""WITH pr AS (SELECT est_jaccard_e4, embeds_agree, doc_a, doc_b
+       |            FROM ($crossmodalAuditPairsSql)),
+       |p AS (SELECT est_jaccard_e4, embeds_agree, count(*) AS n_pairs
+       |      FROM pr GROUP BY 1, 2),
+       |dd AS (SELECT est_jaccard_e4, embeds_agree, count(DISTINCT doc_id) AS n_docs
+       |       FROM (SELECT est_jaccard_e4, embeds_agree, doc_a AS doc_id FROM pr
+       |             UNION ALL SELECT est_jaccard_e4, embeds_agree, doc_b FROM pr)
+       |       GROUP BY 1, 2)
+       |SELECT p.est_jaccard_e4, p.embeds_agree,
+       |  CAST(p.n_pairs AS BIGINT) AS n_pairs,
+       |  CAST(dd.n_docs AS BIGINT) AS n_docs
+       |FROM p JOIN dd USING (est_jaccard_e4, embeds_agree)
+       |ORDER BY p.est_jaccard_e4, p.embeds_agree""".stripMargin
 
   /** ANN RECALL@k audit: the IVF index's top-k against the brute-force
     * ground truth, per query — the quality gate every approximate index
@@ -1572,6 +1699,7 @@ object Similarity {
     "q_ann_recall" -> (annRecall _),
     "q_sim_topk_lsh_multi" -> ((s, d) => simTopkLshMulti(s, d)),
     "q_crossmodal_audit" -> ((s, d) => crossmodalAudit(s, d)),
+    "q_crossmodal_audit_pairs" -> ((s, d) => crossmodalAuditPairs(s, d)),
     "q_dedup_embedding" -> ((s, d) => dedupEmbedding(s, d)),
     "q_embed_quantize" -> (embedQuantize _),
     "q_pq_codebook" -> (pqCodebook _),
@@ -1594,6 +1722,7 @@ object Similarity {
     "q_ann_recall" -> annRecallSql,
     "q_sim_topk_lsh_multi" -> simTopkLshMultiSql,
     "q_crossmodal_audit" -> crossmodalAuditSql,
+    "q_crossmodal_audit_pairs" -> crossmodalAuditPairsSql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
     "q_embed_quantize" -> embedQuantizeSql,
     "q_pq_codebook" -> pqCodebookSql,

@@ -18,7 +18,7 @@ class CrossmodalCollapseSpec extends AnyFunSuite with SparkTestBase {
   /** The pre-collapse implementation, kept as the reference semantics. */
   private def naiveAudit(spark: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
-    Dedup.dedupMinhashLsh(spark, d)
+    Dedup.dedupMinhashLshPairs(spark, d)
       .join(emb.toDF("doc_a", "emb_a"), Seq("doc_a"), "left")
       .join(emb.toDF("doc_b", "emb_b"), Seq("doc_b"), "left")
       .select(col("doc_a"), col("doc_b"), col("est_jaccard_e4"),
@@ -34,7 +34,7 @@ class CrossmodalCollapseSpec extends AnyFunSuite with SparkTestBase {
 
   test("collapsed audit is row-identical to the naive shape on sf0.01") {
     val d = "/root/testdata/sf0.01"
-    val got = rows(Similarity.crossmodalAudit(spark, d))
+    val got = rows(Similarity.crossmodalAuditPairs(spark, d))
     val want = rows(naiveAudit(spark, d))
     assert(got.size == want.size, s"row counts differ: ${got.size} vs ${want.size}")
     assert(got == want)
@@ -67,7 +67,7 @@ class CrossmodalCollapseSpec extends AnyFunSuite with SparkTestBase {
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
 
-    val got = Similarity.crossmodalAudit(spark, dir)
+    val got = Similarity.crossmodalAuditPairs(spark, dir)
     val want = naiveAudit(spark, dir)
     assert(rows(got) == rows(want))
     // the doctored group must actually disagree: (1,3) and (2,3) are

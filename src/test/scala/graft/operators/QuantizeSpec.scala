@@ -203,7 +203,7 @@ class QuantizeSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("crossmodal audit annotates exactly the minhash pairs with driver cosines") {
-    val pairs = Dedup.dedupMinhashLsh(spark, sf).collect()
+    val pairs = Dedup.dedupMinhashLshPairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     val vecs = graft.sources.Tables.embeddings(spark, sf)
       .select("vec_id", "embedding").collect()
@@ -213,7 +213,7 @@ class QuantizeSpec extends AnyFunSuite with SparkTestBase {
       math.floor(dot / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
         * 1e6).toLong
     }
-    val got = Similarity.crossmodalAudit(spark, sf).collect()
+    val got = Similarity.crossmodalAuditPairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
         ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
     assert(got.keySet === pairs.keySet, "audit must cover exactly the funnel pairs")

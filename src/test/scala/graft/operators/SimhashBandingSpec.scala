@@ -16,7 +16,7 @@ class SimhashBandingSpec extends AnyFunSuite with SparkTestBase {
   private val d = "/root/testdata/sf0.01"
 
   test("wide-band candidates are a subset of narrow-band candidates, distances agree") {
-    val narrow = Dedup.dedupSimhash64(spark, d).collect()
+    val narrow = Dedup.dedupSimhash64Pairs(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     val wide = Dedup.dedupSimhash64Wide(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
