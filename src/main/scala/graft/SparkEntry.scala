@@ -21,7 +21,18 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     ParityQueries.s1RangeScan(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * CACHE CONTRACT: several operators persist() and force shared
+    * subframes during query CONSTRUCTION (collapsed funnels, capstone
+    * chains) and deliberately do not unpersist — the caches are the
+    * mechanism by which one logical corpus pass feeds multiple
+    * branches, and releasing them before the caller's final action
+    * would recompute the branch. Runners that execute MANY entries in
+    * one session (Verify, Bench, specs) therefore call
+    * `spark.catalog.clearCache()` between queries; a caller embedding a
+    * single query owns the same release.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityQueries.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ EventAnalytics.queries ++ Multimodal.queries ++

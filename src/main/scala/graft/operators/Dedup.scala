@@ -441,10 +441,20 @@ object Dedup {
     */
   def registryIndex(spark: SparkSession, d: String,
       numHashes: Int = DefaultNumHashes,
+      numBands: Int = DefaultNumBands): (DataFrame, DataFrame, DataFrame) =
+    registryIndexOver(
+      Tables.documents(spark, d).where(col("doc_id") % 2 === 0),
+      numHashes, numBands)
+
+  /** [[registryIndex]] over an arbitrary (doc_id, text, …) frame — the
+    * form ingestion jobs use to index their own persisted admitted
+    * store ([[graft.extract.IngestionPipeline]]).
+    */
+  def registryIndexOver(regDocs: DataFrame,
+      numHashes: Int = DefaultNumHashes,
       numBands: Int = DefaultNumBands): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val reg = Tables.documents(spark, d)
-      .where(col("doc_id") % 2 === 0)
+    val reg = regDocs
       .select(col("doc_id"), col("text"),
         graft.functions.GraftFunctions.content_hash(col("text")).as("ch"))
       .withColumn("rgid", min("doc_id").over(Window.partitionBy("ch")))
@@ -1731,7 +1741,104 @@ object Dedup {
        |  CAST(1000000 // sz.cluster_size AS BIGINT) AS weight_ppm
        |FROM labels l JOIN sz USING (cluster_rep) ORDER BY l.doc_id""".stripMargin
 
+  /** INCREMENTAL INGESTION capstone query: the full
+    * [[graft.extract.IngestionPipeline]] lifecycle driven through four
+    * successive runs over quartiles of the doc-id space — per-doc
+    * admission verdicts (registry probe columns + the admission bit)
+    * across all four batches. Each run extracts the docs NEW since the
+    * committed watermark, probes them against the registry built from
+    * the previously ADMITTED store, writes admitted rows to tiered
+    * partition directories (merging consolidated tiles), and commits
+    * the watermark last. The oracle replays the same four-batch
+    * chained-registry semantics as pure SQL — registry k = admitted
+    * batches 1..k-1 — so the lifecycle's verdict stream is
+    * hash-checked end-to-end, store and watermark included.
+    *
+    * Docs at or above the last run's tier coverage
+    * (`(max+1) div 16 * 16`) are not yet extracted by design —
+    * coverage advances tier-aligned, exactly as the reference's block
+    * partitioner leaves the chain tip unextracted until a tier fills.
+    */
+  def ingestAdmission(spark: SparkSession, d: String): DataFrame = {
+    import graft.extract.IngestionPipeline
+    val dmax = Tables.documents(spark, d).agg(max("doc_id"))
+      .collect()(0).getLong(0)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-ingest-admission").toString
+    val frames = (1 to 4).map { k =>
+      val latest = (dmax + 1) * k / 4
+      val r = IngestionPipeline.ingest(spark, d, store, latest)
+      r.verdicts.withColumn("batch", lit(k.toLong))
+    }
+    frames.reduce(_.unionByName(_))
+      .select(col("doc_id"), col("batch"), col("exact_dup"),
+        col("best_jaccard_e4"), col("n_candidate_groups"),
+        (!col("is_dup")).as("admitted"))
+      .orderBy("doc_id")
+  }
+
+  /** Pure-SQL replay of the four-run chained-registry lifecycle: one
+    * global signature/band/set/content-hash pass (signatures are
+    * functions of content, so batch and registry sides share it), then
+    * per batch k the committed registry = admitted batches < k, its
+    * content canonicals, the exact-hash and band-candidate probes, and
+    * the admission verdict — the same stateless-probe semantics as
+    * [[incrementalLshProbe]], chained the way [[ingestAdmission]]'s
+    * watermark commits chain them.
+    */
+  val ingestAdmissionSql: String = {
+    val th = IncrementalLshThresholdE4
+    def covExpr(k: Int) =
+      s"(SELECT (max_doc + 1) * $k // 4 // 16 * 16 FROM bnd)"
+    val perBatch = (1 to 4).map { k =>
+      val reg =
+        if (k == 1) s"reg$k AS (SELECT doc_id FROM documents WHERE false)"
+        else s"reg$k AS (${(1 until k)
+          .map(i => s"SELECT doc_id FROM adm$i").mkString(" UNION ALL ")})"
+      s"""b$k AS (SELECT doc_id FROM documents
+         |  WHERE doc_id >= ${covExpr(k - 1)} AND doc_id < ${covExpr(k)}),
+         |$reg,
+         |rcanon$k AS (SELECT ch, min(doc_id) AS rgid FROM chash
+         |  WHERE doc_id IN (SELECT doc_id FROM reg$k) GROUP BY ch),
+         |exact$k AS (SELECT c.doc_id, r.rgid, CAST(10000 AS BIGINT) AS j
+         |  FROM chash c JOIN b$k USING (doc_id) JOIN rcanon$k r ON r.ch = c.ch),
+         |cand$k AS (SELECT DISTINCT nb.doc_id, rb.doc_id AS rgid
+         |  FROM bands nb JOIN b$k USING (doc_id)
+         |  JOIN bands rb ON rb.band_id = nb.band_id AND rb.band_val = nb.band_val
+         |  WHERE rb.doc_id IN (SELECT rgid FROM rcanon$k)),
+         |candj$k AS (SELECT c.doc_id, c.rgid,
+         |    CAST(len(list_intersect(sa.sset, sb.sset)) * 10000 AS BIGINT)
+         |      // len(list_distinct(list_concat(sa.sset, sb.sset))) AS j
+         |  FROM cand$k c JOIN sets sa ON sa.doc_id = c.doc_id
+         |  JOIN sets sb ON sb.doc_id = c.rgid),
+         |perdoc$k AS (SELECT doc_id, max(j) AS best, count(DISTINCT rgid) AS n_groups
+         |  FROM (SELECT * FROM candj$k UNION ALL SELECT * FROM exact$k)
+         |  GROUP BY doc_id),
+         |verd$k AS (SELECT b.doc_id, CAST($k AS BIGINT) AS batch,
+         |    (c.ch IN (SELECT ch FROM rcanon$k)) AS exact_dup,
+         |    CAST(coalesce(p.best, 0) AS BIGINT) AS best_jaccard_e4,
+         |    CAST(coalesce(p.n_groups, 0) AS BIGINT) AS n_candidate_groups
+         |  FROM b$k b JOIN chash c USING (doc_id)
+         |  LEFT JOIN perdoc$k p USING (doc_id)),
+         |adm$k AS (SELECT doc_id FROM verd$k WHERE best_jaccard_e4 < $th)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH bnd AS (SELECT max(doc_id) AS max_doc FROM documents),
+       |${signaturesDuckCte()},
+       |${bandsDuckCte()},
+       |sets AS (SELECT doc_id, list_distinct(shingles) AS sset
+       |         FROM sh WHERE len(shingles) > 0),
+       |chash AS (SELECT doc_id, sha256(array_to_string(toks, ' ')) AS ch FROM t),
+       |$perBatch
+       |SELECT doc_id, batch, exact_dup, best_jaccard_e4, n_candidate_groups,
+       |  (best_jaccard_e4 < $th) AS admitted
+       |FROM (SELECT * FROM verd1 UNION ALL SELECT * FROM verd2
+       |      UNION ALL SELECT * FROM verd3 UNION ALL SELECT * FROM verd4)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ingest_admission" -> (ingestAdmission _),
     "q_dedup_exact" -> (dedupExact _),
     "q_lsh_tuning" -> (lshTuning _),
     "q_dedup_incremental" -> (dedupIncremental _),
@@ -1754,6 +1861,7 @@ object Dedup {
     "q_dedup_threshold_sweep" -> ((s, d) => dedupThresholdSweep(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "q_ingest_admission" -> ingestAdmissionSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_lsh_tuning" -> lshTuningSql,
     "q_dedup_incremental" -> dedupIncrementalSql,

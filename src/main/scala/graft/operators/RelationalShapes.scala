@@ -568,7 +568,9 @@ object RelationalShapes {
       |  AND NOT EXISTS (SELECT 1 FROM base l3
       |    WHERE l3.l_orderkey = l1.l_orderkey
       |      AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
-      |GROUP BY s_name
+      |-- group by the KEY (like the Spark side), not the name: two
+      |-- suppliers sharing a name must stay separate rows
+      |GROUP BY l1.l_suppkey, s_name
       |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------- Q2

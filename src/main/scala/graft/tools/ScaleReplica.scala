@@ -56,8 +56,12 @@ object ScaleReplica {
           val rep = df.crossJoin(
             spark.range(copies).select(col("id").as("__copy")))
           cols.foldLeft(rep) { (d, c) =>
+            // shifted keys WIDEN to long instead of casting back to the
+            // source dtype: an int32 key would silently wrap once
+            // copies * ShiftStep passes 2^31 (reachable now that the
+            // cross-join rewrite handles hundreds of copies)
             d.withColumn(c,
-              (col(c) + col("__copy") * ShiftStep).cast(d.schema(c).dataType))
+              (col(c).cast("long") + col("__copy") * ShiftStep))
           }.drop("__copy")
       }
       out.write.mode("overwrite").parquet(s"${dst.stripSuffix("/")}/$t.parquet")
