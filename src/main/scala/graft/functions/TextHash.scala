@@ -53,9 +53,19 @@ object TextHash {
 
   private val HexDigits = "0123456789abcdef".toCharArray
 
+  /** `MessageDigest.getInstance` does a provider lookup + allocation —
+    * per-SHINGLE that dominated the verify-funnel kernels (the r9
+    * "interpreted set-op" rough edge was really this). One digest per
+    * thread; `digest()` resets it after each use.
+    */
+  private val digestTL: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("SHA-256"))
+
+  def sha256Bytes(s: String): Array[Byte] =
+    digestTL.get().digest(s.getBytes(StandardCharsets.UTF_8))
+
   def sha256Hex(s: String): String = {
-    val d = MessageDigest.getInstance("SHA-256")
-      .digest(s.getBytes(StandardCharsets.UTF_8))
+    val d = sha256Bytes(s)
     val out = new Array[Char](64)
     var i = 0
     while (i < 32) {
@@ -66,15 +76,14 @@ object TextHash {
     new String(out)
   }
 
-  /** Parse 14 hex chars (56 bits) starting at `off` (0-based). */
-  private def hex56(hex: String, off: Int): Long = {
+  /** Big-endian unsigned value of `n` digest bytes at `off` — the
+    * byte-aligned twin of parsing 2n hex chars at char offset 2·off
+    * (hex nibbles are big-endian), skipping the hex round-trip.
+    */
+  private def be(d: Array[Byte], off: Int, n: Int): Long = {
     var v = 0L
-    var i = off
-    while (i < off + 14) {
-      val c = hex.charAt(i)
-      v = (v << 4) | (if (c <= '9') c - '0' else c - 'a' + 10).toLong
-      i += 1
-    }
+    var i = 0
+    while (i < n) { v = (v << 8) | (d(off + i) & 0xffL); i += 1 }
     v
   }
 
@@ -88,9 +97,10 @@ object TextHash {
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < sh.length) {
-      val hex = sha256Hex(sh(i))
-      val h1 = hex56(hex, 0)
-      val h2 = hex56(hex, 14)
+      // h1 = hex[0,14) = bytes 0..6; h2 = hex[14,28) = bytes 7..13
+      val d = sha256Bytes(sh(i))
+      val h1 = be(d, 0, 7)
+      val h2 = be(d, 7, 7)
       var j = 0
       while (j < numHashes) {
         val v = h1 + j.toLong * h2
@@ -109,17 +119,19 @@ object TextHash {
   def fingerprint(text: UTF8String): ArrayData = {
     val sh = shingles(tokens(text.toString))
     if (sh.isEmpty) return null
-    var mn: String = null
-    var mx: String = null
+    // lexicographic order of 16 lowercase-hex chars == unsigned order
+    // of the first 8 digest bytes; compare as longs, format at the end
+    var mn = 0L
+    var mx = 0L
     var i = 0
     while (i < sh.length) {
-      val h = sha256Hex(sh(i)).substring(0, 16)
-      if (mn == null || h.compareTo(mn) < 0) mn = h
-      if (mx == null || h.compareTo(mx) > 0) mx = h
+      val h = be(sha256Bytes(sh(i)), 0, 8)
+      if (i == 0 || java.lang.Long.compareUnsigned(h, mn) < 0) mn = h
+      if (i == 0 || java.lang.Long.compareUnsigned(h, mx) > 0) mx = h
       i += 1
     }
     new GenericArrayData(Array[Any](
-      UTF8String.fromString(mn), UTF8String.fromString(mx),
+      UTF8String.fromString(f"$mn%016x"), UTF8String.fromString(f"$mx%016x"),
       UTF8String.fromString(sh.length.toString)))
   }
 
@@ -166,7 +178,7 @@ object TextHash {
     val tv = new Array[Long](toks.length)
     var i = 0
     while (i < toks.length) {
-      tv(i) = java.lang.Long.parseLong(sha256Hex(toks(i)).substring(0, 8), 16) % RollM
+      tv(i) = be(sha256Bytes(toks(i)), 0, 4) % RollM
       i += 1
     }
     val n = toks.length - 2
@@ -276,8 +288,7 @@ object TextHash {
     val votes = new Array[Int](64)
     var i = 0
     while (i < toks.length) {
-      val hex = sha256Hex(toks(i))
-      val v = java.lang.Long.parseUnsignedLong(hex.substring(0, 16), 16)
+      val v = be(sha256Bytes(toks(i)), 0, 8)
       var b = 0
       while (b < 64) {
         votes(b) += (if (((v >>> b) & 1L) == 1L) 1 else -1)
@@ -309,8 +320,7 @@ object TextHash {
     val votes = new Array[Int](16)
     var i = 0
     while (i < toks.length) {
-      val hex = sha256Hex(toks(i))
-      val v = Integer.parseInt(hex.substring(0, 4), 16)
+      val v = be(sha256Bytes(toks(i)), 0, 2).toInt
       var b = 0
       while (b < 16) {
         votes(b) += (if (((v >> b) & 1) == 1) 1 else -1)
