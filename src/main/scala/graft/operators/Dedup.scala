@@ -731,8 +731,55 @@ object Dedup {
     * detection flag — the shared front half of the counts and pairs
     * faces.
     */
+  /** The Manku (WWW'07 §3) piece layout: 6 pieces over the 64-bit
+    * fingerprint — 4×11 + 2×10 bits — keyed by piece PAIRS into
+    * C(6,2) = 15 tables of 21–22-bit keys. Any pair within Hamming 3
+    * damages ≤ 3 pieces, leaving ≥ 3 intact, so ≥ C(3,2) = 3 tables
+    * still match: perfect recall for d ≤ 3 (like the 4×16 bands) at
+    * ~2^5–2^6 times the per-table selectivity — the form that stays
+    * selective past the ~10^6-doc point where 16-bit buckets go
+    * quadratic.
+    */
+  private val MankuPieceBounds: Seq[(Int, Int)] =
+    Seq((0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10))
+
+  /** Arithmetic for fingerprint bits [start, start+width) in terms of
+    * the 4×16-bit band array (element accessor `elem(j)` = band j,
+    * right-shift spelling `shr` — Spark has no `>>` operator, DuckDB
+    * does) — only positive ≤22-bit intermediates, so no sign-bit care
+    * in either engine (the reason the kernel emits 16-bit bands in the
+    * first place).
+    */
+  private def pieceExpr(start: Int, width: Int, elem: Int => String,
+      shr: (String, Int) => String): String = {
+    val end = start + width
+    val parts = (0 until 4).flatMap { j =>
+      val lo = math.max(start, 16 * j)
+      val hi = math.min(end, 16 * j + 16)
+      if (lo >= hi) None
+      else {
+        val mask = (1L << (hi - lo)) - 1
+        Some(s"((${shr(elem(j), lo - 16 * j)} & $mask) * ${1L << (lo - start)})")
+      }
+    }
+    parts.mkString("(", " + ", ")")
+  }
+
+  /** The 15 pair-key expressions: key(i,j) = piece_i · 4096 + piece_j. */
+  private def mankuKeyExprs(elem: Int => String,
+      shr: (String, Int) => String): Seq[String] = {
+    val ps = MankuPieceBounds.map { case (s, w) => pieceExpr(s, w, elem, shr) }
+    for { i <- 0 until 6; j <- i + 1 until 6 }
+      yield s"(${ps(i)} * 4096 + ${ps(j)})"
+  }
+
+  private val sparkShr: (String, Int) => String =
+    (e, n) => s"shiftright($e, $n)"
+  private val duckShr: (String, Int) => String =
+    (e, n) => s"($e >> $n)"
+
   private def simhash64CollapsedPairs(spark: SparkSession, d: String,
-      wide: Boolean, maxHamming: Int, flagName: String)
+      bandMode: String, maxHamming: Int, flagName: String)
       : (DataFrame, DataFrame, DataFrame) = {
     // same exact-collapse composition as [[collapsedPairVerify]], over
     // the simhash signature family: identical token content gives an
@@ -746,16 +793,22 @@ object Dedup {
       .where(col("sbands").isNotNull)
       .persist()
     sigs.count()
-    // 4×16-bit bands guarantee detection at Hamming ≤ 3; fusing them
-    // pairwise into 2×32-bit bands (wide) guarantees only ≤ 1 but cuts
-    // the bucket collision rate quadratically — the banding S-curve
-    // knob production turns as the corpus grows
-    val bands =
-      if (wide) sigs.select(col("doc_id"), posexplode(expr(
+    // the banding S-curve knob production turns as the corpus grows:
+    // narrow 4×16 guarantees detection at Hamming ≤ 3; wide 2×32 only
+    // ≤ 1 but cuts bucket collisions quadratically; manku 15×~21-bit
+    // pair-keys keep the ≤ 3 guarantee AND the selectivity
+    val bands = bandMode match {
+      case "wide" => sigs.select(col("doc_id"), posexplode(expr(
           "array(sbands[0] * 65536L + sbands[1], sbands[2] * 65536L + sbands[3])"))
           .as(Seq("band_id", "band_val")))
-      else sigs.select(col("doc_id"),
+      case "manku" => sigs.select(col("doc_id"), posexplode(expr(
+          mankuKeyExprs(j => s"sbands[$j]", sparkShr)
+            .mkString("array(", ", ", ")")))
+          .as(Seq("band_id", "band_val")))
+      case "narrow" => sigs.select(col("doc_id"),
         posexplode(col("sbands")).as(Seq("band_id", "band_val")))
+      case other => throw new IllegalArgumentException(s"band mode: $other")
+    }
     val pairs = bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_val") === col("b.band_val") &&
@@ -778,9 +831,9 @@ object Dedup {
   }
 
   private def simhash64Banded(spark: SparkSession, d: String,
-      wide: Boolean, maxHamming: Int, flagName: String): DataFrame = {
+      bandMode: String, maxHamming: Int, flagName: String): DataFrame = {
     val (membership, elig, gd) =
-      simhash64CollapsedPairs(spark, d, wide, maxHamming, flagName)
+      simhash64CollapsedPairs(spark, d, bandMode, maxHamming, flagName)
     expandMemberPairs(membership, elig, gd, Seq("hamming", flagName),
       // identical content: identical fingerprints, Hamming 0
       Seq("hamming" -> lit(0L), flagName -> lit(true)))
@@ -796,7 +849,7 @@ object Dedup {
     */
   def dedupSimhash64(spark: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
     val (membership, elig, gd) =
-      simhash64CollapsedPairs(spark, d, wide = false, maxHamming, "within_3")
+      simhash64CollapsedPairs(spark, d, "narrow", maxHamming, "within_3")
     pairCountsByKey(membership, elig, gd, Seq("hamming", "within_3"),
       Seq("hamming" -> lit(0L), "within_3" -> lit(true)))
       .orderBy("hamming")
@@ -806,7 +859,33 @@ object Dedup {
     * (doc_a, doc_b, hamming, within_3) of the 4×16-band funnel. */
   def dedupSimhash64Pairs(spark: SparkSession, d: String,
       maxHamming: Int = 3): DataFrame =
-    simhash64Banded(spark, d, wide = false, maxHamming, "within_3")
+    simhash64Banded(spark, d, "narrow", maxHamming, "within_3")
+
+  /** The PRODUCTION banding (Manku §3, [[MankuPieceBounds]]): same
+    * detection guarantee as the narrow face (Hamming ≤ 3), vastly more
+    * selective buckets — the form a >10^6-doc corpus runs. Counts
+    * census like [[dedupSimhash64]]; identical (hamming, within_3)
+    * verdicts, since banding only changes CANDIDACY and every ≤3 pair
+    * is caught by both (pinned in SimhashBandingSpec).
+    */
+  def dedupSimhash64Manku(spark: SparkSession, d: String,
+      maxHamming: Int = 3): DataFrame = {
+    val (membership, elig, gd) =
+      simhash64CollapsedPairs(spark, d, "manku", maxHamming, "within_3")
+    pairCountsByKey(membership, elig, gd, Seq("hamming", "within_3"),
+      Seq("hamming" -> lit(0L), "within_3" -> lit(true)))
+      .orderBy("hamming")
+  }
+
+  /** Corpus-size-driven banding default — the "production widens its
+    * bands with scale" note made executable. 16-bit buckets hold
+    * ~n/2^16 docs each, so expected per-band candidate work
+    * Σ C(pop, 2) passes ~n²/2^17; past ~10^6 canonical docs the manku
+    * pair-keys (~2^21 buckets) are the right default, below it the
+    * plain 4×16 bands are cheaper (15 vs 4 table rows per doc).
+    */
+  def simhash64BandModeFor(nCanonicalDocs: Long): String =
+    if (nCanonicalDocs < 1000000L) "narrow" else "manku"
 
   /** The WIDE-band face: 2×32-bit bands over the same fingerprints —
     * the scale mitigation the 100× replica study names for
@@ -818,10 +897,13 @@ object Dedup {
     * precision/recall/cost trade empirically instead of by argument.
     */
   def dedupSimhash64Wide(spark: SparkSession, d: String): DataFrame =
-    simhash64Banded(spark, d, wide = true, maxHamming = 1, "within_1")
+    simhash64Banded(spark, d, "wide", maxHamming = 1, "within_1")
 
-  val dedupSimhash64PairsSql: String =
-    s"""WITH t AS (SELECT doc_id, $tokensDuck AS toks FROM documents),
+  /** Shared DuckDB fingerprint prelude (t → v → bits → sig) of every
+    * simhash64 oracle; the faces differ only in their `bands` CTE.
+    */
+  private val simhash64SigDuckCtes: String =
+    s"""t AS (SELECT doc_id, $tokensDuck AS toks FROM documents),
        |v AS (SELECT doc_id,
        |        list_transform(toks, tk -> ('0x' || substr(sha256(tk), 1, 8))::BIGINT) AS his,
        |        list_transform(toks, tk -> ('0x' || substr(sha256(tk), 9, 8))::BIGINT) AS los
@@ -838,9 +920,12 @@ object Dedup {
        |        list_transform(range(0, 4), j ->
        |          CAST(list_sum(list_transform(range(0, 16), k ->
        |            sb[16*j + k + 1] * (1 << k))) AS BIGINT)) AS sbands
-       |      FROM bits),
-       |bands AS (SELECT doc_id, j AS band_id, sbands[j + 1] AS band_val
-       |          FROM sig, generate_series(0, 3) g(j)),
+       |      FROM bits)""".stripMargin
+
+  private def simhash64PairsDuck(bandsCte: String, maxHamming: Int,
+      flag: String): String =
+    s"""WITH $simhash64SigDuckCtes,
+       |$bandsCte,
        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |          FROM bands a JOIN bands b
        |            ON a.band_id = b.band_id AND a.band_val = b.band_val
@@ -849,60 +934,57 @@ object Dedup {
        |  CAST(list_sum(list_transform(range(1, 5), j ->
        |    bit_count(xor(sa.sbands[j], sb2.sbands[j])))) AS BIGINT) AS hamming,
        |  CAST(list_sum(list_transform(range(1, 5), j ->
-       |    bit_count(xor(sa.sbands[j], sb2.sbands[j])))) AS BIGINT) <= 3 AS within_3
+       |    bit_count(xor(sa.sbands[j], sb2.sbands[j])))) AS BIGINT) <= $maxHamming AS $flag
        |FROM pairs JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb2 ON sb2.doc_id = doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** Oracle for the counts face: the NAIVE expanded pair list,
-    * aggregated — the same algebraic identity as
-    * [[dedupMinhashLshSql]].
+  /** Census aggregate over a pairs oracle — the same algebraic identity
+    * as [[dedupMinhashLshSql]].
     */
-  val dedupSimhash64Sql: String =
-    s"""WITH pr AS (SELECT hamming, within_3, doc_a, doc_b
-       |            FROM ($dedupSimhash64PairsSql)),
-       |p AS (SELECT hamming, within_3, count(*) AS n_pairs FROM pr GROUP BY 1, 2),
-       |dd AS (SELECT hamming, within_3, count(DISTINCT doc_id) AS n_docs FROM (
-       |         SELECT hamming, within_3, doc_a AS doc_id FROM pr
-       |         UNION ALL SELECT hamming, within_3, doc_b FROM pr) GROUP BY 1, 2)
-       |SELECT p.hamming, p.within_3,
+  private def simhash64CensusDuck(pairsSql: String, flag: String): String =
+    s"""WITH pr AS (SELECT hamming, $flag, doc_a, doc_b
+       |            FROM ($pairsSql)),
+       |p AS (SELECT hamming, $flag, count(*) AS n_pairs FROM pr GROUP BY 1, 2),
+       |dd AS (SELECT hamming, $flag, count(DISTINCT doc_id) AS n_docs FROM (
+       |         SELECT hamming, $flag, doc_a AS doc_id FROM pr
+       |         UNION ALL SELECT hamming, $flag, doc_b FROM pr) GROUP BY 1, 2)
+       |SELECT p.hamming, p.$flag,
        |  CAST(p.n_pairs AS BIGINT) AS n_pairs,
        |  CAST(dd.n_docs AS BIGINT) AS n_docs
-       |FROM p JOIN dd USING (hamming, within_3)
+       |FROM p JOIN dd USING (hamming, $flag)
        |ORDER BY p.hamming""".stripMargin
 
-  val dedupSimhash64WideSql: String =
-    s"""WITH t AS (SELECT doc_id, $tokensDuck AS toks FROM documents),
-       |v AS (SELECT doc_id,
-       |        list_transform(toks, tk -> ('0x' || substr(sha256(tk), 1, 8))::BIGINT) AS his,
-       |        list_transform(toks, tk -> ('0x' || substr(sha256(tk), 9, 8))::BIGINT) AS los
-       |      FROM t WHERE len(toks) > 0),
-       |bits AS (SELECT doc_id,
-       |        list_transform(range(0, 64), b ->
-       |          CASE WHEN list_sum(list_transform(range(1, len(his) + 1), i ->
-       |                 CASE WHEN (CASE WHEN b < 32 THEN los[i] >> b
-       |                            ELSE his[i] >> (b - 32) END) & 1 = 1
-       |                 THEN 1 ELSE -1 END)) >= 0
-       |          THEN 1 ELSE 0 END) AS sb
-       |      FROM v),
-       |sig AS (SELECT doc_id,
-       |        list_transform(range(0, 4), j ->
-       |          CAST(list_sum(list_transform(range(0, 16), k ->
-       |            sb[16*j + k + 1] * (1 << k))) AS BIGINT)) AS sbands
-       |      FROM bits),
-       |bands AS (SELECT doc_id, j AS band_id,
-       |            sbands[2*j + 1] * 65536 + sbands[2*j + 2] AS band_val
-       |          FROM sig, generate_series(0, 1) g(j)),
-       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |          FROM bands a JOIN bands b
-       |            ON a.band_id = b.band_id AND a.band_val = b.band_val
-       |           AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b,
-       |  CAST(list_sum(list_transform(range(1, 5), j ->
-       |    bit_count(xor(sa.sbands[j], sb2.sbands[j])))) AS BIGINT) AS hamming,
-       |  CAST(list_sum(list_transform(range(1, 5), j ->
-       |    bit_count(xor(sa.sbands[j], sb2.sbands[j])))) AS BIGINT) <= 1 AS within_1
-       |FROM pairs JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb2 ON sb2.doc_id = doc_b
-       |ORDER BY doc_a, doc_b""".stripMargin
+  val dedupSimhash64PairsSql: String = simhash64PairsDuck(
+    """bands AS (SELECT doc_id, j AS band_id, sbands[j + 1] AS band_val
+      |          FROM sig, generate_series(0, 3) g(j))""".stripMargin,
+    maxHamming = 3, flag = "within_3")
+
+  /** Oracle for the counts face: the NAIVE expanded pair list,
+    * aggregated.
+    */
+  val dedupSimhash64Sql: String =
+    simhash64CensusDuck(dedupSimhash64PairsSql, "within_3")
+
+  val dedupSimhash64WideSql: String = simhash64PairsDuck(
+    """bands AS (SELECT doc_id, j AS band_id,
+      |            sbands[2*j + 1] * 65536 + sbands[2*j + 2] AS band_val
+      |          FROM sig, generate_series(0, 1) g(j))""".stripMargin,
+    maxHamming = 1, flag = "within_1")
+
+  /** Manku-banded census oracle: the 15 pair-key expressions are the
+    * SAME strings the Spark face evaluates ([[mankuKeyExprs]]), indexed
+    * out of a list literal per table id.
+    */
+  val dedupSimhash64MankuSql: String = {
+    val keys = mankuKeyExprs(j => s"sbands[${j + 1}]", duckShr).mkString(", ")
+    simhash64CensusDuck(
+      simhash64PairsDuck(
+        s"""bands AS (SELECT doc_id, b AS band_id,
+           |            ([$keys])[b + 1] AS band_val
+           |          FROM sig, generate_series(0, 14) g(b))""".stripMargin,
+        maxHamming = 3, flag = "within_3"),
+      "within_3")
+  }
 
   /** The shared candidate→verify input: persisted shingle-set and
     * signature frames plus the LSH candidate pairs joined with BOTH
@@ -1759,15 +1841,31 @@ object Dedup {
     * coverage advances tier-aligned, exactly as the reference's block
     * partitioner leaves the chain tip unextracted until a tier fills.
     */
+  /** Smallest partition tier for an id space ending at `maxDoc`: the
+    * least 16·4^i with maxDoc + 1 ≤ 256·tier, so a plan never exceeds
+    * ~256 small-tier partitions REGARDLESS of how sparse or shifted the
+    * id space is (the 100× replica shifts ids to ~10^10 — a fixed
+    * 16-wide tier would plan 38 MILLION partitions and the driver loop,
+    * not the data, becomes the bottleneck). Integer arithmetic only, so
+    * the DuckDB oracle computes the identical tier from a CASE ladder.
+    */
+  private[operators] def ingestTier(maxDoc: Long): Long = {
+    var t = 16L
+    while (maxDoc + 1 > 256L * t) t *= 4L
+    t
+  }
+
   def ingestAdmission(spark: SparkSession, d: String): DataFrame = {
     import graft.extract.IngestionPipeline
     val dmax = Tables.documents(spark, d).agg(max("doc_id"))
       .collect()(0).getLong(0)
+    val tier = ingestTier(dmax)
     val store = java.nio.file.Files
       .createTempDirectory("graft-ingest-admission").toString
     val frames = (1 to 4).map { k =>
       val latest = (dmax + 1) * k / 4
-      val r = IngestionPipeline.ingest(spark, d, store, latest)
+      val r = IngestionPipeline.ingest(spark, d, store, latest,
+        tierSizes = Seq(4L * tier, tier))
       r.verdicts.withColumn("batch", lit(k.toLong))
     }
     frames.reduce(_.unionByName(_))
@@ -1788,8 +1886,14 @@ object Dedup {
     */
   val ingestAdmissionSql: String = {
     val th = IncrementalLshThresholdE4
+    // the same 16·4^i tier ladder as [[ingestTier]], as exact integer
+    // comparisons (no float log — engines must agree bit-for-bit)
+    val tierCase = (0 to 20)
+      .map(i => s"WHEN max(doc_id) + 1 <= ${256L * (16L << (2 * i))} " +
+        s"THEN ${16L << (2 * i)}")
+      .mkString("CASE ", " ", s" ELSE ${16L << 42} END")
     def covExpr(k: Int) =
-      s"(SELECT (max_doc + 1) * $k // 4 // 16 * 16 FROM bnd)"
+      s"(SELECT (max_doc + 1) * $k // 4 // tsz * tsz FROM bnd)"
     val perBatch = (1 to 4).map { k =>
       val reg =
         if (k == 1) s"reg$k AS (SELECT doc_id FROM documents WHERE false)"
@@ -1823,7 +1927,8 @@ object Dedup {
          |adm$k AS (SELECT doc_id FROM verd$k WHERE best_jaccard_e4 < $th)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH bnd AS (SELECT max(doc_id) AS max_doc FROM documents),
+    s"""WITH bnd AS (SELECT max(doc_id) AS max_doc, $tierCase AS tsz
+       |            FROM documents),
        |${signaturesDuckCte()},
        |${bandsDuckCte()},
        |sets AS (SELECT doc_id, list_distinct(shingles) AS sset
@@ -1849,6 +1954,7 @@ object Dedup {
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_simhash64" -> ((s, d) => dedupSimhash64(s, d)),
     "q_dedup_simhash64_pairs" -> ((s, d) => dedupSimhash64Pairs(s, d)),
+    "q_dedup_simhash64_manku" -> ((s, d) => dedupSimhash64Manku(s, d)),
     "q_dedup_simhash64_wide" -> (dedupSimhash64Wide _),
     "q_dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(s, d)),
     "q_minhash_est_audit" -> ((s, d) => minhashEstAudit(s, d)),
@@ -1872,6 +1978,7 @@ object Dedup {
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_simhash64" -> dedupSimhash64Sql,
     "q_dedup_simhash64_pairs" -> dedupSimhash64PairsSql,
+    "q_dedup_simhash64_manku" -> dedupSimhash64MankuSql,
     "q_dedup_simhash64_wide" -> dedupSimhash64WideSql,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "q_minhash_est_audit" -> minhashEstAuditSql,

@@ -32,4 +32,25 @@ class SimhashBandingSpec extends AnyFunSuite with SparkTestBase {
       assert(wide.contains(pair), s"pair $pair at hamming $h evaded the wide bands")
     spark.catalog.clearCache()
   }
+
+  test("manku banding detects exactly the narrow face's Hamming<=3 mass") {
+    // both bandings have PERFECT recall for d <= 3 (pigeonhole), so the
+    // within_3 = true census rows must be identical; only the
+    // false-positive tail (hamming > 3) may differ between them
+    def within3(rows: Array[org.apache.spark.sql.Row]) = rows
+      .filter(_.getBoolean(1))
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    val narrow = within3(Dedup.dedupSimhash64(spark, d).collect())
+    val manku = within3(Dedup.dedupSimhash64Manku(spark, d).collect())
+    assert(narrow.nonEmpty, "no within-3 mass at sf0.01 — fixture too small")
+    assert(manku == narrow)
+    spark.catalog.clearCache()
+  }
+
+  test("band-mode default widens with corpus size") {
+    assert(Dedup.simhash64BandModeFor(60000L) == "narrow")
+    assert(Dedup.simhash64BandModeFor(999999L) == "narrow")
+    assert(Dedup.simhash64BandModeFor(1000000L) == "manku")
+    assert(Dedup.simhash64BandModeFor(1L << 40) == "manku")
+  }
 }
