@@ -868,17 +868,32 @@ object Similarity {
     val memberEmb = mem
       .join(emb, col("doc_id") === col("vec_id"), "left")
       .select(col("doc_id"), col("gid"), col("embedding"))
+    // ONE aggregation pass over the member⋈embedding join produces the
+    // EMBEDDING-CLASS frame — per exact-dup group, the partition of its
+    // members by vector value (null = its own class), with sizes and
+    // the canonical's class flagged. Everything downstream (uniformity,
+    // the canonical vector, the census's fault-mass collapse, doc
+    // counting) derives from this class-sized frame; no member-level
+    // vector frame is ever materialized (the r9 shape persisted ~6M
+    // float arrays spilling to disk for 126 s at the 100× replica).
+    val cls = memberEmb
+      .groupBy(col("gid"), col("embedding"))
+      .agg(count(lit(1)).as("csz"),
+        max(col("doc_id") === col("gid")).as("has_canon"))
       .persist()
-    memberEmb.count()
-    val groupInfo = memberEmb
-      .groupBy("gid")
-      .agg(count(lit(1)).as("n_mem"),
-        count(col("embedding")).as("n_emb"),
-        countDistinct(col("embedding")).as("n_dist"))
-      .select(col("gid"),
-        (col("n_emb") === col("n_mem") && col("n_dist") === 1).as("uniform"))
-    val repEmb = memberEmb.where(col("doc_id") === col("gid"))
-      .select(col("gid"), col("embedding").as("rep_emb"))
+    cls.count()
+    val perGroup = cls.groupBy("gid")
+      .agg(sum("csz").as("n_mem"),
+        sum(when(col("embedding").isNotNull, col("csz")).otherwise(lit(0L)))
+          .as("n_emb"),
+        count(when(col("embedding").isNotNull, lit(1))).as("n_cls"),
+        first(when(col("has_canon"), col("embedding")), ignoreNulls = true)
+          .as("rep_emb"))
+      .persist()
+    perGroup.count()
+    val groupInfo = perGroup.select(col("gid"),
+      (col("n_emb") === col("n_mem") && col("n_cls") === 1).as("uniform"))
+    val repEmb = perGroup.select(col("gid"), col("rep_emb"))
     val canonCos = gd.select("ga", "gb")
       .unionByName(elig.select(col("gid").as("ga"), col("gid").as("gb")))
       .distinct()
@@ -889,7 +904,28 @@ object Similarity {
           cosE6("emb_a", "emb_b")).as("cos_can"))
       .persist()
     canonCos.count()
-    (mem, elig, gd, memberEmb, groupInfo, canonCos)
+    (mem, elig, gd, cls.select("gid", "embedding", "csz"), groupInfo, canonCos)
+  }
+
+  /** Per-pair cosine for a SMALL persisted pair frame: two INNER joins
+    * against the embeddings table. The pair side is cached and counted,
+    * so the planner sees its true (tiny) size and broadcasts it — the
+    * embeddings scan streams ONCE per side with no 6M-row shuffle (the
+    * left-join formulation shuffled the whole table twice, because a
+    * left join cannot broadcast its preserved side). A pair missing
+    * from the result (absent embedding row) reads back as a null
+    * cosine through the caller's left join — the same verdict the
+    * left-join shape produced.
+    */
+  private def pairCosines(spark: SparkSession, d: String,
+      pairFrame: DataFrame): DataFrame = {
+    val emb = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
+    pairFrame.select("doc_a", "doc_b")
+      .join(emb.toDF("doc_a", "emb_a"), Seq("doc_a"))
+      .join(emb.toDF("doc_b", "emb_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        when(col("emb_a").isNotNull && col("emb_b").isNotNull,
+          cosE6("emb_a", "emb_b")).as("cos_e6"))
   }
 
   /** AUDIT face: the expanded per-pair dump (doc_a, doc_b,
@@ -899,7 +935,7 @@ object Similarity {
     */
   def crossmodalAuditPairs(spark: SparkSession, d: String,
       minCosE6: Long = DefaultCrossmodalMinCos): DataFrame = {
-    val (mem, elig, gd, memberEmb, groupInfo, canonCos) = crossmodalPrelude(spark, d)
+    val (mem, elig, gd, _, groupInfo, canonCos) = crossmodalPrelude(spark, d)
     // expanded pairs, KEEPING group ids (narrow): cross-group pairs from
     // the canonical frame, intra-group pairs with the identical-content
     // estimate literal — the collapsedPairVerify expansion, inlined so
@@ -924,14 +960,13 @@ object Similarity {
       .join(canonCos, Seq("ga", "gb"))
       .select(col("doc_a"), col("doc_b"), col("est_jaccard_e4"),
         col("cos_can").as("cos_e6"))
-    val slow = expanded.where(!(col("ua") && col("ub")))
-      .join(memberEmb.select(col("doc_id").as("doc_a"),
-        col("embedding").as("emb_a")), Seq("doc_a"), "left")
-      .join(memberEmb.select(col("doc_id").as("doc_b"),
-        col("embedding").as("emb_b")), Seq("doc_b"), "left")
-      .select(col("doc_a"), col("doc_b"), col("est_jaccard_e4"),
-        when(col("emb_a").isNotNull && col("emb_b").isNotNull,
-          cosE6("emb_a", "emb_b")).as("cos_e6"))
+    val slowPairs = expanded.where(!(col("ua") && col("ub")))
+      .select("doc_a", "doc_b", "est_jaccard_e4")
+      .persist()
+    slowPairs.count()
+    val slow = slowPairs
+      .join(pairCosines(spark, d, slowPairs), Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard_e4"), col("cos_e6"))
     fast.unionByName(slow)
       .withColumn("embeds_agree",
         coalesce(col("cos_e6") >= minCosE6, lit(false)))
@@ -958,13 +993,21 @@ object Similarity {
     * census replaces; n_docs dedupes member touches per key with one
     * linear membership join, never a pair expansion.
     */
+  /** Total order over optional vectors (arrays are comparable; a null
+    * embedding sorts into its own leading class) — the class-pair
+    * orientation key of the census's second-level collapse.
+    */
+  private def embOrderKey(e: Column): Column =
+    struct(e.isNull.cast("int").as("isnull"),
+      coalesce(e, array().cast("array<float>")).as("v"))
+
   def crossmodalAudit(spark: SparkSession, d: String,
       minCosE6: Long = DefaultCrossmodalMinCos): DataFrame = {
-    val (mem, elig, gd, memberEmb, groupInfo, canonCos) = crossmodalPrelude(spark, d)
-    val sz = mem.groupBy(col("gid")).agg(count(lit(1)).as("sz"))
+    val (mem, elig, gd, cls, groupInfo, canonCos) = crossmodalPrelude(spark, d)
     val gdU = gd
       .join(groupInfo.select(col("gid").as("ga"), col("uniform").as("ua")), "ga")
       .join(groupInfo.select(col("gid").as("gb"), col("uniform").as("ub")), "gb")
+    val sz = cls.groupBy("gid").agg(sum("csz").as("sz"))
     // FAST cross: both groups uniform — the canonical cosine IS every
     // member pair's cosine; multiplicity |A|·|B|
     val fastCross = gdU.where(col("ua") && col("ub"))
@@ -982,50 +1025,82 @@ object Similarity {
       .select(lit(10000L).as("est_jaccard_e4"),
         coalesce(col("cos_can") >= minCosE6, lit(false)).as("embeds_agree"),
         expr("sz * (sz - 1) div 2").as("m"), col("gid"))
-    // SLOW: member pairs touching a non-uniform group expand (bounded
-    // by the fault mass) and score per-pair through memberEmb
+    // SLOW, second-level collapse: member pairs touching a non-uniform
+    // group never expand either — they collapse by EMBEDDING CLASS
+    // (the per-group partition of members by vector value, from the
+    // prelude's cls frame). Every member pair between class u of A and
+    // class v of B shares one cosine, at |u|·|v| multiplicity (C(|u|,2)
+    // within a class) — so the fault mass costs class-pair work, not
+    // member-pair work (the r9 shape spent 100+ s expanding natural
+    // dup groups whose replicas shared vectors: k classes of size R,
+    // never k·R members). Cosines evaluate inline on the joined class
+    // vectors — no embeddings-table pass at all.
     val slowCross = gdU.where(!(col("ua") && col("ub")))
-      .join(mem.select(col("gid").as("ga"), col("doc_id").as("da")), "ga")
-      .join(mem.select(col("gid").as("gb"), col("doc_id").as("db")), "gb")
-      .select(least(col("da"), col("db")).as("doc_a"),
-        greatest(col("da"), col("db")).as("doc_b"), col("est_jaccard_e4"))
-    val imNon = mem.join(elig, Seq("gid"), "left_semi")
+      .join(cls.select(col("gid").as("ga"), col("embedding").as("ea"),
+        col("csz").as("ca")), "ga")
+      .join(cls.select(col("gid").as("gb"), col("embedding").as("eb"),
+        col("csz").as("cb")), "gb")
+      .select(col("est_jaccard_e4"),
+        coalesce(when(col("ea").isNotNull && col("eb").isNotNull,
+          cosE6("ea", "eb")) >= minCosE6, lit(false)).as("embeds_agree"),
+        (col("ca") * col("cb")).as("m"),
+        col("ga"), col("gb"),
+        embOrderKey(col("ea")).as("ka"), embOrderKey(col("eb")).as("kb"))
+    val clsNon = cls
       .join(groupInfo.where(!col("uniform")), Seq("gid"), "left_semi")
-    val slowIntra = imNon.as("x")
-      .join(imNon.as("y"),
-        col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        lit(10000L).as("est_jaccard_e4"))
-    val slow = slowCross.unionByName(slowIntra)
-      .join(memberEmb.select(col("doc_id").as("doc_a"),
-        col("embedding").as("emb_a")), Seq("doc_a"), "left")
-      .join(memberEmb.select(col("doc_id").as("doc_b"),
-        col("embedding").as("emb_b")), Seq("doc_b"), "left")
-      .select(col("doc_a"), col("doc_b"), col("est_jaccard_e4"),
-        coalesce(when(col("emb_a").isNotNull && col("emb_b").isNotNull,
-          cosE6("emb_a", "emb_b")) >= minCosE6, lit(false)).as("embeds_agree"))
-      .persist()
-    slow.count()
+      .join(elig, Seq("gid"), "left_semi")
+    val slowIntraSame = clsNon.where(col("csz") >= 2)
+      .select(lit(10000L).as("est_jaccard_e4"),
+        coalesce(when(col("embedding").isNotNull,
+          cosE6("embedding", "embedding")) >= minCosE6, lit(false))
+          .as("embeds_agree"),
+        expr("csz * (csz - 1) div 2").as("m"),
+        col("gid"), embOrderKey(col("embedding")).as("k"))
+    val slowIntraDiff = clsNon.as("x")
+      .join(clsNon.as("y"), col("x.gid") === col("y.gid") &&
+        embOrderKey(col("x.embedding")) < embOrderKey(col("y.embedding")))
+      .select(lit(10000L).as("est_jaccard_e4"),
+        coalesce(when(col("x.embedding").isNotNull &&
+          col("y.embedding").isNotNull,
+          cosE6("x.embedding", "y.embedding")) >= minCosE6, lit(false))
+          .as("embeds_agree"),
+        (col("x.csz") * col("y.csz")).as("m"),
+        col("x.gid").as("gid"),
+        embOrderKey(col("x.embedding")).as("ka"),
+        embOrderKey(col("y.embedding")).as("kb"))
     val keys = Seq("est_jaccard_e4", "embeds_agree")
     val kc = keys.map(col)
     val nPairs = fastCross.select(kc :+ col("m"): _*)
       .unionByName(fastIntra.select(kc :+ col("m"): _*))
-      .unionByName(slow.select(kc :+ lit(1L).as("m"): _*))
+      .unionByName(slowCross.select(kc :+ col("m"): _*))
+      .unionByName(slowIntraSame.select(kc :+ col("m"): _*))
+      .unionByName(slowIntraDiff.select(kc :+ col("m"): _*))
       .groupBy(kc: _*).agg(sum("m").as("n_pairs"))
-    // docs touched per key: whole groups from the fast paths (distinct
-    // at (key, gid) first — a group sits on many pairs), individual
-    // endpoints from the slow path; distinct at DOC level across paths
-    // because a uniform group can also border a non-uniform one
-    val fastTouch = fastCross
+    // docs touched per key, ALSO class-granular (classes partition the
+    // corpus, so distinct-(key, gid, class) → sum of class sizes IS the
+    // distinct doc count; fast paths touch whole groups = all their
+    // classes). No membership-level frame appears anywhere downstream
+    // of the prelude.
+    val fastTouchG = fastCross
       .select(kc :+ explode(expr("array(ga, gb)")).as("gid"): _*)
       .unionByName(fastIntra.select(kc :+ col("gid"): _*))
       .distinct()
-      .join(mem.select(col("gid"), col("doc_id")), Seq("gid"))
-      .select(kc :+ col("doc_id"): _*)
-    val slowTouch = slow.select(kc :+ col("doc_a").as("doc_id"): _*)
-      .unionByName(slow.select(kc :+ col("doc_b").as("doc_id"): _*))
-    val nDocs = fastTouch.unionByName(slowTouch).distinct()
-      .groupBy(kc: _*).agg(count(lit(1)).as("n_docs"))
+      .join(cls, Seq("gid"))
+      .select(kc :+ col("gid") :+ embOrderKey(col("embedding")).as("k")
+        :+ col("csz"): _*)
+    val slowTouch = slowCross
+      .select(kc :+ explode(expr("array(struct(ga AS gid, ka AS k), struct(gb AS gid, kb AS k))")).as("t"): _*)
+      .select(kc :+ col("t.gid").as("gid") :+ col("t.k").as("k"): _*)
+      .unionByName(slowIntraSame.select(kc :+ col("gid") :+ col("k"): _*))
+      .unionByName(slowIntraDiff
+        .select(kc :+ explode(expr("array(struct(gid, ka AS k), struct(gid, kb AS k))")).as("t"): _*)
+        .select(kc :+ col("t.gid").as("gid") :+ col("t.k").as("k"): _*))
+      .join(cls.select(col("gid"), embOrderKey(col("embedding")).as("k"),
+        col("csz")), Seq("gid", "k"))
+      .select(kc :+ col("gid") :+ col("k") :+ col("csz"): _*)
+    val nDocs = fastTouchG.unionByName(slowTouch)
+      .distinct()
+      .groupBy(kc: _*).agg(sum("csz").as("n_docs"))
     nPairs.join(nDocs, keys)
       .orderBy("est_jaccard_e4", "embeds_agree")
   }
