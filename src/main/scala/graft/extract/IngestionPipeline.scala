@@ -119,6 +119,10 @@ object IngestionPipeline {
         .parquet(Partitioner.partitionDir(tDir, p))
     }
     val nAdmitted = admittedNew.count()
+    // K2 composed in: plan-scoped `_metadata` over the NEW plan's
+    // directories (superseded tiles excluded), before the commit point
+    // so a crash re-summarizes with the re-run
+    if (work.nonEmpty) MetadataSink.writeMetadata(tDir, newPlan, conf)
 
     // THE commit point — everything above is redoable, nothing below
     val wm = Watermark(Subgraph, Table, nowMillis, 0L, latestDocId)

@@ -1849,7 +1849,7 @@ object Dedup {
     * not the data, becomes the bottleneck). Integer arithmetic only, so
     * the DuckDB oracle computes the identical tier from a CASE ladder.
     */
-  private[operators] def ingestTier(maxDoc: Long): Long = {
+  private[graft] def ingestTier(maxDoc: Long): Long = {
     var t = 16L
     while (maxDoc + 1 > 256L * t) t *= 4L
     t

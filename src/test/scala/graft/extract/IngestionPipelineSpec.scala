@@ -85,6 +85,18 @@ class IngestionPipelineSpec extends AnyFunSuite with SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("_metadata summarizes exactly the committed admitted store") {
+    val store = freshStore()
+    IngestionPipeline.ingest(spark, src, store, latestDocId = 320L)
+    val tDir = Partitioner.tableDir(
+      store, IngestionPipeline.Subgraph, IngestionPipeline.Table)
+    val metaRows = MetadataSink.rowCountFromMetadata(
+      tDir, spark.sparkContext.hadoopConfiguration)
+    assert(metaRows == storeDocs(store).size.toLong,
+      s"_metadata rows $metaRows != store ${storeDocs(store).size}")
+    spark.catalog.clearCache()
+  }
+
   test("re-running the same watermark is a no-op with an empty worklist") {
     val store = freshStore()
     IngestionPipeline.ingest(spark, src, store, latestDocId = 160L)

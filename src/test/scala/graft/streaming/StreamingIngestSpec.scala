@@ -74,4 +74,46 @@ class StreamingIngestSpec extends AnyFunSuite with SparkTestBase {
       "doc 20 is an exact copy of admitted doc 12; 21 is novel")
     spark.catalog.clearCache()
   }
+
+  test("streaming quartile drops equal the batch pipeline's admitted store") {
+    // the capstone equivalence: four file-drops drained one per
+    // micro-batch admit EXACTLY the docs four watermark-chained batch
+    // runs admit — the registry semantics (previously ADMITTED content
+    // only) are the same state machine in both execution models
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, d)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    val dmax = docs.last._1
+    val tier = graft.operators.Dedup.ingestTier(dmax)
+    def cov(k: Int): Long = (dmax + 1) * k / 4 / tier * tier
+
+    // batch side: four chained IngestionPipeline runs
+    val storeB = Files.createTempDirectory("equiv-batch").toString
+    (1 to 4).foreach { k =>
+      graft.extract.IngestionPipeline.ingest(spark, d, storeB,
+        latestDocId = (dmax + 1) * k / 4, tierSizes = Seq(4L * tier, tier))
+    }
+    val batchAdmitted = graft.extract.IngestionPipeline
+      .committedStore(spark, d, storeB, Seq(4L * tier, tier))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // stream side: the same quartiles as files, one per micro-batch
+    val src = Files.createTempDirectory("equiv-src").toString
+    val storeS = Files.createTempDirectory("equiv-store").toString + "/data"
+    val ckpt = Files.createTempDirectory("equiv-ckpt").toString
+    val t0 = 1700000000000L
+    (1 to 4).foreach { k =>
+      val rows = docs.filter { case (id, _) => id >= cov(k - 1) && id < cov(k) }
+      if (rows.nonEmpty)
+        writeDrop(src, s"q$k.parquet", t0 + k * 60000, rows.toSeq)
+    }
+    StreamingIngest.run(spark, src, schema, storeS, ckpt)
+    val streamAdmitted = spark.read.parquet(storeS)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamAdmitted == batchAdmitted,
+      s"stream-only: ${(streamAdmitted -- batchAdmitted).toSeq.sorted.take(5)}; " +
+        s"batch-only: ${(batchAdmitted -- streamAdmitted).toSeq.sorted.take(5)}")
+    spark.catalog.clearCache()
+  }
 }
