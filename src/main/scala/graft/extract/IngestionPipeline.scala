@@ -45,6 +45,15 @@ object IngestionPipeline {
 
   val Subgraph = "corpus"
   val Table = "admitted"
+
+  /** The incrementally-appended registry index table: per admitted doc,
+    * the (content hash, minhash signature, shingle set) the probe
+    * needs — written tile-for-tile beside the data, so signatures are
+    * computed ONCE at admission and never re-derived from the whole
+    * registry per run ([[Dedup.registryIndexRows]] /
+    * [[Dedup.registryIndexFromRows]]).
+    */
+  val IndexTable = "admitted_index"
   val DefaultTierSizes: Seq[Long] = Seq(64L, 16L)
 
   final case class IngestResult(
@@ -80,6 +89,8 @@ object IngestionPipeline {
     val newCov = coverage(newPlan)
     val tDir = Partitioner.tableDir(storeRoot, Subgraph, Table)
 
+    val iDir = Partitioner.tableDir(storeRoot, Subgraph, IndexTable)
+
     val docs = Tables.documents(spark, srcDir)
     // committed registry: the watermark-bounded plan's directories only
     val regDocs =
@@ -87,13 +98,21 @@ object IngestionPipeline {
       else spark.read.parquet(
         oldPlan.map(p => Partitioner.partitionDir(tDir, p)): _*)
         .select(docs.columns.map(col): _*)
+    // the committed INDEX, same watermark-bounded discipline — the
+    // probe's registry triple derives from stored rows with zero
+    // re-hashing of registry content
+    val oldIdx =
+      if (oldPlan.isEmpty)
+        Dedup.registryIndexRows(docs.where(lit(false)), numHashes)
+      else spark.read.parquet(
+        oldPlan.map(p => Partitioner.partitionDir(iDir, p)): _*)
     val newDocs = docs
       .where(col("doc_id") >= prevCov && col("doc_id") < newCov)
       .persist()
     val nSeen = newDocs.count()
 
     val (regBands, regSets, regHashes) =
-      Dedup.registryIndexOver(regDocs, numHashes, numBands)
+      Dedup.registryIndexFromRows(oldIdx, numHashes, numBands)
     // verdicts persist + force BEFORE any store write: the probe's plan
     // reads the committed directories this run may not touch, and the
     // verdict must be fixed before admitted rows land anywhere
@@ -107,9 +126,33 @@ object IngestionPipeline {
       .join(verdicts.where(!col("is_dup")).select("doc_id"), Seq("doc_id"),
         "left_semi")
     // merge: committed rows below the old coverage + this run's
-    // admitted rows above it; each worklist directory takes its slice
+    // admitted rows above it; each worklist directory takes its slice.
+    // Index rows follow the same merge — a NEW doc is hashed exactly
+    // once here; consolidated tiles LIFT committed docs' stored rows
+    // instead of re-deriving them
     val allAdmitted = regDocs.unionByName(admittedNew).persist()
     allAdmitted.count()
+    // index rows: (doc_id, ch) for EVERY admitted doc, sig/sset only
+    // for the batch's CANONICAL per content (min doc id — stable
+    // forever, since admission guarantees a batch's content is new to
+    // the registry). The probe only ever reads canonical sig/sset
+    // ([[Dedup.registryIndexFromRows]]), and under mass in-batch
+    // duplication the shingle arrays of the copies are the index's
+    // whole weight.
+    val newIdx = {
+      import org.apache.spark.sql.expressions.Window
+      val withG = admittedNew.select(col("doc_id"), col("text"),
+          graft.functions.GraftFunctions.content_hash(col("text")).as("ch"))
+        .withColumn("rgid", min("doc_id").over(Window.partitionBy("ch")))
+      val canonIdx = Dedup.registryIndexRows(
+        withG.where(col("doc_id") === col("rgid"))
+          .select(col("doc_id"), col("text")), numHashes)
+      withG.select(col("doc_id"), col("ch"))
+        .join(canonIdx.select(col("doc_id"), col("sig"), col("sset")),
+          Seq("doc_id"), "left")
+    }
+    val allIdx = oldIdx.unionByName(newIdx).persist()
+    allIdx.count()
     work.foreach { p =>
       allAdmitted
         .where(col("doc_id") >= p.start && col("doc_id") < p.end)
@@ -117,18 +160,28 @@ object IngestionPipeline {
         .sortWithinPartitions("doc_id")
         .write.mode("overwrite")
         .parquet(Partitioner.partitionDir(tDir, p))
+      allIdx
+        .where(col("doc_id") >= p.start && col("doc_id") < p.end)
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(Partitioner.partitionDir(iDir, p))
     }
     val nAdmitted = admittedNew.count()
     // K2 composed in: plan-scoped `_metadata` over the NEW plan's
     // directories (superseded tiles excluded), before the commit point
     // so a crash re-summarizes with the re-run
-    if (work.nonEmpty) MetadataSink.writeMetadata(tDir, newPlan, conf)
+    if (work.nonEmpty) {
+      MetadataSink.writeMetadata(tDir, newPlan, conf)
+      MetadataSink.writeMetadata(iDir, newPlan, conf)
+    }
 
     // THE commit point — everything above is redoable, nothing below
     val wm = Watermark(Subgraph, Table, nowMillis, 0L, latestDocId)
     Watermark.commit(storeRoot, wm, conf)
     newDocs.unpersist()
     allAdmitted.unpersist()
+    allIdx.unpersist()
     IngestResult(work, nSeen, nAdmitted, verdicts, wm)
   }
 

@@ -446,6 +446,49 @@ object Dedup {
       Tables.documents(spark, d).where(col("doc_id") % 2 === 0),
       numHashes, numBands)
 
+  /** Per-doc registry INDEX rows (doc_id, ch, sig, sset): everything
+    * the admission probe needs about a document, computed ONCE when the
+    * doc is admitted and persisted beside the store — the incremental
+    * form of [[registryIndexOver]], which re-hashes the whole registry
+    * per run. sig/sset are null for unshingleable docs (the probe's
+    * exact-hash path still covers them through ch).
+    */
+  def registryIndexRows(docs: DataFrame,
+      numHashes: Int = DefaultNumHashes): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.content_hash(col("text")).as("ch"),
+      // cast to the parquet read-back element nullability so freshly
+      // computed and store-lifted rows share one schema (a strict
+      // _metadata merge rejects containsNull drift across tiles)
+      graft.functions.GraftFunctions.minhash_sig(col("text"), numHashes)
+        .cast("array<bigint>").as("sig"),
+      graft.functions.GraftFunctions.shingle_set(col("text"))
+        .cast("array<string>").as("sset"))
+
+  /** The probe-side registry triple from STORED index rows — pure
+    * column arithmetic, zero hashing: canonicals are the min doc per
+    * stored content hash (the store is content-unique across batches by
+    * admission, so this collapses only in-batch duplicates), band
+    * values derive from the stored signatures. Output-identical to
+    * [[registryIndexOver]] on the same docs (the kernels that produced
+    * the stored rows are the same ones it would run) — pinned in
+    * IngestionPipelineSpec.
+    */
+  def registryIndexFromRows(idx: DataFrame,
+      numHashes: Int = DefaultNumHashes,
+      numBands: Int = DefaultNumBands): (DataFrame, DataFrame, DataFrame) = {
+    val regHashes = idx.groupBy(col("ch")).agg(min(col("doc_id")).as("rgid"))
+    val canon = idx.join(regHashes.select(col("rgid").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val regBands = bands(
+      canon.select(col("doc_id"), col("sig")).where(col("sig").isNotNull),
+      numHashes, numBands)
+      .select(col("doc_id").as("rgid"), col("band_id"), col("band_val"))
+    val regSets = canon.where(col("sset").isNotNull)
+      .select(col("doc_id").as("rgid"), col("sset").as("rset"))
+    (regBands, regSets, regHashes.select(col("ch"), col("rgid")))
+  }
+
   /** [[registryIndex]] over an arbitrary (doc_id, text, …) frame — the
     * form ingestion jobs use to index their own persisted admitted
     * store ([[graft.extract.IngestionPipeline]]).

@@ -26,10 +26,11 @@ import graft.operators.Dedup
   * Scale shape: per batch, one linear probe of the batch against
   * canonical registry signatures (band equi-join, never all-pairs) and
   * an append of only the admitted rows. The registry index is rebuilt
-  * per batch from the store — the production variant persists
-  * (regBands, regSets, regHashes) as their own incrementally-appended
-  * tables, which this module's API already isolates behind
-  * [[Dedup.registryIndexOver]].
+  * per batch from the store — the incremental form (signatures stored
+  * at admission, probe triple from stored rows with zero re-hashing)
+  * is what the batch pipeline runs: [[Dedup.registryIndexRows]] /
+  * [[Dedup.registryIndexFromRows]] in
+  * [[graft.extract.IngestionPipeline]].
   */
 object StreamingIngest {
 

@@ -70,8 +70,12 @@ class IngestionPipelineSpec extends AnyFunSuite with SparkTestBase {
     val tDir = Partitioner.tableDir(
       store, IngestionPipeline.Subgraph, IngestionPipeline.Table)
     val victim = Partitioner.partitionDir(tDir, work2.last)
-    rmTree(victim)
+    val iDir = Partitioner.tableDir(
+      store, IngestionPipeline.Subgraph, IngestionPipeline.IndexTable)
+    val idxVictim = Partitioner.partitionDir(iDir, work2.head)
+    rmTree(victim); rmTree(idxVictim)
     assert(!Files.exists(Paths.get(victim)))
+    assert(!Files.exists(Paths.get(idxVictim)))
     Files.writeString(Paths.get(Watermark.path(store)), wmAfter1)
     // the raw rewrite bypasses Hadoop's ChecksumFileSystem — drop the
     // stale sidecar so the forged watermark reads back
@@ -80,8 +84,24 @@ class IngestionPipelineSpec extends AnyFunSuite with SparkTestBase {
     // the healing run: same latest as the crashed one
     IngestionPipeline.ingest(spark, src, store, latestDocId = 320L)
     assert(Files.exists(Paths.get(victim)), "missing partition not rewritten")
+    assert(Files.exists(Paths.get(idxVictim)), "missing INDEX dir not rewritten")
     assert(storeDocs(store) == healthy,
       "healed store must equal the uninterrupted result")
+    spark.catalog.clearCache()
+  }
+
+  test("stored index rows reproduce registryIndexOver exactly") {
+    import graft.operators.Dedup
+    val docs = graft.sources.Tables.documents(spark, src)
+      .select("doc_id", "text")
+    val over = Dedup.registryIndexOver(docs)
+    val rows = Dedup.registryIndexRows(docs)
+    val fromRows = Dedup.registryIndexFromRows(rows)
+    def set(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    assert(set(fromRows._1) == set(over._1), "regBands differ")
+    assert(set(fromRows._2) == set(over._2), "regSets differ")
+    assert(set(fromRows._3) == set(over._3), "regHashes differ")
     spark.catalog.clearCache()
   }
 
