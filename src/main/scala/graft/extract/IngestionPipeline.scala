@@ -67,6 +67,17 @@ object IngestionPipeline {
   private def coverage(plan: Seq[Partition]): Long =
     plan.map(_.end).maxOption.getOrElse(0L)
 
+  /** `strictBatch = true` additionally collapses EXACT in-batch
+    * copies: of the batch docs that clear the registry probe, only the
+    * content-canonical (min doc id per content hash within the batch)
+    * is admitted — the "first arrival wins, replays within the batch
+    * drop" semantic of [[Dedup.dedupIncremental]], composed into the
+    * lifecycle. The store is then strictly content-unique, so every
+    * stored index row is its own canonical. Default false: in-batch
+    * near-dups are the batch dedup family's job
+    * ([[Dedup.incrementalLshProbe]]'s documented contract), and the
+    * default face keeps that boundary observable.
+    */
   def ingest(
       spark: SparkSession,
       srcDir: String,
@@ -76,7 +87,8 @@ object IngestionPipeline {
       nowMillis: Long = System.currentTimeMillis(),
       numHashes: Int = Dedup.DefaultNumHashes,
       numBands: Int = Dedup.DefaultNumBands,
-      thresholdE4: Long = Dedup.IncrementalLshThresholdE4): IngestResult = {
+      thresholdE4: Long = Dedup.IncrementalLshThresholdE4,
+      strictBatch: Boolean = false): IngestResult = {
     val conf = spark.sparkContext.hadoopConfiguration
     val prev = Watermark.read(storeRoot, conf)
     val newPlan = Partitioner.plan(0L, latestDocId, tierSizes)
@@ -122,9 +134,20 @@ object IngestionPipeline {
       .persist()
     verdicts.count()
 
-    val admittedNew = newDocs
+    val cleared = newDocs
       .join(verdicts.where(!col("is_dup")).select("doc_id"), Seq("doc_id"),
         "left_semi")
+    val admittedNew =
+      if (!strictBatch) cleared
+      else {
+        import org.apache.spark.sql.expressions.Window
+        cleared
+          .withColumn("__ch",
+            graft.functions.GraftFunctions.content_hash(col("text")))
+          .withColumn("__first", min("doc_id").over(Window.partitionBy("__ch")))
+          .where(col("doc_id") === col("__first"))
+          .drop("__ch", "__first")
+      }
     // merge: committed rows below the old coverage + this run's
     // admitted rows above it; each worklist directory takes its slice.
     // Index rows follow the same merge — a NEW doc is hashed exactly

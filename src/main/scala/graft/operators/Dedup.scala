@@ -1918,6 +1918,42 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The STRICT lifecycle face: same four chained runs with
+    * `strictBatch = true` — exact in-batch copies admit only their
+    * first arrival, so the store stays strictly content-unique. Output
+    * adds the `in_batch_dup` verdict column; `admitted` requires both
+    * clearing the registry probe AND being the batch canonical.
+    */
+  def ingestAdmissionStrict(spark: SparkSession, d: String): DataFrame = {
+    import graft.extract.IngestionPipeline
+    import org.apache.spark.sql.expressions.Window
+    val dmax = Tables.documents(spark, d).agg(max("doc_id"))
+      .collect()(0).getLong(0)
+    val tier = ingestTier(dmax)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-ingest-strict").toString
+    val frames = (1 to 4).map { k =>
+      val latest = (dmax + 1) * k / 4
+      val cov0 = (dmax + 1) * (k - 1) / 4 / tier * tier
+      val cov1 = latest / tier * tier
+      val r = IngestionPipeline.ingest(spark, d, store, latest,
+        tierSizes = Seq(4L * tier, tier), strictBatch = true)
+      val inBatch = Tables.documents(spark, d)
+        .where(col("doc_id") >= cov0 && col("doc_id") < cov1)
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.content_hash(col("text")).as("ch"))
+        .withColumn("first", min("doc_id").over(Window.partitionBy("ch")))
+        .select(col("doc_id"), (col("doc_id") =!= col("first")).as("in_batch_dup"))
+      r.verdicts.join(inBatch, Seq("doc_id"))
+        .withColumn("batch", lit(k.toLong))
+    }
+    frames.reduce(_.unionByName(_))
+      .select(col("doc_id"), col("batch"), col("exact_dup"),
+        col("best_jaccard_e4"), col("n_candidate_groups"), col("in_batch_dup"),
+        (!col("is_dup") && !col("in_batch_dup")).as("admitted"))
+      .orderBy("doc_id")
+  }
+
   /** Pure-SQL replay of the four-run chained-registry lifecycle: one
     * global signature/band/set/content-hash pass (signatures are
     * functions of content, so batch and registry sides share it), then
@@ -1927,7 +1963,11 @@ object Dedup {
     * [[incrementalLshProbe]], chained the way [[ingestAdmission]]'s
     * watermark commits chain them.
     */
-  val ingestAdmissionSql: String = {
+  val ingestAdmissionSql: String = ingestAdmissionSqlGen(strict = false)
+
+  val ingestAdmissionStrictSql: String = ingestAdmissionSqlGen(strict = true)
+
+  private def ingestAdmissionSqlGen(strict: Boolean): String = {
     val th = IncrementalLshThresholdE4
     // the same 16·4^i tier ladder as [[ingestTier]], as exact integer
     // comparisons (no float log — engines must agree bit-for-bit)
@@ -1964,10 +2004,14 @@ object Dedup {
          |verd$k AS (SELECT b.doc_id, CAST($k AS BIGINT) AS batch,
          |    (c.ch IN (SELECT ch FROM rcanon$k)) AS exact_dup,
          |    CAST(coalesce(p.best, 0) AS BIGINT) AS best_jaccard_e4,
-         |    CAST(coalesce(p.n_groups, 0) AS BIGINT) AS n_candidate_groups
+         |    CAST(coalesce(p.n_groups, 0) AS BIGINT) AS n_candidate_groups${
+        if (strict) s""",
+         |    (c.doc_id <> min(c.doc_id) OVER (PARTITION BY c.ch)) AS in_batch_dup"""
+        else ""}
          |  FROM b$k b JOIN chash c USING (doc_id)
          |  LEFT JOIN perdoc$k p USING (doc_id)),
-         |adm$k AS (SELECT doc_id FROM verd$k WHERE best_jaccard_e4 < $th)"""
+         |adm$k AS (SELECT doc_id FROM verd$k WHERE best_jaccard_e4 < $th${
+        if (strict) " AND NOT in_batch_dup" else ""})"""
         .stripMargin
     }.mkString(",\n")
     s"""WITH bnd AS (SELECT max(doc_id) AS max_doc, $tierCase AS tsz
@@ -1979,7 +2023,8 @@ object Dedup {
        |chash AS (SELECT doc_id, sha256(array_to_string(toks, ' ')) AS ch FROM t),
        |$perBatch
        |SELECT doc_id, batch, exact_dup, best_jaccard_e4, n_candidate_groups,
-       |  (best_jaccard_e4 < $th) AS admitted
+       |${if (strict) "  in_batch_dup,\n" else ""}  (best_jaccard_e4 < $th${
+      if (strict) " AND NOT in_batch_dup" else ""}) AS admitted
        |FROM (SELECT * FROM verd1 UNION ALL SELECT * FROM verd2
        |      UNION ALL SELECT * FROM verd3 UNION ALL SELECT * FROM verd4)
        |ORDER BY doc_id""".stripMargin
@@ -1987,6 +2032,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ingest_admission" -> (ingestAdmission _),
+    "q_ingest_admission_strict" -> (ingestAdmissionStrict _),
     "q_dedup_exact" -> (dedupExact _),
     "q_lsh_tuning" -> (lshTuning _),
     "q_dedup_incremental" -> (dedupIncremental _),
@@ -2011,6 +2057,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "q_ingest_admission" -> ingestAdmissionSql,
+    "q_ingest_admission_strict" -> ingestAdmissionStrictSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_lsh_tuning" -> lshTuningSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
