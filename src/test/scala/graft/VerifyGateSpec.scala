@@ -25,10 +25,11 @@ class VerifyGateSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("the registered surface only grows (floor pinned at round 11)") {
-    // 169 = round-9's 166 + the three *_pairs/census audit faces; a
-    // refactor that silently drops a registration fails here first
-    assert(SparkEntry.queries.size >= 169,
-      s"query surface shrank to ${SparkEntry.queries.size} (< 169)")
+    // 172 = round-9's 166 + three *_pairs/census audit faces + manku
+    // banding + the two ingestion-capstone faces; a refactor that
+    // silently drops a registration fails here first
+    assert(SparkEntry.queries.size >= 172,
+      s"query surface shrank to ${SparkEntry.queries.size} (< 172)")
   }
 
   test("every query constructs and analyzes against sf0.001") {
