@@ -1366,20 +1366,60 @@ object Dedup {
     * candidate keys; the estimate is a 16-element zip — no corpus pass
     * beyond the exact verify it is scored against.
     */
-  def minhashEstAudit(spark: SparkSession, d: String,
-      numHashes: Int = DefaultNumHashes,
-      numBands: Int = DefaultNumBands): DataFrame =
-    collapsedPairVerify(spark, d, numHashes, numBands,
-      base => base.select(col("doc_a"), col("doc_b"),
+  /** The estimator-audit funnel at canonical level: (membership, elig,
+    * (ga, gb, est_e4, exact_e4, err_e4)) — shared by the census default
+    * and the pairs audit face.
+    */
+  private def estAuditCollapsedPairs(spark: SparkSession, d: String,
+      numHashes: Int, numBands: Int): (DataFrame, DataFrame, DataFrame) =
+    collapsedFunnel(spark, d, numHashes, numBands) { (cand, sets, sigs) =>
+      cand
+        .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b")), "doc_b")
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .select(col("doc_a").as("ga"), col("doc_b").as("gb"),
           expr(sigAgreementExpr(numHashes)).as("est_e4"),
           graft.functions.GraftFunctions.jaccard_e4(col("set_a"), col("set_b"))
             .as("exact_e4"))
-        .withColumn("err_e4", col("est_e4") - col("exact_e4")),
+        .withColumn("err_e4", col("est_e4") - col("exact_e4"))
+    }
+
+  /** DEFAULT (scale-safe) face: the estimator-quality census — member
+    * pairs and docs per (est_e4, exact_e4, err_e4) key. The key space
+    * is bounded by DISTINCT CANONICAL pairs (both metrics are functions
+    * of content), so the output never grows with duplication mass; the
+    * per-pair dump is the audit face [[minhashEstAuditPairs]]
+    * (`q_minhash_est_audit_pairs` — the r11 100× sweep's 68.5 s was all
+    * expansion).
+    */
+  def minhashEstAudit(spark: SparkSession, d: String,
+      numHashes: Int = DefaultNumHashes,
+      numBands: Int = DefaultNumBands): DataFrame = {
+    val (membership, elig, gd) =
+      estAuditCollapsedPairs(spark, d, numHashes, numBands)
+    pairCountsByKey(membership, elig, gd,
+      Seq("est_e4", "exact_e4", "err_e4"),
       // identical content: all signature components agree, exact = est
       Seq("est_e4" -> lit(10000L), "exact_e4" -> lit(10000L),
         "err_e4" -> lit(0L)))
+      .orderBy("est_e4", "exact_e4")
+  }
 
-  val minhashEstAuditSql: String =
+  /** AUDIT face: the expanded per-pair estimator dump
+    * (doc_a, doc_b, est_e4, exact_e4, err_e4). */
+  def minhashEstAuditPairs(spark: SparkSession, d: String,
+      numHashes: Int = DefaultNumHashes,
+      numBands: Int = DefaultNumBands): DataFrame = {
+    val (membership, elig, gd) =
+      estAuditCollapsedPairs(spark, d, numHashes, numBands)
+    expandMemberPairs(membership, elig, gd,
+      Seq("est_e4", "exact_e4", "err_e4"),
+      Seq("est_e4" -> lit(10000L), "exact_e4" -> lit(10000L),
+        "err_e4" -> lit(0L)))
+  }
+
+  val minhashEstAuditPairsSql: String =
     s"""WITH ${signaturesDuckCte()},
        |${bandsDuckCte()},
        |$candidatePairsDuckCte,
@@ -1396,6 +1436,24 @@ object Dedup {
        |SELECT doc_a, doc_b, est_e4, exact_e4,
        |  est_e4 - exact_e4 AS err_e4
        |FROM sc ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Oracle for the census face: the NAIVE expanded pair list,
+    * aggregated per metric key.
+    */
+  val minhashEstAuditSql: String =
+    s"""WITH pr AS (SELECT est_e4, exact_e4, err_e4, doc_a, doc_b
+       |            FROM ($minhashEstAuditPairsSql)),
+       |p AS (SELECT est_e4, exact_e4, err_e4, count(*) AS n_pairs
+       |      FROM pr GROUP BY 1, 2, 3),
+       |dd AS (SELECT est_e4, exact_e4, err_e4, count(DISTINCT doc_id) AS n_docs
+       |       FROM (SELECT est_e4, exact_e4, err_e4, doc_a AS doc_id FROM pr
+       |             UNION ALL SELECT est_e4, exact_e4, err_e4, doc_b FROM pr)
+       |       GROUP BY 1, 2, 3)
+       |SELECT p.est_e4, p.exact_e4, p.err_e4,
+       |  CAST(p.n_pairs AS BIGINT) AS n_pairs,
+       |  CAST(dd.n_docs AS BIGINT) AS n_docs
+       |FROM p JOIN dd USING (est_e4, exact_e4, err_e4)
+       |ORDER BY p.est_e4, p.exact_e4""".stripMargin
 
   /** Asymmetric CONTAINMENT on the LSH candidate pairs: c(A→B) =
     * |A∩B| / |A| (and the reverse direction) over distinct shingle sets.
@@ -2047,6 +2105,7 @@ object Dedup {
     "q_dedup_simhash64_wide" -> (dedupSimhash64Wide _),
     "q_dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(s, d)),
     "q_minhash_est_audit" -> ((s, d) => minhashEstAudit(s, d)),
+    "q_minhash_est_audit_pairs" -> ((s, d) => minhashEstAuditPairs(s, d)),
     "q_dedup_containment" -> ((s, d) => dedupContainment(s, d)),
     "q_dedup_editdist" -> ((s, d) => dedupEditDistance(s, d)),
     "q_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
@@ -2072,6 +2131,7 @@ object Dedup {
     "q_dedup_simhash64_wide" -> dedupSimhash64WideSql,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "q_minhash_est_audit" -> minhashEstAuditSql,
+    "q_minhash_est_audit_pairs" -> minhashEstAuditPairsSql,
     "q_dedup_containment" -> dedupContainmentSql,
     "q_dedup_editdist" -> dedupEditDistanceSql,
     "q_dedup_clusters" -> dedupClustersSql,

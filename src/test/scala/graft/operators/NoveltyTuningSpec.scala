@@ -58,7 +58,7 @@ class NoveltyTuningSpec extends AnyFunSuite with SparkTestBase {
       .map(r => r.getLong(0) -> shingles(tokens(r.getString(1))).distinct)
       .filter(_._2.nonEmpty).toMap
     val sigsModel = sets.map { case (id, ss) => id -> sigModel(ss) }
-    val rows = Dedup.minhashEstAudit(spark, sf).collect()
+    val rows = Dedup.minhashEstAuditPairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4)))
     assert(rows.nonEmpty)

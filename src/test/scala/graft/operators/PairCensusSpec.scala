@@ -52,6 +52,16 @@ class PairCensusSpec extends AnyFunSuite with SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("estimator-audit census equals the aggregated pair dump") {
+    val got = Dedup.minhashEstAudit(spark, d)
+      .orderBy("est_e4", "exact_e4").collect().toSeq.map(_.toString)
+    val want = censusOf(Dedup.minhashEstAuditPairs(spark, d),
+      Seq("est_e4", "exact_e4", "err_e4"))
+    assert(got.nonEmpty, "census is empty — no candidate pairs at sf0.01")
+    assert(got == want)
+    spark.catalog.clearCache()
+  }
+
   test("crossmodal census equals the aggregated pair dump on sf0.01") {
     val got = Similarity.crossmodalAudit(spark, d)
       .orderBy("est_jaccard_e4", "embeds_agree").collect().toSeq.map(_.toString)
