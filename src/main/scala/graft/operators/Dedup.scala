@@ -1552,11 +1552,15 @@ object Dedup {
     * ~C(R,2) per duplicated doc); collapsed, the funnel is 1×-sized and
     * only the output expansion scales with duplication.
     */
-  def dedupEditDistance(spark: SparkSession, d: String,
-      numHashes: Int = DefaultNumHashes,
-      numBands: Int = DefaultNumBands,
-      maxChars: Int = DefaultMaxEditChars,
-      maxDist: Int = DefaultMaxEditDist): DataFrame = {
+  /** The edit-distance funnel at canonical level: raw-text-hash
+    * membership (edit distance sees raw characters, so the collapse
+    * key is the raw sha — unlike the token-normalized funnels), the
+    * signature-bearing eligible gids, and (ga, gb, edit_dist, sim_e4)
+    * canonical pairs, persisted and forced.
+    */
+  private def editDistCollapsedPairs(spark: SparkSession, d: String,
+      numHashes: Int, numBands: Int, maxChars: Int, maxDist: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val membership = Tables.documents(spark, d)
       .select(col("doc_id"), col("text"), sha2(col("text"), 256).as("rh"))
@@ -1593,33 +1597,50 @@ object Dedup {
     // canonical pair; the frame is model-sized (capped candidate pairs
     // of distinct content) at any corpus scale.
     gd.count()
-    val mem = membership.select("doc_id", "gid")
-    val cross = gd
-      .join(mem.select(col("gid").as("ga"), col("doc_id").as("da")), "ga")
-      .join(mem.select(col("gid").as("gb"), col("doc_id").as("db")), "gb")
-      .select(least(col("da"), col("db")).as("doc_a"),
-        greatest(col("da"), col("db")).as("doc_b"),
-        col("edit_dist"), col("mx"))
-    // intra-group pairs: the raw funnel emits them only when the group
-    // participates in banding at all (docs with no shingles never band),
-    // hence the restriction to groups whose canonical has a signature
-    val intraMem = mem.join(sigs.select(col("doc_id").as("gid")), "gid")
-    val intra = intraMem.as("x")
-      .join(intraMem.as("y"),
-        col("x.gid") === col("y.gid") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        lit(0L).as("edit_dist"), col("x.gid").as("gid"))
-      .join(pfx.select(col("doc_id").as("gid"), length(col("pfx")).as("mx")), "gid")
-      .select("doc_a", "doc_b", "edit_dist", "mx")
-    cross.unionByName(intra)
-      .select(col("doc_a"), col("doc_b"), col("edit_dist"),
-        expr(s"""CASE WHEN edit_dist < 0 THEN 0L
-                 WHEN mx > 0 THEN 10000L - edit_dist * 10000L div mx
-                 ELSE 10000L END""").as("sim_e4"))
-      .orderBy("doc_a", "doc_b")
+    val gdSim = gd.select(col("ga"), col("gb"), col("edit_dist"),
+      expr(s"""CASE WHEN edit_dist < 0 THEN 0L
+               WHEN mx > 0 THEN 10000L - edit_dist * 10000L div mx
+               ELSE 10000L END""").as("sim_e4"))
+    // intra-group pairs exist in the raw funnel only when the group
+    // participates in banding at all (docs with no shingles never band)
+    val elig = sigs.select(col("doc_id").as("gid"))
+    (membership, elig, gdSim)
   }
 
-  val dedupEditDistanceSql: String =
+  /** DEFAULT (scale-safe) face: the edit-distance census — member
+    * pairs and docs per (edit_dist, sim_e4) key, bounded by distinct
+    * canonical pairs (both are raw-content functions; intra pairs are
+    * the constant (0, 10000) key). The per-pair dump — 73 s of pure
+    * expansion at the r11 100× sweep — is the audit face
+    * [[dedupEditDistancePairs]] (`q_dedup_editdist_pairs`).
+    */
+  def dedupEditDistance(spark: SparkSession, d: String,
+      numHashes: Int = DefaultNumHashes,
+      numBands: Int = DefaultNumBands,
+      maxChars: Int = DefaultMaxEditChars,
+      maxDist: Int = DefaultMaxEditDist): DataFrame = {
+    val (membership, elig, gdSim) =
+      editDistCollapsedPairs(spark, d, numHashes, numBands, maxChars, maxDist)
+    pairCountsByKey(membership, elig, gdSim, Seq("edit_dist", "sim_e4"),
+      // identical raw content: distance 0, full similarity
+      Seq("edit_dist" -> lit(0L), "sim_e4" -> lit(10000L)))
+      .orderBy("edit_dist", "sim_e4")
+  }
+
+  /** AUDIT face: the expanded per-pair dump
+    * (doc_a, doc_b, edit_dist, sim_e4). */
+  def dedupEditDistancePairs(spark: SparkSession, d: String,
+      numHashes: Int = DefaultNumHashes,
+      numBands: Int = DefaultNumBands,
+      maxChars: Int = DefaultMaxEditChars,
+      maxDist: Int = DefaultMaxEditDist): DataFrame = {
+    val (membership, elig, gdSim) =
+      editDistCollapsedPairs(spark, d, numHashes, numBands, maxChars, maxDist)
+    expandMemberPairs(membership, elig, gdSim, Seq("edit_dist", "sim_e4"),
+      Seq("edit_dist" -> lit(0L), "sim_e4" -> lit(10000L)))
+  }
+
+  val dedupEditDistancePairsSql: String =
     s"""WITH ${signaturesDuckCte()},
        |${bandsDuckCte()},
        |$candidatePairsDuckCte,
@@ -1635,6 +1656,23 @@ object Dedup {
        |       WHEN mx > 0 THEN 10000 - d0 * 10000 // mx
        |       ELSE 10000 END AS sim_e4
        |FROM e ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Oracle for the census face: the NAIVE expanded pair list,
+    * aggregated per (edit_dist, sim_e4).
+    */
+  val dedupEditDistanceSql: String =
+    s"""WITH pr AS (SELECT edit_dist, sim_e4, doc_a, doc_b
+       |            FROM ($dedupEditDistancePairsSql)),
+       |p AS (SELECT edit_dist, sim_e4, count(*) AS n_pairs FROM pr GROUP BY 1, 2),
+       |dd AS (SELECT edit_dist, sim_e4, count(DISTINCT doc_id) AS n_docs
+       |       FROM (SELECT edit_dist, sim_e4, doc_a AS doc_id FROM pr
+       |             UNION ALL SELECT edit_dist, sim_e4, doc_b FROM pr)
+       |       GROUP BY 1, 2)
+       |SELECT p.edit_dist, p.sim_e4,
+       |  CAST(p.n_pairs AS BIGINT) AS n_pairs,
+       |  CAST(dd.n_docs AS BIGINT) AS n_docs
+       |FROM p JOIN dd USING (edit_dist, sim_e4)
+       |ORDER BY p.edit_dist, p.sim_e4""".stripMargin
 
   /** Duplicate CLUSTERS: transitive closure over the verified near-dup
     * pairs (A~B, B~C ⇒ {A,B,C} is one cluster), emitting each doc's
@@ -2108,6 +2146,7 @@ object Dedup {
     "q_minhash_est_audit_pairs" -> ((s, d) => minhashEstAuditPairs(s, d)),
     "q_dedup_containment" -> ((s, d) => dedupContainment(s, d)),
     "q_dedup_editdist" -> ((s, d) => dedupEditDistance(s, d)),
+    "q_dedup_editdist_pairs" -> ((s, d) => dedupEditDistancePairs(s, d)),
     "q_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
     "q_dedup_clusters_star" -> ((s, d) => dedupClustersStar(s, d)),
     "q_dedup_cluster_sizes" -> (dedupClusterSizes _),
@@ -2134,6 +2173,7 @@ object Dedup {
     "q_minhash_est_audit_pairs" -> minhashEstAuditPairsSql,
     "q_dedup_containment" -> dedupContainmentSql,
     "q_dedup_editdist" -> dedupEditDistanceSql,
+    "q_dedup_editdist_pairs" -> dedupEditDistancePairsSql,
     "q_dedup_clusters" -> dedupClustersSql,
     // same clusters, different algorithm — the oracle is shared
     "q_dedup_clusters_star" -> dedupClustersSql,

@@ -62,6 +62,16 @@ class PairCensusSpec extends AnyFunSuite with SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("edit-distance census equals the aggregated pair dump") {
+    val got = Dedup.dedupEditDistance(spark, d)
+      .orderBy("edit_dist", "sim_e4").collect().toSeq.map(_.toString)
+    val want = censusOf(Dedup.dedupEditDistancePairs(spark, d),
+      Seq("edit_dist", "sim_e4"))
+    assert(got.nonEmpty, "census is empty — no candidate pairs at sf0.01")
+    assert(got == want)
+    spark.catalog.clearCache()
+  }
+
   test("crossmodal census equals the aggregated pair dump on sf0.01") {
     val got = Similarity.crossmodalAudit(spark, d)
       .orderBy("est_jaccard_e4", "embeds_agree").collect().toSeq.map(_.toString)
