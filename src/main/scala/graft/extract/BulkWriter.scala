@@ -1,0 +1,84 @@
+package graft.extract
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.plans.{Partition, Partitioner}
+import graft.sinks.Fs
+
+/** Single-job tiled parquet sink shared by [[ExtractPipeline]] and
+  * [[IngestionPipeline]]: the whole work-list of partition tiles is
+  * written by ONE distributed job instead of a sequential driver loop
+  * of per-tile jobs. Rows are range-tagged with their target tile via a
+  * broadcast join against the (driver-sized) plan; a hash repartition
+  * on the tile key puts each tile's rows in exactly one task, so the
+  * `partitionBy` writer emits the same one-sorted-fragment-per-
+  * directory layout as the loop sink (reference layout:
+  * subgraph_extractor/cli.py:189-197 — one file per partition dir).
+  * Dynamic partition overwrite replaces only the touched directories,
+  * keeping crashed re-runs idempotent.
+  *
+  * At 100 TB this is the difference between thousands of serialized
+  * driver-scheduled jobs (each re-scanning its input slice) and one
+  * job whose tasks fan out across the cluster over a single scan. The
+  * largest tier bounds per-task data — tier sizing is the skew control.
+  */
+object BulkWriter {
+
+  val SizeCol = "partition_size"
+  val StartCol = "start_partition"
+  val EndCol = "end_partition"
+
+  /** Broadcast range-tag: each row of `df` gains its target tile's
+    * `(partition_size, start_partition, end_partition)` via a broadcast
+    * join against the plan. Rows covered by no tile drop out (inner
+    * join) — exactly the rows this work-list does not own.
+    */
+  def tag(spark: SparkSession, df: DataFrame, keyCol: String,
+      work: Seq[Partition]): DataFrame = {
+    import spark.implicits._
+    val plan = work.map(p => (p.size, p.start, p.end))
+      .toDF(SizeCol, StartCol, EndCol)
+    df.join(broadcast(plan),
+      col(keyCol) >= col(StartCol) && col(keyCol) < col(EndCol))
+  }
+
+  /** Writes a pre-[[tag]]ged frame. The task sort MUST lead with every
+    * partitionBy column: FileFormatWriter otherwise inserts its own
+    * (unstable) sort on the partition keys and the within-fragment key
+    * order is lost (the BulkScaleSpec lesson). Tiles that end up with
+    * no rows get an explicit schema-preserving empty fragment —
+    * `partitionBy` skips empties, but the E7 contract (every planned
+    * directory readable with the full schema) must hold.
+    */
+  def writeTagged(spark: SparkSession, tagged: DataFrame, keyCol: String,
+      rowSchema: StructType, work: Seq[Partition], tDir: String): Unit = {
+    tagged
+      .repartition(col(SizeCol), col(StartCol))
+      .sortWithinPartitions(SizeCol, StartCol, EndCol, keyCol)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(SizeCol, StartCol, EndCol)
+      .parquet(tDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val emptyDf = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], rowSchema)
+    work.foreach { p =>
+      val dir = Partitioner.partitionDir(tDir, p)
+      if (!Fs.exists(dir, conf))
+        emptyDf.coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+  }
+
+  /** Tag + write in one call, for frames that need no extra
+    * instrumentation between the two (the ingestion store + index
+    * tables; [[ExtractPipeline]] threads its rows-written `observe`
+    * through [[tag]]/[[writeTagged]] separately).
+    */
+  def writeTiles(spark: SparkSession, df: DataFrame, keyCol: String,
+      work: Seq[Partition], tDir: String): Unit =
+    if (work.nonEmpty)
+      writeTagged(spark, tag(spark, df, keyCol, work), keyCol, df.schema,
+        work, tDir)
+}

@@ -188,40 +188,16 @@ object ExtractPipeline {
       convert: DataFrame => DataFrame,
       work: Vector[Partition],
       tDir: String): Long = {
-    import spark.implicits._
     val lo = work.map(_.start).min
     val hi = work.map(_.end).max
-    val plan = work.map(p => (p.size, p.start, p.end))
-      .toDF("partition_size", "start_partition", "end_partition")
     val converted = convert(source.scanRange(spark, schemaName, table, lo, hi))
     val (tagged, obs) = graft.sinks.Metrics.observed(
-      converted.join(broadcast(plan),
-        col(Transforms.BlockColumn) >= col("start_partition") &&
-          col(Transforms.BlockColumn) < col("end_partition")),
+      BulkWriter.tag(spark, converted, Transforms.BlockColumn, work),
       s"extract-bulk-$table",
       org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("rows"))
-    tagged
-      .repartition(col("partition_size"), col("start_partition"))
-      // the sort MUST lead with every partitionBy column: FileFormatWriter
-      // otherwise inserts its own (unstable) sort on the partition keys
-      // and the within-fragment block order is lost
-      .sortWithinPartitions("partition_size", "start_partition",
-        "end_partition", Transforms.BlockColumn)
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("partition_size", "start_partition", "end_partition")
-      .parquet(tDir)
-    // partitionBy skips empty partitions; the schema-preserving empty
-    // fragment contract (E7) still holds — fill the gaps explicitly.
-    val conf = spark.sparkContext.hadoopConfiguration
-    val emptyDf = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], converted.schema)
-    work.foreach { p =>
-      val dir = Partitioner.partitionDir(tDir, p)
-      if (!Fs.exists(dir, conf))
-        emptyDf.coalesce(1).write.mode("overwrite").parquet(dir)
-    }
+    BulkWriter.writeTagged(spark, tagged, Transforms.BlockColumn,
+      converted.schema, work, tDir)
     // same empty-plan caveat as the loop path: no metrics == zero rows
     obs.get.getOrElse("rows", 0L).asInstanceOf[Long]
   }

@@ -155,48 +155,26 @@ object IngestionPipeline {
     // instead of re-deriving them
     val allAdmitted = regDocs.unionByName(admittedNew).persist()
     allAdmitted.count()
-    // index rows: (doc_id, ch) for EVERY admitted doc, sig/sset only
-    // for the batch's CANONICAL per content (min doc id — stable
-    // forever, since admission guarantees a batch's content is new to
-    // the registry). The probe only ever reads canonical sig/sset
-    // ([[Dedup.registryIndexFromRows]]), and under mass in-batch
-    // duplication the shingle arrays of the copies are the index's
-    // whole weight.
-    val newIdx = {
-      import org.apache.spark.sql.expressions.Window
-      val withG = admittedNew.select(col("doc_id"), col("text"),
-          graft.functions.GraftFunctions.content_hash(col("text")).as("ch"))
-        .withColumn("rgid", min("doc_id").over(Window.partitionBy("ch")))
-      val canonIdx = Dedup.registryIndexRows(
-        withG.where(col("doc_id") === col("rgid"))
-          .select(col("doc_id"), col("text")), numHashes)
-      withG.select(col("doc_id"), col("ch"))
-        .join(canonIdx.select(col("doc_id"), col("sig"), col("sset")),
-          Seq("doc_id"), "left")
-    }
+    val newIdx = indexRowsFor(admittedNew, numHashes)
     val allIdx = oldIdx.unionByName(newIdx).persist()
     allIdx.count()
-    work.foreach { p =>
-      allAdmitted
-        .where(col("doc_id") >= p.start && col("doc_id") < p.end)
-        .repartition(1)
-        .sortWithinPartitions("doc_id")
-        .write.mode("overwrite")
-        .parquet(Partitioner.partitionDir(tDir, p))
-      allIdx
-        .where(col("doc_id") >= p.start && col("doc_id") < p.end)
-        .repartition(1)
-        .sortWithinPartitions("doc_id")
-        .write.mode("overwrite")
-        .parquet(Partitioner.partitionDir(iDir, p))
-    }
+    // Bulk tiled sink (ONE distributed job per table, not a sequential
+    // per-tile driver loop): broadcast range-tag + dynamic-partition-
+    // overwrite, one sorted fragment per worklist directory. The
+    // persisted allAdmitted/allIdx frames are each scanned exactly once
+    // per table write instead of once per tile.
+    BulkWriter.writeTiles(spark, allAdmitted, "doc_id", work, tDir)
+    BulkWriter.writeTiles(spark, allIdx, "doc_id", work, iDir)
     val nAdmitted = admittedNew.count()
     // K2 composed in: plan-scoped `_metadata` over the NEW plan's
     // directories (superseded tiles excluded), before the commit point
     // so a crash re-summarizes with the re-run
     if (work.nonEmpty) {
-      MetadataSink.writeMetadata(tDir, newPlan, conf)
-      MetadataSink.writeMetadata(iDir, newPlan, conf)
+      // incremental: only this run's fragments get their footers read;
+      // unchanged tiles' row groups are lifted from the previous
+      // _metadata (O(new fragments), not O(store))
+      MetadataSink.writeMetadata(tDir, newPlan, work, conf)
+      MetadataSink.writeMetadata(iDir, newPlan, work, conf)
     }
 
     // THE commit point — everything above is redoable, nothing below
@@ -206,6 +184,30 @@ object IngestionPipeline {
     allAdmitted.unpersist()
     allIdx.unpersist()
     IngestResult(work, nSeen, nAdmitted, verdicts, wm)
+  }
+
+  /** Index rows for a batch of NEWLY ADMITTED docs: `(doc_id, ch)` for
+    * every doc, `sig`/`sset` only for the batch's CANONICAL per content
+    * (min doc id — stable forever, since admission guarantees a batch's
+    * content is new to the registry). The probe only ever reads
+    * canonical sig/sset ([[Dedup.registryIndexFromRows]]), and under
+    * mass in-batch duplication the shingle arrays of the copies would
+    * be the index's whole weight. Shared with
+    * [[graft.streaming.StreamingIngest]] — the streaming twin persists
+    * the same rows beside its store.
+    */
+  def indexRowsFor(admitted: DataFrame,
+      numHashes: Int = Dedup.DefaultNumHashes): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withG = admitted.select(col("doc_id"), col("text"),
+        graft.functions.GraftFunctions.content_hash(col("text")).as("ch"))
+      .withColumn("rgid", min("doc_id").over(Window.partitionBy("ch")))
+    val canonIdx = Dedup.registryIndexRows(
+      withG.where(col("doc_id") === col("rgid"))
+        .select(col("doc_id"), col("text")), numHashes)
+    withG.select(col("doc_id"), col("ch"))
+      .join(canonIdx.select(col("doc_id"), col("sig"), col("sset")),
+        Seq("doc_id"), "left")
   }
 
   /** The committed admitted store: rows of every partition directory in

@@ -1990,17 +1990,42 @@ object Dedup {
     */
   private[graft] def ingestTier(maxDoc: Long): Long = {
     var t = 16L
-    while (maxDoc + 1 > 256L * t) t *= 4L
+    // clamp at the oracle CASE ladder's ELSE arm (16·4^21): both
+    // engines must compute the SAME tier at any id width, so the Scala
+    // loop stops exactly where the ladder's enumeration ends
+    while (maxDoc + 1 > 256L * t && t < (16L << 42)) t *= 4L
     t
   }
+
+  /** Per-JVM root for the ingestion capstone's temp stores, recursively
+    * deleted at JVM exit. Stores must OUTLIVE the query that made them
+    * (the returned verdict frames re-read the store parquet if their
+    * cached partitions are evicted), so per-query deletion is unsafe —
+    * but without any cleanup, repeated verify/bench/test runs
+    * accumulate unbounded /tmp disk (one 4-run store per invocation).
+    */
+  private lazy val ingestStoreRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest-stores")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles()
+        if (cs != null) cs.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root.toFile)
+    }))
+    root
+  }
+
+  private def freshIngestStore(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(ingestStoreRoot, prefix).toString
 
   def ingestAdmission(spark: SparkSession, d: String): DataFrame = {
     import graft.extract.IngestionPipeline
     val dmax = Tables.documents(spark, d).agg(max("doc_id"))
       .collect()(0).getLong(0)
     val tier = ingestTier(dmax)
-    val store = java.nio.file.Files
-      .createTempDirectory("graft-ingest-admission").toString
+    val store = freshIngestStore("admission")
     val frames = (1 to 4).map { k =>
       val latest = (dmax + 1) * k / 4
       val r = IngestionPipeline.ingest(spark, d, store, latest,
@@ -2026,8 +2051,7 @@ object Dedup {
     val dmax = Tables.documents(spark, d).agg(max("doc_id"))
       .collect()(0).getLong(0)
     val tier = ingestTier(dmax)
-    val store = java.nio.file.Files
-      .createTempDirectory("graft-ingest-strict").toString
+    val store = freshIngestStore("strict")
     val frames = (1 to 4).map { k =>
       val latest = (dmax + 1) * k / 4
       val cov0 = (dmax + 1) * (k - 1) / 4 / tier * tier

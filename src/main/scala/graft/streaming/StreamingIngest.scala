@@ -5,11 +5,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import org.apache.spark.sql.types.StructType
 
+import graft.extract.IngestionPipeline
 import graft.operators.Dedup
 
 /** STREAMING twin of [[graft.extract.IngestionPipeline]]: document
   * drops arrive as a parquet file stream; each micro-batch probes the
-  * CURRENT admitted store ([[Dedup.registryIndexOver]] +
+  * CURRENT admitted store ([[Dedup.registryIndexFromRows]] +
   * [[Dedup.incrementalLshProbe]] — the same stateless per-batch half
   * the batch pipeline runs), appends the admitted rows, and the
   * registry therefore GROWS BETWEEN MICRO-BATCHES: a near-dup arriving
@@ -20,19 +21,28 @@ import graft.operators.Dedup
   * Replay safety without any extra state: micro-batches are
   * at-least-once, but a REPLAYED admitted doc is by then an exact
   * content hit against the store (itself), so the probe drops it — the
-  * store converges instead of duplicating. The store append is
-  * localCheckpoint-severed from the registry scan of the same path.
+  * store converges instead of duplicating (and appends nothing, so the
+  * index converges with it). The store append is localCheckpoint-
+  * severed from the registry scan of the same path.
   *
   * Scale shape: per batch, one linear probe of the batch against
   * canonical registry signatures (band equi-join, never all-pairs) and
-  * an append of only the admitted rows. The registry index is rebuilt
-  * per batch from the store — the incremental form (signatures stored
-  * at admission, probe triple from stored rows with zero re-hashing)
-  * is what the batch pipeline runs: [[Dedup.registryIndexRows]] /
-  * [[Dedup.registryIndexFromRows]] in
-  * [[graft.extract.IngestionPipeline]].
+  * an append of only the admitted rows. Like the batch pipeline, the
+  * registry index is INCREMENTAL: signatures are computed once at
+  * admission ([[IngestionPipeline.indexRowsFor]]) and appended beside
+  * the store; each probe derives its registry triple from stored rows
+  * with zero re-hashing of registry content — per-batch cost tracks the
+  * BATCH, not the store. Nothing is persisted across batches in the
+  * Spark cache, so a long-running stream accumulates no cached
+  * partitions.
   */
 object StreamingIngest {
+
+  /** The registry index table beside (not inside) the store directory —
+    * same rows as the batch pipeline's `admitted_index` table.
+    */
+  def indexDir(storeDir: String): String =
+    s"${storeDir.stripSuffix("/")}__index"
 
   /** Drain all currently-available document files into the store,
     * `filesPerBatch` files per micro-batch (1 = maximal registry
@@ -64,11 +74,33 @@ object StreamingIngest {
     val spark = batch.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     if (batch.isEmpty) return
-    val reg =
-      if (graft.sinks.Fs.exists(storeDir, conf))
-        spark.read.parquet(storeDir).select(batch.columns.map(col): _*)
-      else batch.where(lit(false))
-    val (regBands, regSets, regHashes) = Dedup.registryIndexOver(reg)
+    val iDir = indexDir(storeDir)
+    val haveStore = graft.sinks.Fs.exists(storeDir, conf)
+    // The STORE is the source of truth; the index is a derived
+    // accelerator that may lag it by one crashed append (store is
+    // written first below). Store and index rows are 1:1, and parquet
+    // counts are footer-only, so a count mismatch detects any
+    // divergence — heal by re-deriving the index from the store (also
+    // covers a store created without one). After the heal, replayed
+    // docs exact-hit themselves and the store converges, same as the
+    // single-table design.
+    if (haveStore) {
+      val storeN = spark.read.parquet(storeDir).count()
+      val idxN =
+        if (graft.sinks.Fs.exists(iDir, conf))
+          spark.read.parquet(iDir).count()
+        else -1L
+      if (storeN != idxN)
+        Dedup.registryIndexRows(
+          spark.read.parquet(storeDir).select(col("doc_id"), col("text")))
+          .localCheckpoint(true)
+          .write.mode("overwrite").parquet(iDir)
+    }
+    val oldIdx =
+      if (haveStore) spark.read.parquet(iDir)
+      else Dedup.registryIndexRows(batch.where(lit(false))
+        .select(col("doc_id"), col("text")))
+    val (regBands, regSets, regHashes) = Dedup.registryIndexFromRows(oldIdx)
     val verdicts = Dedup.incrementalLshProbe(
       batch.select(col("doc_id"), col("text")), regBands, regSets, regHashes)
     val admitted = batch
@@ -77,7 +109,13 @@ object StreamingIngest {
       // sever the store scan feeding the registry before appending to
       // the same path (Spark refuses a write into its own read lineage)
       .localCheckpoint(true)
-    if (!admitted.isEmpty)
+    if (!admitted.isEmpty) {
+      // index rows first-class like the batch pipeline: hashed exactly
+      // once at admission, severed from the index scan they derive from
+      val newIdx = IngestionPipeline.indexRowsFor(admitted)
+        .localCheckpoint(true)
       admitted.write.mode("append").parquet(storeDir)
+      newIdx.write.mode("append").parquet(iDir)
+    }
   }
 }

@@ -21,6 +21,10 @@ import graft.SparkTestBase
 class DerbyJdbcSmokeSpec extends AnyFunSuite with SparkTestBase
     with BeforeAndAfterAll {
 
+  // keep embedded Derby's derby.log out of the repo root
+  System.setProperty("derby.stream.error.file",
+    s"${System.getProperty("java.io.tmpdir")}/graft-derby.log")
+
   private val url = "jdbc:derby:memory:graftsmoke;create=true"
   private val props = {
     val p = new Properties()

@@ -214,8 +214,15 @@ class QuantizeSpec extends AnyFunSuite with SparkTestBase {
         * 1e6).toLong
     }
     val got = Similarity.crossmodalAuditPairs(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) ->
-        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+      .map { r =>
+        // cos_e6 is nullable: fail loudly on a fixture with a missing
+        // embedding row instead of letting getLong silently read 0
+        assert(!r.isNullAt(3),
+          s"pair (${r.getLong(0)},${r.getLong(1)}) has NULL cos_e6 — " +
+            "fixture lost an embedding row")
+        (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      }.toMap
     assert(got.keySet === pairs.keySet, "audit must cover exactly the funnel pairs")
     got.foreach { case ((a, b), (jac, cos, agree)) =>
       assert(jac === pairs((a, b)), s"pair ($a,$b) jaccard passthrough")
