@@ -1070,11 +1070,19 @@ object Similarity {
         embOrderKey(col("y.embedding")).as("kb"))
     val keys = Seq("est_jaccard_e4", "embeds_agree")
     val kc = keys.map(col)
-    val nPairs = fastCross.select(kc :+ col("m"): _*)
+    // ALL-UNIFORM fast path: when no non-uniform group exists (the
+    // healthy-corpus case — and the 100 TB common case), every slow
+    // branch is empty BY CONSTRUCTION (each filters on a non-uniform
+    // side), so skip planning their five-way join trees entirely. One
+    // existence probe on the persisted per-group frame decides.
+    val hasFault = groupInfo.where(!col("uniform")).limit(1).count() > 0
+    val fastPairs = fastCross.select(kc :+ col("m"): _*)
       .unionByName(fastIntra.select(kc :+ col("m"): _*))
-      .unionByName(slowCross.select(kc :+ col("m"): _*))
-      .unionByName(slowIntraSame.select(kc :+ col("m"): _*))
-      .unionByName(slowIntraDiff.select(kc :+ col("m"): _*))
+    val nPairs = (if (!hasFault) fastPairs
+      else fastPairs
+        .unionByName(slowCross.select(kc :+ col("m"): _*))
+        .unionByName(slowIntraSame.select(kc :+ col("m"): _*))
+        .unionByName(slowIntraDiff.select(kc :+ col("m"): _*)))
       .groupBy(kc: _*).agg(sum("m").as("n_pairs"))
     // docs touched per key, ALSO class-granular (classes partition the
     // corpus, so distinct-(key, gid, class) → sum of class sizes IS the
@@ -1098,7 +1106,8 @@ object Similarity {
       .join(cls.select(col("gid"), embOrderKey(col("embedding")).as("k"),
         col("csz")), Seq("gid", "k"))
       .select(kc :+ col("gid") :+ col("k") :+ col("csz"): _*)
-    val nDocs = fastTouchG.unionByName(slowTouch)
+    val nDocs = (if (!hasFault) fastTouchG
+      else fastTouchG.unionByName(slowTouch))
       .distinct()
       .groupBy(kc: _*).agg(sum("csz").as("n_docs"))
     nPairs.join(nDocs, keys)

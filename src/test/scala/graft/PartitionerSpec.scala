@@ -99,4 +99,30 @@ class PartitionerSpec extends AnyFunSuite {
       Partitioner.tableDir("/out/ds/v1", "sg", "t"), Partition(1024, 2048, 3072))
     assert(dir == "/out/ds/v1/data/subgraph=sg/table=t/partition_size=1024/start_partition=2048/end_partition=3072")
   }
+
+  test("planner tiers scale with the id-space width, plan stays driver-sized") {
+    import graft.operators.PlannerQueries.{planTier, tiersFor}
+    // generated-testdata widths keep the reference pyramid exactly
+    assert(tiersFor(120000L) == Seq(4096L, 512L, 64L))
+    assert(tiersFor(4194304L) == Seq(4096L, 512L, 64L))
+    // each 8x tier step covers 8x more width; monotone, never shrinking
+    var prev = 64L
+    var w = 1L
+    while (w > 0 && w < (1L << 62)) {
+      val t = planTier(w)
+      assert(t >= prev, s"planTier not monotone at width $w")
+      prev = t
+      w *= 2
+    }
+    // clamp arm: the widest widths still produce the ladder's ELSE tier
+    assert(planTier(Long.MaxValue / 2) == (64L << 39))
+    // the bound that keeps plans one-tuple-per-file at any width:
+    // top tier covers the width in <= 1024 partitions (clamp excepted)
+    for (w <- Seq(1L << 20, 1L << 30, 123456789L, 1L << 45, (1L << 58) - 1)) {
+      val t = planTier(w)
+      assert(w <= (t << 16), s"width $w not covered by 1024 top tiers of ${64 * t}")
+      val plan = Partitioner.plan(0L, w, tiersFor(w))
+      assert(plan.size <= 1024 + 16, s"plan for width $w has ${plan.size} tuples")
+    }
+  }
 }
