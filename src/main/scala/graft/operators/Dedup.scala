@@ -2074,6 +2074,57 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** STREAMING face of the ingestion capstone: the same four batch
+    * slices arrive as parquet FILE DROPS drained one per micro-batch by
+    * [[graft.streaming.StreamingIngest]]; output is the final admitted
+    * STORE (doc_id + arrival batch). Because the streaming loop and the
+    * batch pipeline run the same registry state machine — probe against
+    * previously-ADMITTED content only, registry grows between batches —
+    * the store equals the batch capstone's admitted set, so the oracle
+    * is [[ingestAdmissionSql]] filtered to `admitted`. This makes the
+    * stream == batch claim driver-checkable, not just spec-pinned.
+    */
+  def ingestAdmissionStream(spark: SparkSession, d: String): DataFrame = {
+    import graft.streaming.StreamingIngest
+    val docs = Tables.documents(spark, d)
+    val dmax = docs.agg(max("doc_id")).collect()(0).getLong(0)
+    val tier = ingestTier(dmax)
+    def cov(k: Int): Long = (dmax + 1) * k / 4 / tier * tier
+    val root = freshIngestStore("stream")
+    val srcDir = new java.io.File(root, "drops")
+    srcDir.mkdirs()
+    val t0 = 1700000000000L
+    (1 to 4).foreach { k =>
+      // stage each slice as ONE parquet fragment, then move the part
+      // file into the source dir under a controlled name + mod time
+      // (the file source orders batches by mod time; one file = one
+      // micro-batch at filesPerBatch = 1)
+      val stage = s"$root/stage$k"
+      docs.where(col("doc_id") >= cov(k - 1) && col("doc_id") < cov(k))
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(srcDir, s"drop$k.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      require(dst.setLastModified(t0 + k * 60000L))
+    }
+    StreamingIngest.run(spark, srcDir.toString, docs.schema,
+      s"$root/store", s"$root/ckpt")
+    spark.read.parquet(s"$root/store")
+      .select(col("doc_id"),
+        when(col("doc_id") < cov(1), 1L)
+          .when(col("doc_id") < cov(2), 2L)
+          .when(col("doc_id") < cov(3), 3L)
+          .otherwise(4L).as("batch"))
+      .orderBy("doc_id")
+  }
+
+  // built from the GENERATOR, not the ingestAdmissionSql val below —
+  // object vals initialize in declaration order
+  val ingestAdmissionStreamSql: String =
+    s"""SELECT doc_id, batch FROM (${ingestAdmissionSqlGen(strict = false)})
+       |WHERE admitted ORDER BY doc_id""".stripMargin
+
   /** Pure-SQL replay of the four-run chained-registry lifecycle: one
     * global signature/band/set/content-hash pass (signatures are
     * functions of content, so batch and registry sides share it), then
@@ -2153,6 +2204,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ingest_admission" -> (ingestAdmission _),
     "q_ingest_admission_strict" -> (ingestAdmissionStrict _),
+    "q_ingest_admission_stream" -> (ingestAdmissionStream _),
     "q_dedup_exact" -> (dedupExact _),
     "q_lsh_tuning" -> (lshTuning _),
     "q_dedup_incremental" -> (dedupIncremental _),
@@ -2180,6 +2232,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "q_ingest_admission" -> ingestAdmissionSql,
     "q_ingest_admission_strict" -> ingestAdmissionStrictSql,
+    "q_ingest_admission_stream" -> ingestAdmissionStreamSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_lsh_tuning" -> lshTuningSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
