@@ -30,18 +30,47 @@ object BulkWriter {
   val StartCol = "start_partition"
   val EndCol = "end_partition"
 
-  /** Broadcast range-tag: each row of `df` gains its target tile's
-    * `(partition_size, start_partition, end_partition)` via a broadcast
-    * join against the plan. Rows covered by no tile drop out (inner
-    * join) — exactly the rows this work-list does not own.
+  /** Range-tag: each row of `df` gains its target tile's
+    * `(partition_size, start_partition, end_partition)`. Rows covered
+    * by no work tile drop out — exactly the rows this work-list does
+    * not own.
+    *
+    * Tiles from [[Partitioner.plan]] are tier-ALIGNED
+    * (`start % size == 0`), so the owning tile is COMPUTED per row —
+    * `start = key - pmod(key, size)` per tier, accepted iff that start
+    * is in the tier's work-set (an `InSet` literal probe; work lists
+    * are driver-sized). Everything stays inside whole-stage codegen: a
+    * broadcast range-join here would plan a BroadcastNestedLoopJoin,
+    * which falls out of codegen and row-copies the full payload (text,
+    * shingle arrays) per probe — measurably brutal at replica scale.
+    * Tier precedence is widest-first, though plan disjointness means at
+    * most one tier can match. Unaligned tiles (never produced by the
+    * planner) fall back to the broadcast range-join.
     */
   def tag(spark: SparkSession, df: DataFrame, keyCol: String,
       work: Seq[Partition]): DataFrame = {
-    import spark.implicits._
-    val plan = work.map(p => (p.size, p.start, p.end))
-      .toDF(SizeCol, StartCol, EndCol)
-    df.join(broadcast(plan),
-      col(keyCol) >= col(StartCol) && col(keyCol) < col(EndCol))
+    val aligned = work.forall(p => p.start % p.size == 0)
+    if (aligned) {
+      val k = col(keyCol)
+      val byTier = work.groupBy(_.size).view.mapValues(_.map(_.start)).toMap
+      val cands = byTier.keys.toSeq.sorted(Ordering[Long].reverse).map { s =>
+        val st = (k - pmod(k, lit(s))).cast("long")
+        when(st.isin(byTier(s): _*), struct(lit(s).as("s"), st.as("st")))
+      }
+      df.withColumn("__tile", coalesce(cands :+ lit(null): _*)
+          .cast("struct<s:bigint,st:bigint>"))
+        .where(col("__tile").isNotNull)
+        .withColumn(SizeCol, col("__tile.s"))
+        .withColumn(StartCol, col("__tile.st"))
+        .withColumn(EndCol, col(SizeCol) + col(StartCol))
+        .drop("__tile")
+    } else {
+      import spark.implicits._
+      val plan = work.map(p => (p.size, p.start, p.end))
+        .toDF(SizeCol, StartCol, EndCol)
+      df.join(broadcast(plan),
+        col(keyCol) >= col(StartCol) && col(keyCol) < col(EndCol))
+    }
   }
 
   /** Writes a pre-[[tag]]ged frame. The task sort MUST lead with every

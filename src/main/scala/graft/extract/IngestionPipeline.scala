@@ -89,6 +89,13 @@ object IngestionPipeline {
       numBands: Int = Dedup.DefaultNumBands,
       thresholdE4: Long = Dedup.IncrementalLshThresholdE4,
       strictBatch: Boolean = false): IngestResult = {
+    val timing = sys.env.contains("GRAFT_INGEST_TIMING")
+    var t0 = System.nanoTime()
+    def lap(tag: String): Unit = if (timing) {
+      val t1 = System.nanoTime()
+      println(f"[ingest-timing] $tag%-18s ${(t1 - t0) / 1e9}%8.2f s")
+      t0 = t1
+    }
     val conf = spark.sparkContext.hadoopConfiguration
     val prev = Watermark.read(storeRoot, conf)
     val newPlan = Partitioner.plan(0L, latestDocId, tierSizes)
@@ -122,17 +129,21 @@ object IngestionPipeline {
       .where(col("doc_id") >= prevCov && col("doc_id") < newCov)
       .persist()
     val nSeen = newDocs.count()
+    lap("newDocs")
 
     val (regBands, regSets, regHashes) =
       Dedup.registryIndexFromRows(oldIdx, numHashes, numBands)
-    // verdicts persist + force BEFORE any store write: the probe's plan
-    // reads the committed directories this run may not touch, and the
-    // verdict must be fixed before admitted rows land anywhere
+    // verdicts are localCheckpoint-SEVERED (eager) before any store
+    // write: the probe's plan reads the committed store/index parquet,
+    // and a write under those table roots invalidates every cached plan
+    // reading them (recacheByPath) — a merely-persisted verdict frame
+    // would silently re-run the whole probe on its next use. Severing
+    // fixes the verdict bytes here, before admitted rows land anywhere.
     val verdicts = Dedup.incrementalLshProbe(
       newDocs.select(col("doc_id"), col("text")),
       regBands, regSets, regHashes, numHashes, numBands, thresholdE4)
-      .persist()
-    verdicts.count()
+      .localCheckpoint(true)
+    lap("probe")
 
     val cleared = newDocs
       .join(verdicts.where(!col("is_dup")).select("doc_id"), Seq("doc_id"),
@@ -155,17 +166,25 @@ object IngestionPipeline {
     // instead of re-deriving them
     val allAdmitted = regDocs.unionByName(admittedNew).persist()
     allAdmitted.count()
+    lap("allAdmitted")
     val newIdx = indexRowsFor(admittedNew, numHashes)
     val allIdx = oldIdx.unionByName(newIdx).persist()
     allIdx.count()
+    lap("allIdx")
     // Bulk tiled sink (ONE distributed job per table, not a sequential
     // per-tile driver loop): broadcast range-tag + dynamic-partition-
     // overwrite, one sorted fragment per worklist directory. The
     // persisted allAdmitted/allIdx frames are each scanned exactly once
     // per table write instead of once per tile.
-    BulkWriter.writeTiles(spark, allAdmitted, "doc_id", work, tDir)
-    BulkWriter.writeTiles(spark, allIdx, "doc_id", work, iDir)
+    // admitted tally BEFORE the writes: the bulk jobs below invalidate
+    // cached plans under the table roots, and a post-write count would
+    // recompute the probe chain from files
     val nAdmitted = admittedNew.count()
+    lap("nAdmitted")
+    BulkWriter.writeTiles(spark, allAdmitted, "doc_id", work, tDir)
+    lap("writeStore")
+    BulkWriter.writeTiles(spark, allIdx, "doc_id", work, iDir)
+    lap("writeIdx")
     // K2 composed in: plan-scoped `_metadata` over the NEW plan's
     // directories (superseded tiles excluded), before the commit point
     // so a crash re-summarizes with the re-run
@@ -174,8 +193,10 @@ object IngestionPipeline {
       // unchanged tiles' row groups are lifted from the previous
       // _metadata (O(new fragments), not O(store))
       MetadataSink.writeMetadata(tDir, newPlan, work, conf)
+      lap("metaStore")
       MetadataSink.writeMetadata(iDir, newPlan, work, conf)
     }
+    lap("metadata")
 
     // THE commit point — everything above is redoable, nothing below
     val wm = Watermark(Subgraph, Table, nowMillis, 0L, latestDocId)

@@ -533,29 +533,47 @@ object Dedup {
       thresholdE4: Long = IncrementalLshThresholdE4): DataFrame = {
     val base = newDocs.select(col("doc_id"), col("text"),
       graft.functions.GraftFunctions.content_hash(col("text")).as("ch"))
-    val exact = base
-      .join(regHashes, Seq("ch"))
-      .select(col("doc_id"), col("rgid"), lit(10000L).as("j"))
-    val sigs = signaturesOver(base.select(col("doc_id"), col("text")), numHashes)
-    val mySets = base
-      .select(col("doc_id"),
+    // CONTENT COLLAPSE: every probe artifact — signature, shingle set,
+    // band values, the exact-hash hit — is a function of the text (ch
+    // is the sha-256 of the SAME tokenization the shingle/minhash
+    // kernels consume), so the whole candidate funnel runs once per
+    // DISTINCT content and the verdict joins back per doc. Under mass
+    // duplication (replay storms, crawler loops — exactly the batches
+    // an admission probe exists for) this hashes the distinct payloads
+    // instead of the batch; on a dup-free batch it costs one hash-keyed
+    // aggregation. Eager localCheckpoint: three funnel branches consume
+    // this frame, exchange reuse demonstrably does not dedupe aggregate
+    // subtrees (the r9 lesson), and a cacheManager persist would be
+    // invalidated by the caller's subsequent store writes
+    // (recacheByPath) — severed blocks are immune to both.
+    val cont = base.groupBy(col("ch"))
+      .agg(min(col("doc_id")).as("cid"), first(col("text")).as("text"))
+      .select(col("ch"), col("cid"),
+        graft.functions.GraftFunctions.minhash_sig(col("text"), numHashes)
+          .as("sig"),
         graft.functions.GraftFunctions.shingle_set(col("text")).as("sset"))
-      .where(col("sset").isNotNull)
-    val cand = bands(sigs, numHashes, numBands)
+      .localCheckpoint(true)
+    val exact = cont
+      .join(regHashes, Seq("ch"))
+      .select(col("ch"), col("rgid"), lit(10000L).as("j"))
+    val cand = bands(
+        cont.select(col("cid").as("doc_id"), col("sig"))
+          .where(col("sig").isNotNull), numHashes, numBands)
       .join(regBands, Seq("band_id", "band_val"))
-      .select(col("doc_id"), col("rgid")).distinct()
-      .join(mySets, Seq("doc_id"))
+      .select(col("doc_id").as("cid"), col("rgid")).distinct()
+      .join(cont.select(col("cid"), col("ch"), col("sset"))
+        .where(col("sset").isNotNull), Seq("cid"))
       .join(regSets, Seq("rgid"))
-      .select(col("doc_id"), col("rgid"),
+      .select(col("ch"), col("rgid"),
         graft.functions.GraftFunctions.jaccard_e4(col("sset"), col("rset"))
           .as("j"))
-    val perDoc = cand.unionByName(exact)
-      .groupBy("doc_id")
+    val perCh = cand.unionByName(exact)
+      .groupBy("ch")
       .agg(max("j").as("best"), countDistinct("rgid").as("n_groups"))
     base.select(col("doc_id"), col("ch"))
       .join(regHashes.select(col("ch"), lit(true).as("exact_hit")).distinct(),
         Seq("ch"), "left")
-      .join(perDoc, Seq("doc_id"), "left")
+      .join(perCh, Seq("ch"), "left")
       .select(col("doc_id"),
         coalesce(col("exact_hit"), lit(false)).as("exact_dup"),
         coalesce(col("best"), lit(0L)).as("best_jaccard_e4"),
