@@ -52,6 +52,13 @@ object GraftFunctions {
   /** text → canonical content-hash (token-normalized sha256 hex). */
   def content_hash(c: Column): Column = toCol(ContentHash(toExpr(c)))
 
+  /** (tokens array<string>, covered positions array<int>) → scrubbed
+    * text: tokens joined by ' ' excluding 1-based covered positions
+    * (null cover = nothing covered).
+    */
+  def scrub_join(toks: Column, cov: Column): Column =
+    toCol(ScrubJoin(toExpr(toks), toExpr(cov)))
+
   /** text → [n_tokens, sum_token_chars, stopword_hits, n_distinct]. */
   def text_stats(c: Column, stopwords: Seq[String]): Column =
     toCol(TextStats(toExpr(c), stopwords))

@@ -260,6 +260,40 @@ object TextHash {
   /** Distinct 3-gram shingles in first-occurrence order (order is
     * irrelevant to the set-size consumers). Null when no shingles.
     */
+  /** Tokens joined by ' ' EXCLUDING the 1-based positions in `cov`
+    * (null / out-of-range entries ignored; `cov` itself may be null =
+    * nothing covered). One pass, one BitSet, zero intermediate arrays —
+    * the boilerplate-scrub digest kernel. The declarative forms are
+    * O(len·|cov|) (per-position array_contains) or allocate a segment
+    * array per covered position (slice + flatten); both lose by >2× at
+    * replica coverage density.
+    */
+  def scrubJoin(toks: ArrayData, cov: ArrayData): UTF8String = {
+    val n = toks.numElements()
+    val bs = new java.util.BitSet(n + 2)
+    if (cov != null) {
+      var i = 0
+      val m = cov.numElements()
+      while (i < m) {
+        val p = cov.getInt(i)
+        if (p >= 1 && p <= n) bs.set(p)
+        i += 1
+      }
+    }
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    var first = true
+    while (i < n) {
+      if (!bs.get(i + 1)) {
+        if (!first) sb.append(' ')
+        sb.append(toks.getUTF8String(i).toString)
+        first = false
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   def shingleSet(text: UTF8String): ArrayData = {
     val sh = shingles(tokens(text.toString))
     if (sh.isEmpty) return null
@@ -538,4 +572,58 @@ case class SimHash16(child: Expression)
   }
   override protected def withNewChildInternal(newChild: Expression): SimHash16 =
     copy(child = newChild)
+}
+
+/** (tokens array<string>, covered positions array<int>) → the scrubbed
+  * text: tokens joined by ' ' excluding 1-based covered positions. A
+  * NULL cover means nothing covered (the whole text survives), so only
+  * the token side propagates null — this is the digest input of
+  * [[graft.operators.TextAnalysis.boilerplateScrub]].
+  */
+case class ScrubJoin(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = left.nullable
+  override def prettyName: String = "scrub_join"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"expected (array<string>, array<int>), got $other")
+    }
+
+  // not nullSafeEval: a null cover is semantic (no coverage), not a
+  // null result
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val t = left.eval(input)
+    if (t == null) return null
+    val c = right.eval(input)
+    TextHash.scrubJoin(t.asInstanceOf[ArrayData],
+      if (c == null) null else c.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val helper = TextHash.getClass.getName.stripSuffix("$")
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val newCode =
+      code"""
+         |${leftGen.code}
+         |boolean ${ev.isNull} = ${leftGen.isNull};
+         |UTF8String ${ev.value} = null;
+         |if (!${ev.isNull}) {
+         |  ${rightGen.code}
+         |  ${ev.value} = $helper.scrubJoin(${leftGen.value},
+         |    ${rightGen.isNull} ? null : ${rightGen.value});
+         |}""".stripMargin
+    ev.copy(code = newCode)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ScrubJoin =
+    copy(left = newLeft, right = newRight)
 }

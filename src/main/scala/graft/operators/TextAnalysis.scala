@@ -1450,29 +1450,21 @@ object TextAnalysis {
         explode(expr(s"sequence(pos, pos + ${n - 1})")).as("cp"))
       .groupBy("doc_id")
       .agg(countDistinct("cp").as("n_cov"), collect_set("cp").as("cov"))
-    // Scrub digest kernel: the naive per-position probe
-    // (`array_contains(cov, i)` for i in 1..len) is O(len·|cov|) per
-    // doc — a heavy constant once flagged grams cover most of a
-    // boilerplate-dense corpus. Instead sort the covered positions once
-    // per row and rebuild the kept text as the token SEGMENTS between
-    // consecutive covered positions: |cov|+1 slices, O(len + |cov|
-    // log |cov|) total, same token sequence bit-for-bit.
+    // Scrub digest kernel: compiled one-pass BitSet join
+    // ([[graft.functions.ScrubJoin]]) — O(len + |cov|) per doc, zero
+    // intermediate arrays. The declarative forms both lose once flagged
+    // grams cover most of a boilerplate-dense corpus: per-position
+    // array_contains is O(len·|cov|), and slice-per-segment + flatten
+    // allocates an array per covered position (measured 2× slower at
+    // the 100× replica's coverage density).
     val out = t.join(cov, Seq("doc_id"), "left")
-      .withColumn("covs", expr("array_sort(cov)"))
       .select(col("doc_id"),
         size(col("toks")).cast(LongType).as("n_toks"),
         coalesce(col("n_cov"), lit(0L)).as("n_covered"),
         expr("coalesce(n_cov, 0L) * 10000L div size(toks)").as("cov_e4"),
-        substring(sha2(expr(
-          """concat_ws(' ',
-            |  CASE WHEN covs IS NULL THEN toks ELSE
-            |    flatten(transform(sequence(0, size(covs)),
-            |      k -> slice(toks,
-            |             IF(k = 0, 0, element_at(covs, k)) + 1,
-            |             IF(k = size(covs), size(toks) + 1,
-            |                element_at(covs, k + 1))
-            |               - IF(k = 0, 0, element_at(covs, k)) - 1)))
-            |  END)""".stripMargin), 256), 1, 16).as("scrub_h16"))
+        substring(sha2(graft.functions.GraftFunctions.scrub_join(
+          col("toks"), col("cov").cast("array<int>")), 256), 1, 16)
+          .as("scrub_h16"))
       .orderBy("doc_id").persist()
     out.count() // materialize so the gram cache can be released
     g.unpersist()

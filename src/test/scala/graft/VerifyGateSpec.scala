@@ -24,12 +24,13 @@ class VerifyGateSpec extends AnyFunSuite with SparkTestBase {
     assert((q -- o).isEmpty, s"queries without oracles: ${(q -- o).mkString(", ")}")
   }
 
-  test("the registered surface only grows (floor pinned at round 11)") {
+  test("the registered surface only grows (floor pinned at round 12)") {
     // 172 = round-9's 166 + three *_pairs/census audit faces + manku
     // banding + the two ingestion-capstone faces; a refactor that
     // silently drops a registration fails here first
-    assert(SparkEntry.queries.size >= 172,
-      s"query surface shrank to ${SparkEntry.queries.size} (< 172)")
+    // 175 = round 11's 174 + the streaming-face ingestion capstone
+    assert(SparkEntry.queries.size >= 175,
+      s"query surface shrank to ${SparkEntry.queries.size} (< 175)")
   }
 
   test("every query constructs and analyzes against sf0.001") {

@@ -179,4 +179,36 @@ class TextHashSpec extends AnyFunSuite with SparkTestBase {
     assert(compiled.map(_.toString) === declarative.map(_.toString))
     assert(compiled.length === 5) // doc 4 has no tokens
   }
+
+  test("ScrubJoin equals the declarative covered-position filter") {
+    import spark.implicits._
+    // covers: null cover (nothing scrubbed), empty cover, duplicate and
+    // out-of-range positions (0, negative, > n — all ignored), full
+    // coverage (empty result), empty token array, null tokens
+    val rows = Seq(
+      (1L, Seq("a", "b", "c", "d"), Some(Seq(2, 4))),
+      (2L, Seq("a", "b", "c"), None),
+      (3L, Seq("x", "y"), Some(Seq.empty[Int])),
+      (4L, Seq("p", "q", "r"), Some(Seq(0, -1, 2, 2, 99))),
+      (5L, Seq("only"), Some(Seq(1))),
+      (6L, Seq.empty[String], Some(Seq(1, 2))),
+      (7L, null.asInstanceOf[Seq[String]], Some(Seq(1))))
+      .toDF("doc_id", "toks", "cov")
+    val declarative = rows.select(col("doc_id"), expr(
+      """CASE WHEN toks IS NULL THEN NULL
+        |     WHEN cov IS NULL THEN concat_ws(' ', toks)
+        |     ELSE concat_ws(' ', filter(
+        |       zip_with(toks, sequence(1, size(toks)), (t, i) ->
+        |         IF(array_contains(cov, i), NULL, t)),
+        |       x -> x IS NOT NULL)) END""".stripMargin).as("s"))
+      .orderBy("doc_id").collect()
+    val compiled = rows
+      .select(col("doc_id"),
+        GraftFunctions.scrub_join(col("toks"), col("cov")).as("s"))
+      .orderBy("doc_id").collect()
+    assert(compiled.map(_.toString) === declarative.map(_.toString))
+    assert(compiled(0).getString(1) === "a c")
+    assert(compiled(4).getString(1) === "")
+    assert(compiled(6).isNullAt(1))
+  }
 }
