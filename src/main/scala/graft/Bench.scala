@@ -29,6 +29,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * look faster.
   */
 object Bench {
+  /** Box-factor canaries: five never-touched queries whose canonical
+    * per-query seconds are pinned from the committed canonical
+    * `BENCH_QUERIES.json` run. The median ratio of this run's canary
+    * times against these values measures MACHINE state (page cache,
+    * competing JVMs — this box demonstrably swings ±30%), because the
+    * canary code has been frozen for many rounds: a code regression
+    * moves its own query, not the canaries. `normalized_value` =
+    * total / box_factor lets a round-over-round comparison subtract
+    * the machine without hand-adjudication. Refresh these constants
+    * whenever the canonical artifact is refreshed.
+    */
+  val Canaries: Map[String, Double] = Map(
+    "q1_agg" -> 1.343,
+    "q6_forecast_revenue" -> 0.288,
+    "q3_shipping" -> 1.169,
+    "q_set_ops" -> 0.639,
+    "q_merge_upsert" -> 0.278)
   /** 1m/5m/15m load averages, or empty when /proc/loadavg is unreadable
     * (non-Linux). Sampled before AND after the run: the before sample is
     * the external-load signal (Spark itself has not started working yet);
@@ -124,9 +141,25 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failed = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     def arr(xs: Seq[Double]) = xs.map(s3).mkString("[", ",", "]")
+    // box factor: median measured/canonical ratio over whichever
+    // canaries ran in this invocation (all of them, in the driver's
+    // unfiltered mode); 1.0 when none ran (subset benches) — then
+    // normalized_value just mirrors value
+    val resultMap = results.toMap
+    val canaryRatios = Canaries.toSeq.sortBy(_._1).flatMap { case (c, ref) =>
+      resultMap.get(c).filter(_ > 0).map(v => c -> v / ref)
+    }
+    val boxFactor =
+      if (canaryRatios.isEmpty) 1.0
+      else canaryRatios.map(_._2).sorted.apply(canaryRatios.size / 2)
+    val canaryJson = canaryRatios
+      .map { case (c, r) => s"\"" + c + "\":" + s3(r) }
+      .mkString("{", ",", "}")
     val guard = s""""loadavg_start":${arr(loadStart)},"loadavg_end":${arr(loadEnd)},""" +
       s""""spread_median":${s3(medianSpread)},"spread_p90":${s3(p90Spread)},""" +
-      s""""load_flagged":$loadFlagged"""
+      s""""load_flagged":$loadFlagged,""" +
+      s""""canary_ratios":$canaryJson,"box_factor":${s3(boxFactor)},""" +
+      s""""normalized_value":${s3(results.collect { case (_, v) if v >= 0 => v }.sum / boxFactor)}"""
     val line = s"""{"queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median_of_interleaved_passes",$guard,"failed":$failed,"metric":"total","unit":"sec","value":${s3(total)}}"""
     println(line)
     // the harness keeps only the log TAIL, which truncates the per-query

@@ -83,6 +83,18 @@ object BulkWriter {
     */
   def writeTagged(spark: SparkSession, tagged: DataFrame, keyCol: String,
       rowSchema: StructType, work: Seq[Partition], tDir: String): Unit = {
+    // This run OWNS every work tile, so clear their directories first:
+    // dynamic overwrite only replaces tiles that receive rows, so a tile
+    // whose directory survives a crashed prior run but produces ZERO
+    // rows now would otherwise keep its stale rows (the overwrite never
+    // touches it, and the empty-fragment fill below used to skip
+    // existing dirs). Driver-sized fs ops; a crash mid-run is covered
+    // by the commit-last watermark — the whole work list re-runs.
+    val conf0 = spark.sparkContext.hadoopConfiguration
+    work.foreach { p =>
+      val dir = Partitioner.partitionDir(tDir, p)
+      if (Fs.exists(dir, conf0)) Fs.delete(dir, conf0)
+    }
     tagged
       .repartition(col(SizeCol), col(StartCol))
       .sortWithinPartitions(SizeCol, StartCol, EndCol, keyCol)

@@ -59,6 +59,13 @@ object GraftFunctions {
   def scrub_join(toks: Column, cov: Column): Column =
     toCol(ScrubJoin(toExpr(toks), toExpr(cov)))
 
+  /** (tokens array<string>, flagged gram starts array<int>, width n) →
+    * struct(n_cov bigint, scrub string): interval-union coverage count
+    * and scrubbed text in one pass (null starts = nothing covered).
+    */
+  def scrub_cover(toks: Column, starts: Column, n: Int): Column =
+    toCol(ScrubCover(toExpr(toks), toExpr(starts), n))
+
   /** text → [n_tokens, sum_token_chars, stopword_hits, n_distinct]. */
   def text_stats(c: Column, stopwords: Seq[String]): Column =
     toCol(TextStats(toExpr(c), stopwords))

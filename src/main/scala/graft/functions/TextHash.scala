@@ -284,7 +284,11 @@ object TextHash {
     var i = 0
     var first = true
     while (i < n) {
-      if (!bs.get(i + 1)) {
+      // null elements are skipped, matching the declarative
+      // filter(x -> x IS NOT NULL) this kernel replaced — the type is
+      // array<string> with containsNull allowed, so a caller other than
+      // the tokenizer (which never yields nulls) must not NPE here
+      if (!bs.get(i + 1) && !toks.isNullAt(i)) {
         if (!first) sb.append(' ')
         sb.append(toks.getUTF8String(i).toString)
         first = false
@@ -292,6 +296,46 @@ object TextHash {
       i += 1
     }
     UTF8String.fromString(sb.toString)
+  }
+
+  /** One-pass coverage + scrub from flagged gram START positions: marks
+    * [p, p+n) for each 1-based start, then in the same BitSet emits the
+    * covered-position count AND the scrubbed text (tokens at covered
+    * slots removed, survivors joined by ' ', null elements skipped).
+    * This replaces the exploded per-position pipeline — the explode
+    * multiplied every flagged gram by n and then paid a corpus-wide
+    * distinct to undo the overlap this kernel resolves per row in
+    * O(len + |starts|). Null/absent starts = nothing covered.
+    */
+  def scrubCover(toks: ArrayData, starts: ArrayData, n: Int):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val len = toks.numElements()
+    val bs = new java.util.BitSet(len + 2)
+    if (starts != null) {
+      var i = 0
+      val m = starts.numElements()
+      while (i < m) {
+        val p = starts.getInt(i)
+        var j = if (p >= 1) p else 1
+        val e = math.min(p + n - 1, len)
+        while (j <= e) { bs.set(j); j += 1 }
+        i += 1
+      }
+    }
+    val nCov = bs.cardinality()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    var first = true
+    while (i < len) {
+      if (!bs.get(i + 1) && !toks.isNullAt(i)) {
+        if (!first) sb.append(' ')
+        sb.append(toks.getUTF8String(i).toString)
+        first = false
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nCov.toLong, UTF8String.fromString(sb.toString)))
   }
 
   def shingleSet(text: UTF8String): ArrayData = {
@@ -625,5 +669,62 @@ case class ScrubJoin(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ScrubJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** (tokens array<string>, flagged gram starts array<int>, gram width n)
+  * → struct(n_cov bigint, scrub string): covered-position count under
+  * the interval union of [p, p+n) per start, and the scrubbed text.
+  * A NULL starts array means nothing covered; only the token side
+  * propagates null. The one-pass fusion of the boilerplate-scrub
+  * coverage aggregate and digest ([[graft.operators.TextAnalysis
+  * .boilerplateScrub]]).
+  */
+case class ScrubCover(left: Expression, right: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_cov", LongType, nullable = false),
+    StructField("scrub", StringType, nullable = false)))
+  override def nullable: Boolean = left.nullable
+  override def prettyName: String = "scrub_cover"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(IntegerType, _)) if n >= 1 =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"expected (array<string>, array<int>) with n >= 1, got $other, n=$n")
+    }
+
+  // not nullSafeEval: a null starts side is semantic (no coverage)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val t = left.eval(input)
+    if (t == null) return null
+    val s = right.eval(input)
+    TextHash.scrubCover(t.asInstanceOf[ArrayData],
+      if (s == null) null else s.asInstanceOf[ArrayData], n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val helper = TextHash.getClass.getName.stripSuffix("$")
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val newCode =
+      code"""
+         |${leftGen.code}
+         |boolean ${ev.isNull} = ${leftGen.isNull};
+         |InternalRow ${ev.value} = null;
+         |if (!${ev.isNull}) {
+         |  ${rightGen.code}
+         |  ${ev.value} = $helper.scrubCover(${leftGen.value},
+         |    ${rightGen.isNull} ? null : ${rightGen.value}, $n);
+         |}""".stripMargin
+    ev.copy(code = newCode)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ScrubCover =
     copy(left = newLeft, right = newRight)
 }

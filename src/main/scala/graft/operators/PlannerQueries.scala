@@ -58,12 +58,18 @@ object PlannerQueries {
   /** Width-derived tier pyramid, shared by every plan in the query —
     * bounds must expose `lo` and `hi` (half-open).
     */
-  private val tiersCte: String =
-    s"""tw AS (SELECT ${tierLadder("hi - lo")} AS bt FROM bounds),
-       |tiers(idx, sz) AS (
-       |  SELECT 0, 64 * bt FROM tw
-       |  UNION ALL SELECT 1, 8 * bt FROM tw
-       |  UNION ALL SELECT 2, bt FROM tw)""".stripMargin
+  private val tiersCte: String = tiersCteNamed("tiers", "tw", "hi - lo")
+
+  /** Same pyramid from an arbitrary width expression under arbitrary
+    * CTE names — [[worklistDiffSql]] needs TWO pyramids (the new plan's
+    * and the previous deployment's).
+    */
+  private def tiersCteNamed(tiers: String, tw: String, wExpr: String): String =
+    s"""$tw AS (SELECT ${tierLadder(wExpr)} AS bt FROM bounds),
+       |$tiers(idx, sz) AS (
+       |  SELECT 0, 64 * bt FROM $tw
+       |  UNION ALL SELECT 1, 8 * bt FROM $tw
+       |  UNION ALL SELECT 2, bt FROM $tw)""".stripMargin
 
   /** min/max(event_id) → hierarchical plan rows. */
   def partitionPlan(spark: SparkSession, d: String): DataFrame = {
@@ -77,23 +83,25 @@ object PlannerQueries {
       .orderBy(col("partition_size").desc, col("start_block"))
   }
 
-  private def planCte(hiExpr: String, stName: String): String =
+  private def planCte(hiExpr: String, stName: String,
+      tiersName: String = "tiers"): String =
     s"""$stName(idx, cursor) AS (
        |  SELECT 0, (SELECT lo FROM bounds)
        |  UNION ALL
        |  SELECT s.idx + 1,
        |    CASE WHEN ($hiExpr) // t.sz * t.sz > s.cursor // t.sz * t.sz
        |         THEN ($hiExpr) // t.sz * t.sz ELSE s.cursor END
-       |  FROM $stName s JOIN tiers t ON t.idx = s.idx
+       |  FROM $stName s JOIN $tiersName t ON t.idx = s.idx
        |  WHERE s.idx < 3)""".stripMargin
 
   // DuckDB 1.0's generate_series cannot take lateral column parameters;
   // unnest(range(...)) in the select list can.
-  private def planSelect(hiExpr: String, stName: String): String =
+  private def planSelect(hiExpr: String, stName: String,
+      tiersName: String = "tiers"): String =
     s"""SELECT partition_size, start_block, start_block + partition_size AS end_block
        |FROM (SELECT t.sz AS partition_size,
        |        unnest(range(s.cursor // t.sz * t.sz, ($hiExpr) // t.sz * t.sz, t.sz)) AS start_block
-       |      FROM $stName s JOIN tiers t ON t.idx = s.idx)"""
+       |      FROM $stName s JOIN $tiersName t ON t.idx = s.idx)"""
       .stripMargin
 
   val partitionPlanSql: String =
@@ -106,10 +114,14 @@ object PlannerQueries {
 
   /** Incremental work-list: plan of the full range MINUS plan of the
     * previous watermark range (prev head = lo + 2/3 of the range). The
-    * oracle runs the recursive planner twice and EXCEPTs. Both plans
-    * share the FULL range's tiers — the planner's tier choice is a
-    * deployment-stable function of the table's lifetime width, not of
-    * each run's increment.
+    * oracle runs the recursive planner twice and EXCEPTs. Each plan
+    * derives its tiers FROM ITS OWN width — the previous deployment
+    * planned (and laid out its directories) when the table was
+    * narrower, so modeling its plan with today's pyramid would diff
+    * against tiles that were never on disk. When growth crosses a
+    * [[planTier]] threshold the two pyramids differ and the EXCEPT
+    * correctly degenerates toward a full retile: the old layout's
+    * tiles simply are not tiles of the new plan.
     */
   def worklistDiff(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -118,10 +130,9 @@ object PlannerQueries {
       case Row(lo: Long, hiRaw: Long) =>
         val hi = hiRaw + 1
         val prevHi = lo + (hi - lo) * 2 / 3
-        val tiers = tiersFor(hi - lo)
         val work = Partitioner.worklist(
-          Partitioner.plan(lo, hi, tiers),
-          Partitioner.plan(lo, prevHi, tiers))
+          Partitioner.plan(lo, hi, tiersFor(hi - lo)),
+          Partitioner.plan(lo, prevHi, tiersFor(prevHi - lo)))
         work.map(p => (p.size, p.start, p.end))
           .toDF("partition_size", "start_block", "end_block")
           .orderBy(col("partition_size").desc, col("start_block"))
@@ -133,13 +144,14 @@ object PlannerQueries {
        |  SELECT min(event_id) AS lo, max(event_id) + 1 AS hi,
        |         min(event_id) + (max(event_id) + 1 - min(event_id)) * 2 // 3 AS prev_hi
        |  FROM events),
-       |$tiersCte,
-       |${planCte("SELECT hi FROM bounds", "st_new")},
-       |${planCte("SELECT prev_hi FROM bounds", "st_old")}
+       |${tiersCteNamed("tiers_new", "tw_new", "hi - lo")},
+       |${tiersCteNamed("tiers_old", "tw_old", "prev_hi - lo")},
+       |${planCte("SELECT hi FROM bounds", "st_new", "tiers_new")},
+       |${planCte("SELECT prev_hi FROM bounds", "st_old", "tiers_old")}
        |SELECT * FROM (
-       |  ${planSelect("SELECT hi FROM bounds", "st_new").replace("\n", " ")}
+       |  ${planSelect("SELECT hi FROM bounds", "st_new", "tiers_new").replace("\n", " ")}
        |  EXCEPT
-       |  ${planSelect("SELECT prev_hi FROM bounds", "st_old").replace("\n", " ")}
+       |  ${planSelect("SELECT prev_hi FROM bounds", "st_old", "tiers_old").replace("\n", " ")}
        |) ORDER BY partition_size DESC, start_block""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -860,13 +860,46 @@ object Similarity {
     * never an assumed literal). memberEmb and canonCos come back
     * persisted and forced.
     */
+  private[operators] def xlap(tag: String, t0: Long): Long = {
+    val t1 = System.nanoTime()
+    if (sys.env.contains("GRAFT_XMODAL_TIMING"))
+      println(f"[xmodal-timing] $tag%-16s ${(t1 - t0) / 1e9}%8.2f s")
+    t1
+  }
+
   private def crossmodalPrelude(spark: SparkSession, d: String): (
       DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    var t = System.nanoTime()
     val (membership, elig, gd) = Dedup.minhashCollapsedPairs(spark, d)
+    t = xlap("funnel", t)
     val mem = membership.select("doc_id", "gid")
     val emb = Tables.embeddings(spark, d).select(col("vec_id"), col("embedding"))
-    val memberEmb = mem
-      .join(emb, col("doc_id") === col("vec_id"), "left")
+    // TOUCHED-GROUP restriction: every downstream consumer of the class
+    // frame, the uniformity verdict and the canonical cosines reads only
+    // groups that appear in a funnel pair (gd) or are eligible dup
+    // groups (elig) — the corpus's untouched singleton mass (the
+    // overwhelming fraction at 100 TB) contributes nothing to either
+    // audit face. Semi-joining members to the touched-gid set BEFORE
+    // the vector fetch and the (gid, embedding) class aggregation makes
+    // both shuffles pair-mass-sized instead of corpus-sized.
+    // materialized (persist + count) so the planner KNOWS these are
+    // small: memT feeds two consumers (the vector semi-prune and the
+    // member join) and must evaluate once, as a broadcastable side
+    val touched = gd.select(col("ga").as("gid"))
+      .unionByName(gd.select(col("gb").as("gid")))
+      .unionByName(elig.select("gid"))
+    val memT = mem.join(touched, Seq("gid"), "left_semi").persist()
+    memT.count()
+    t = xlap("memT", t)
+    // fetch vectors for touched members only: the semi-join prunes the
+    // embeddings scan to touched ids (broadcastable id set — one
+    // streamed scan, no corpus-wide payload shuffle), and the LEFT join
+    // that follows keeps a member with no embedding row visible as the
+    // alignment fault it is
+    val embT = emb.join(memT.select(col("doc_id").as("vec_id")),
+      Seq("vec_id"), "left_semi")
+    val memberEmb = memT
+      .join(embT, col("doc_id") === col("vec_id"), "left")
       .select(col("doc_id"), col("gid"), col("embedding"))
     // ONE aggregation pass over the member⋈embedding join produces the
     // EMBEDDING-CLASS frame — per exact-dup group, the partition of its
@@ -880,8 +913,16 @@ object Similarity {
       .groupBy(col("gid"), col("embedding"))
       .agg(count(lit(1)).as("csz"),
         max(col("doc_id") === col("gid")).as("has_canon"))
-      .persist()
-    cls.count()
+      // localCheckpoint, not persist: the class frame sits atop the
+      // whole funnel lineage through touched/memT, and the census
+      // references it (and its derivatives) a dozen times — a cached
+      // frame keeps the full logical tree at every use site and the
+      // DRIVER pays minutes of repeated analysis/optimization over it
+      // (measured: ~160 s of census planning at sf0.1 against ~18 s of
+      // actual prelude execution). Severing to a LogicalRDD leaf makes
+      // every downstream plan start from a class-sized scan.
+      .localCheckpoint(true)
+    t = xlap("cls", t)
     val perGroup = cls.groupBy("gid")
       .agg(sum("csz").as("n_mem"),
         sum(when(col("embedding").isNotNull, col("csz")).otherwise(lit(0L)))
@@ -889,10 +930,11 @@ object Similarity {
         count(when(col("embedding").isNotNull, lit(1))).as("n_cls"),
         first(when(col("has_canon"), col("embedding")), ignoreNulls = true)
           .as("rep_emb"))
-      .persist()
-    perGroup.count()
+      .localCheckpoint(true)
+    t = xlap("perGroup", t)
     val groupInfo = perGroup.select(col("gid"),
-      (col("n_emb") === col("n_mem") && col("n_cls") === 1).as("uniform"))
+      (col("n_emb") === col("n_mem") && col("n_cls") === 1).as("uniform"),
+      col("n_mem"))
     val repEmb = perGroup.select(col("gid"), col("rep_emb"))
     val canonCos = gd.select("ga", "gb")
       .unionByName(elig.select(col("gid").as("ga"), col("gid").as("gb")))
@@ -902,8 +944,8 @@ object Similarity {
       .select(col("ga"), col("gb"),
         when(col("emb_a").isNotNull && col("emb_b").isNotNull,
           cosE6("emb_a", "emb_b")).as("cos_can"))
-      .persist()
-    canonCos.count()
+      .localCheckpoint(true)
+    xlap("canonCos", t)
     (mem, elig, gd, cls.select("gid", "embedding", "csz"), groupInfo, canonCos)
   }
 
@@ -1007,7 +1049,9 @@ object Similarity {
     val gdU = gd
       .join(groupInfo.select(col("gid").as("ga"), col("uniform").as("ua")), "ga")
       .join(groupInfo.select(col("gid").as("gb"), col("uniform").as("ub")), "gb")
-    val sz = cls.groupBy("gid").agg(sum("csz").as("sz"))
+    // group sizes ride the severed per-group frame — each of the three
+    // uses is a leaf scan instead of a class-frame aggregation
+    val sz = groupInfo.select(col("gid"), col("n_mem").as("sz"))
     // FAST cross: both groups uniform — the canonical cosine IS every
     // member pair's cosine; multiplicity |A|·|B|
     val fastCross = gdU.where(col("ua") && col("ub"))
@@ -1070,12 +1114,19 @@ object Similarity {
         embOrderKey(col("y.embedding")).as("kb"))
     val keys = Seq("est_jaccard_e4", "embeds_agree")
     val kc = keys.map(col)
+    // each branch feeds BOTH census aggregates (pair multiplicities and
+    // the touched-doc expansion) — persist so nDocs reuses nPairs'
+    // branch execution instead of re-deriving five join trees
+    Seq(fastCross, fastIntra, slowCross, slowIntraSame, slowIntraDiff)
+      .foreach(_.persist())
     // ALL-UNIFORM fast path: when no non-uniform group exists (the
     // healthy-corpus case — and the 100 TB common case), every slow
     // branch is empty BY CONSTRUCTION (each filters on a non-uniform
     // side), so skip planning their five-way join trees entirely. One
     // existence probe on the persisted per-group frame decides.
+    val tHF = System.nanoTime()
     val hasFault = groupInfo.where(!col("uniform")).limit(1).count() > 0
+    xlap("hasFault", tHF)
     val fastPairs = fastCross.select(kc :+ col("m"): _*)
       .unionByName(fastIntra.select(kc :+ col("m"): _*))
     val nPairs = (if (!hasFault) fastPairs

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1433,41 +1433,58 @@ object TextAnalysis {
     val parts = (0 until n).map(j => s"toks[i-1+$j]").mkString(", ")
     val t = Tables.documents(spark, d)
       .select(col("doc_id"), expr(tokensSpark).as("toks"))
-    val g = t.where(size(col("toks")) >= n)
+    // Shuffle-lean shape (the round-13 A/B'd rewrite; r11/r12 numbers
+    // in bench_out/BOILERPLATE_AB_r13.json):
+    //  1. ONE corpus-sized shuffle: the exploded gram stream collapses
+    //     straight to one row per (gram, doc) carrying its position
+    //     list — that frame answers BOTH downstream questions (df =
+    //     plain row count per gram, rows are already doc-distinct;
+    //     coverage = re-explode of only the flagged rows' lists). The
+    //     r11 shape shuffled the full exploded frame twice
+    //     (countDistinct's partial-distinct pass AND the cover join).
+    //  2. Grams travel as xxhash64 of the n token slots — ~3× fewer
+    //     shuffle bytes than the concat_ws string and no per-row
+    //     string allocation. A 64-bit collision would flag an
+    //     unflagged gram (P ≈ V²/2⁶⁵; ~10⁻⁶ at the 100× replica's
+    //     vocabulary) — the standard trade every hash-keyed dedup in
+    //     this engine already makes.
+    //  3. Coverage never expands to per-position rows: flagged gram
+    //     START positions aggregate per doc, and the compiled
+    //     [[graft.functions.ScrubCover]] kernel resolves the interval
+    //     union, the covered count and the scrubbed digest text in one
+    //     O(len + |starts|) BitSet pass — the r12 shape exploded every
+    //     flagged gram n-fold and paid a corpus-wide distinct to undo
+    //     the overlap.
+    val gd = t.where(size(col("toks")) >= n)
       .select(col("doc_id"),
         explode(expr(
           s"""transform(sequence(1, size(toks) - ${n - 1}),
-             |  i -> struct(i AS pos, concat_ws(' ', $parts) AS gram))"""
+             |  i -> struct(i AS pos, xxhash64($parts) AS gram))"""
             .stripMargin)).as("g"))
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+      .groupBy("gram", "doc_id")
+      .agg(collect_list("pos").as("ps"))
       .persist()
-    val flagged = g.groupBy("gram")
-      .agg(countDistinct("doc_id").as("df"))
+    val flagged = gd.groupBy("gram")
+      .agg(count(lit(1)).as("df"))
       .where(col("df") >= minDf)
       .select("gram")
-    val cov = g.join(flagged, Seq("gram"))
-      .select(col("doc_id"),
-        explode(expr(s"sequence(pos, pos + ${n - 1})")).as("cp"))
+    val cov = gd.join(flagged, Seq("gram"))
+      .select(col("doc_id"), explode(col("ps")).as("pos"))
       .groupBy("doc_id")
-      .agg(countDistinct("cp").as("n_cov"), collect_set("cp").as("cov"))
-    // Scrub digest kernel: compiled one-pass BitSet join
-    // ([[graft.functions.ScrubJoin]]) — O(len + |cov|) per doc, zero
-    // intermediate arrays. The declarative forms both lose once flagged
-    // grams cover most of a boilerplate-dense corpus: per-position
-    // array_contains is O(len·|cov|), and slice-per-segment + flatten
-    // allocates an array per covered position (measured 2× slower at
-    // the 100× replica's coverage density).
+      .agg(collect_list("pos").as("starts"))
     val out = t.join(cov, Seq("doc_id"), "left")
+      .withColumn("__sc", graft.functions.GraftFunctions.scrub_cover(
+        col("toks"), col("starts"), n))
       .select(col("doc_id"),
         size(col("toks")).cast(LongType).as("n_toks"),
-        coalesce(col("n_cov"), lit(0L)).as("n_covered"),
-        expr("coalesce(n_cov, 0L) * 10000L div size(toks)").as("cov_e4"),
-        substring(sha2(graft.functions.GraftFunctions.scrub_join(
-          col("toks"), col("cov").cast("array<int>")), 256), 1, 16)
+        coalesce(col("__sc.n_cov"), lit(0L)).as("n_covered"),
+        expr("coalesce(__sc.n_cov, 0L) * 10000L div size(toks)").as("cov_e4"),
+        substring(sha2(col("__sc.scrub"), 256), 1, 16)
           .as("scrub_h16"))
       .orderBy("doc_id").persist()
     out.count() // materialize so the gram cache can be released
-    g.unpersist()
+    gd.unpersist()
     out
   }
 

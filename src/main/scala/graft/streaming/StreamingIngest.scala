@@ -73,7 +73,15 @@ object StreamingIngest {
   private[streaming] def admitBatch(batch: DataFrame, storeDir: String): Unit = {
     val spark = batch.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
+    val timing = sys.env.contains("GRAFT_INGEST_TIMING")
+    var t0 = System.nanoTime()
+    def lap(tag: String): Unit = if (timing) {
+      val t1 = System.nanoTime()
+      println(f"[stream-timing] $tag%-18s ${(t1 - t0) / 1e9}%8.2f s")
+      t0 = t1
+    }
     if (batch.isEmpty) return
+    lap("emptyCheck")
     val iDir = indexDir(storeDir)
     val haveStore = graft.sinks.Fs.exists(storeDir, conf)
     // The STORE is the source of truth; the index is a derived
@@ -86,9 +94,15 @@ object StreamingIngest {
     // single-table design.
     if (haveStore) {
       val storeN = spark.read.parquet(storeDir).count()
+      // a crash during an index append (or the heal's own overwrite) can
+      // leave iDir existing but holding no committed parquet (only
+      // _temporary debris) — reading it then throws BEFORE the heal
+      // could run, permanently wedging the stream; an unreadable index
+      // is just another divergence, so fall through to the re-derive
       val idxN =
         if (graft.sinks.Fs.exists(iDir, conf))
-          spark.read.parquet(iDir).count()
+          try spark.read.parquet(iDir).count()
+          catch { case scala.util.control.NonFatal(_) => -1L }
         else -1L
       if (storeN != idxN)
         Dedup.registryIndexRows(
@@ -96,6 +110,7 @@ object StreamingIngest {
           .localCheckpoint(true)
           .write.mode("overwrite").parquet(iDir)
     }
+    lap("healCheck")
     val oldIdx =
       if (haveStore) spark.read.parquet(iDir)
       else Dedup.registryIndexRows(batch.where(lit(false))
@@ -109,13 +124,16 @@ object StreamingIngest {
       // sever the store scan feeding the registry before appending to
       // the same path (Spark refuses a write into its own read lineage)
       .localCheckpoint(true)
+    lap("probe")
     if (!admitted.isEmpty) {
       // index rows first-class like the batch pipeline: hashed exactly
       // once at admission, severed from the index scan they derive from
       val newIdx = IngestionPipeline.indexRowsFor(admitted)
         .localCheckpoint(true)
+      lap("indexRows")
       admitted.write.mode("append").parquet(storeDir)
       newIdx.write.mode("append").parquet(iDir)
+      lap("appends")
     }
   }
 }

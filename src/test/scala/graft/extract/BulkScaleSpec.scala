@@ -94,4 +94,29 @@ class BulkScaleSpec extends AnyFunSuite with SparkTestBase {
       .select("_block_number").collect().map(_.getLong(0))
     assert(sample.sameElements(sample.sorted))
   }
+
+  test("a work tile's stale directory from a crashed run is cleared even when the re-run has zero rows for it") {
+    import spark.implicits._
+    val tDir = Files.createTempDirectory("bulk-stale").toString
+    val work = Seq(
+      graft.plans.Partition(64L, 0L, 64L),
+      graft.plans.Partition(64L, 64L, 128L))
+    // crashed prior run left rows in BOTH tile dirs (the second tile's
+    // rows are the stale ones: the authoritative re-run below produces
+    // zero rows for it — e.g. the upstream rows were re-orged away)
+    Seq((10L, "stale-a"), (70L, "stale-b")).toDF("k", "v")
+      .write.parquet(Partitioner.partitionDir(tDir, work(0)))
+    Seq((80L, "stale-c")).toDF("k", "v")
+      .write.parquet(Partitioner.partitionDir(tDir, work(1)))
+    val df = Seq((10L, "fresh"), (20L, "fresh2")).toDF("k", "v")
+    BulkWriter.writeTiles(spark, df, "k", work, tDir)
+    val t0 = spark.read.parquet(Partitioner.partitionDir(tDir, work(0)))
+    assert(t0.select("v").as[String].collect().sorted
+      === Array("fresh", "fresh2"))
+    // the zero-row tile must read back EMPTY with the full schema —
+    // dynamic overwrite never touches it, so the writer must clear it
+    val t1 = spark.read.parquet(Partitioner.partitionDir(tDir, work(1)))
+    assert(t1.count() === 0L)
+    assert(t1.columns.toSet === Set("k", "v"))
+  }
 }

@@ -192,7 +192,12 @@ class TextHashSpec extends AnyFunSuite with SparkTestBase {
       (4L, Seq("p", "q", "r"), Some(Seq(0, -1, 2, 2, 99))),
       (5L, Seq("only"), Some(Seq(1))),
       (6L, Seq.empty[String], Some(Seq(1, 2))),
-      (7L, null.asInstanceOf[Seq[String]], Some(Seq(1))))
+      (7L, null.asInstanceOf[Seq[String]], Some(Seq(1))),
+      // null ELEMENTS are skipped like the declarative filter skipped
+      // them (they still occupy a 1-based position slot) — the kernel
+      // must not NPE on a containsNull array from a non-tokenizer caller
+      (8L, Seq("a", null, "c"), Some(Seq(3))),
+      (9L, Seq(null, "z"), None))
       .toDF("doc_id", "toks", "cov")
     val declarative = rows.select(col("doc_id"), expr(
       """CASE WHEN toks IS NULL THEN NULL
@@ -209,6 +214,47 @@ class TextHashSpec extends AnyFunSuite with SparkTestBase {
     assert(compiled.map(_.toString) === declarative.map(_.toString))
     assert(compiled(0).getString(1) === "a c")
     assert(compiled(4).getString(1) === "")
+    assert(compiled(6).isNullAt(1))
+  }
+
+  test("ScrubCover equals the exploded interval-union pipeline") {
+    import spark.implicits._
+    val n = 3
+    // starts: unordered, overlapping, duplicated, boundary (start at
+    // len-n+1), out-of-range (clamped), null list, empty list, null
+    // token element inside a covered/uncovered slot
+    val rows = Seq(
+      (1L, Seq("a", "b", "c", "d", "e", "f"), Some(Seq(4, 1, 2))),
+      (2L, Seq("a", "b", "c", "d"), Some(Seq(2, 2))),
+      (3L, Seq("x", "y", "z"), None),
+      (4L, Seq("p", "q", "r", "s"), Some(Seq.empty[Int])),
+      (5L, Seq("t", "u", "v"), Some(Seq(1))),
+      (6L, Seq("a", null, "c", "d", "e"), Some(Seq(3))),
+      (7L, null.asInstanceOf[Seq[String]], Some(Seq(1))),
+      (8L, Seq("m", "n"), Some(Seq(-5, 99))))
+      .toDF("doc_id", "toks", "starts")
+    val decl = rows.select(col("doc_id"), expr(
+      s"""CASE WHEN toks IS NULL THEN NULL ELSE named_struct(
+         |  'n_cov', coalesce(cast(size(array_distinct(filter(
+         |     flatten(transform(coalesce(starts, array()),
+         |       p -> sequence(p, p + ${n - 1}))),
+         |     cp -> cp >= 1 AND cp <= size(toks)))) as bigint), 0L),
+         |  'scrub', concat_ws(' ', filter(
+         |     zip_with(toks, sequence(1, size(toks)), (t, i) ->
+         |       IF(exists(coalesce(starts, array()),
+         |            p -> i >= p AND i <= p + ${n - 1}), NULL, t)),
+         |     x -> x IS NOT NULL))) END""".stripMargin).as("s"))
+      .orderBy("doc_id").collect()
+    val compiled = rows.select(col("doc_id"),
+      GraftFunctions.scrub_cover(col("toks"), col("starts"), n).as("s"))
+      .orderBy("doc_id").collect()
+    assert(compiled.map(_.toString) === decl.map(_.toString))
+    // spot semantics: overlapping starts 1,2,4 over 6 toks cover 1..6
+    assert(compiled(0).getStruct(1).getLong(0) === 6L)
+    assert(compiled(0).getStruct(1).getString(1) === "")
+    // start 3 with n=3 covers slots 3,4,5; null element at slot 2 skipped
+    assert(compiled(5).getStruct(1).getLong(0) === 3L)
+    assert(compiled(5).getStruct(1).getString(1) === "a")
     assert(compiled(6).isNullAt(1))
   }
 }

@@ -75,6 +75,33 @@ class StreamingIngestSpec extends AnyFunSuite with SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("an unreadable index dir (crash mid index write) heals instead of wedging the stream") {
+    val s = spark
+    import s.implicits._
+    val store = Files.createTempDirectory("heal-store").toString + "/data"
+    // an existing store with one admitted doc, but an index dir that a
+    // crash left EXISTING yet holding no committed parquet — before the
+    // fix, reading it to count threw on every micro-batch, ahead of the
+    // heal, wedging the stream permanently
+    Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "src", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(store)
+    val iDir = StreamingIngest.indexDir(store)
+    assert(new File(iDir, "_temporary").mkdirs())
+    val batch = Seq(
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "src", 10L),
+      (3L, "completely novel words that match nothing admitted before now", "en", "src", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    StreamingIngest.admitBatch(batch, store)
+    val stored = spark.read.parquet(store)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(stored == Set(1L, 3L),
+      "doc 2 is an exact copy of stored doc 1; the heal must let the probe see it")
+    // the healed index covers the whole store (1:1 with store rows)
+    assert(spark.read.parquet(iDir).count() === 2L)
+    spark.catalog.clearCache()
+  }
+
   test("streaming quartile drops equal the batch pipeline's admitted store") {
     // the capstone equivalence: four file-drops drained one per
     // micro-batch admit EXACTLY the docs four watermark-chained batch
