@@ -66,6 +66,10 @@ object GraftFunctions {
   def scrub_cover(toks: Column, starts: Column, n: Int): Column =
     toCol(ScrubCover(toExpr(toks), toExpr(starts), n))
 
+  /** tokens → within-document duplicate-n-gram coverage count. */
+  def rep_coverage(toks: Column, n: Int): Column =
+    toCol(RepCoverage(toExpr(toks), n))
+
   /** text → [n_tokens, sum_token_chars, stopword_hits, n_distinct]. */
   def text_stats(c: Column, stopwords: Seq[String]): Column =
     toCol(TextStats(toExpr(c), stopwords))

@@ -338,6 +338,47 @@ object TextHash {
       Array[Any](nCov.toLong, UTF8String.fromString(sb.toString)))
   }
 
+  /** Within-document duplicate-n-gram coverage (the Gopher surface
+    * metric): count of 1-based token positions covered by the interval
+    * union of [i, i+n) over every gram occurring ≥ 2 times IN THIS
+    * DOCUMENT. Exact string keys (space-joined — tokens are
+    * whitespace-split, so the join is unambiguous and matches the
+    * oracle's concat_ws gram exactly), one local hash map + one BitSet — O(len · n) per
+    * document, no corpus state. This collapses the declarative shape's
+    * two corpus-wide shuffles (window by (doc, gram) + the n-fold
+    * covered-position distinct) into an embarrassingly parallel scan:
+    * the metric is a pure per-document function, so nothing about it
+    * belongs in a shuffle.
+    */
+  def repCoverage(toks: ArrayData, n: Int): Long = {
+    val len = toks.numElements()
+    if (len < n) return 0L
+    val m = len - n + 1
+    val keys = new Array[String](m)
+    val counts = new java.util.HashMap[String, Integer](m * 2)
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        if (!toks.isNullAt(i + j)) sb.append(toks.getUTF8String(i + j).toString)
+        j += 1
+      }
+      val k = sb.toString
+      keys(i) = k
+      counts.merge(k, 1, (a, b) => a + b)
+      i += 1
+    }
+    val bs = new java.util.BitSet(len + 2)
+    i = 0
+    while (i < m) {
+      if (counts.get(keys(i)) >= 2) bs.set(i + 1, i + n + 1)
+      i += 1
+    }
+    bs.cardinality().toLong
+  }
+
   def shingleSet(text: UTF8String): ArrayData = {
     val sh = shingles(tokens(text.toString))
     if (sh.isEmpty) return null
@@ -670,6 +711,35 @@ case class ScrubJoin(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ScrubJoin =
     copy(left = newLeft, right = newRight)
+}
+
+/** tokens array<string> → within-document duplicate-n-gram coverage
+  * count (bigint; 0 for docs with fewer than n tokens, null only for a
+  * null token array) — the zero-shuffle form of the Gopher surface
+  * metric; see [[TextHash.repCoverage]].
+  */
+case class RepCoverage(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 2, s"gram width must be at least 2, got $n")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "rep_coverage"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"expected array<string>, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TextHash.repCoverage(v.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = TextHash.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $helper.repCoverage($c, $n);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RepCoverage =
+    copy(child = newChild)
 }
 
 /** (tokens array<string>, flagged gram starts array<int>, gram width n)

@@ -311,8 +311,88 @@ object ParityQueries {
       |FROM t GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** The ten fixture tables, named — the introspection universe of
+    * [[s2ColumnTypes]] (events is read RAW here: S2 describes what is
+    * on storage, not the normalized view other queries consume).
+    */
+  private val FixtureTables = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
+
+  /** Spark type → the engine's extract-type vocabulary — the S2 mapping
+    * (cli.py:54-71 maps information_schema type names to extract types
+    * the same way; an unmapped type surfaces as `other`/unsupported
+    * instead of failing the listing). TIMESTAMP and TIMESTAMP_NTZ
+    * collapse to one tag: parquet files written without
+    * isAdjustedToUTC arrive as NTZ in Spark but plain TIMESTAMP in
+    * DuckDB, and S2 describes the storage type, not session timezone
+    * policy.
+    */
+  private def typeTag(dt: DataType): String = dt match {
+    case IntegerType => "int32"
+    case LongType => "int64"
+    case FloatType => "float32"
+    case DoubleType => "float64"
+    case StringType => "string"
+    case BooleanType => "bool"
+    case TimestampType | _: TimestampNTZType => "timestamp"
+    case DateType => "date"
+    case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+    case ArrayType(e, _) => s"list<${typeTag(e)}>"
+    case _ => "other"
+  }
+
+  /** S2 (cli.py:54-71): column-type introspection of every fixture
+    * table — (table, column, extract-type tag, supported). Driver-side
+    * by design, like the reference's information_schema query: only
+    * parquet FOOTERS are read (one per table), no executor jobs. The
+    * DuckDB oracle re-derives the same listing from DESCRIBE over its
+    * views with the type mapping expressed as a CASE ladder.
+    */
+  def s2ColumnTypes(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    FixtureTables
+      .flatMap { t =>
+        spark.read.parquet(s"$d/$t.parquet").schema.fields
+          .map(f => (t, f.name, typeTag(f.dataType)))
+      }
+      .toDF("table_name", "column_name", "type_tag")
+      .withColumn("supported", col("type_tag") =!= "other")
+      .orderBy("table_name", "column_name")
+  }
+
+  val s2ColumnTypesSql: String = {
+    val describes = FixtureTables
+      .map(t => s"SELECT '$t' AS table_name, column_name, column_type " +
+        s"FROM (DESCRIBE SELECT * FROM $t)")
+      .mkString("\n  UNION ALL ")
+    s"""WITH cols AS (
+       |  $describes),
+       |tagged AS (SELECT table_name, column_name,
+       |  CASE column_type
+       |    WHEN 'INTEGER' THEN 'int32'
+       |    WHEN 'BIGINT' THEN 'int64'
+       |    WHEN 'FLOAT' THEN 'float32'
+       |    WHEN 'DOUBLE' THEN 'float64'
+       |    WHEN 'VARCHAR' THEN 'string'
+       |    WHEN 'BOOLEAN' THEN 'bool'
+       |    WHEN 'TIMESTAMP' THEN 'timestamp'
+       |    WHEN 'TIMESTAMP WITH TIME ZONE' THEN 'timestamp'
+       |    WHEN 'DATE' THEN 'date'
+       |    WHEN 'FLOAT[]' THEN 'list<float32>'
+       |    WHEN 'DOUBLE[]' THEN 'list<float64>'
+       |    WHEN 'BIGINT[]' THEN 'list<int64>'
+       |    WHEN 'VARCHAR[]' THEN 'list<string>'
+       |    ELSE CASE WHEN regexp_matches(column_type, '^DECIMAL\\(\\d+,\\d+\\)$$')
+       |      THEN lower(column_type) ELSE 'other' END
+       |  END AS type_tag FROM cols)
+       |SELECT table_name, column_name, type_tag, type_tag <> 'other' AS supported
+       |FROM tagged ORDER BY table_name, column_name""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_s1_range_scan" -> (s1RangeScan _),
+    "q_s2_column_types" -> (s2ColumnTypes _),
     "q_s3_catalog_join" -> (s3CatalogJoin _),
     "q_s4_distinct_listing" -> (s4DistinctListing _),
     "q_s5_preview" -> (s5Preview _),
@@ -326,6 +406,7 @@ object ParityQueries {
 
   val oracles: Map[String, String] = Map(
     "q_s1_range_scan" -> s1RangeScanSql,
+    "q_s2_column_types" -> s2ColumnTypesSql,
     "q_s3_catalog_join" -> s3CatalogJoinSql,
     "q_s4_distinct_listing" -> s4DistinctListingSql,
     "q_s5_preview" -> s5PreviewSql,

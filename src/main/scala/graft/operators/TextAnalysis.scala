@@ -963,31 +963,23 @@ object TextAnalysis {
 
   def repCoverage(spark: SparkSession, d: String,
       n: Int = DefaultRepGramN): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(n >= 2, "gram width must be at least 2")
-    val parts = (0 until n).map(j => s"toks[i-1+$j]").mkString(", ")
-    val t = Tables.documents(spark, d)
+    // The metric is a pure PER-DOCUMENT function, so nothing about it
+    // belongs in a shuffle: the compiled [[graft.functions.RepCoverage]]
+    // kernel resolves gram counts + interval union in one local pass
+    // per doc. The declarative shape this replaces exploded every gram,
+    // paid a corpus-wide window by (doc, gram), re-exploded covered
+    // positions n-fold and collapsed them with a corpus-wide distinct —
+    // two full shuffles for a map-side computation (measured shapes in
+    // BUILDER_NOTES round 13).
+    Tables.documents(spark, d)
       .select(col("doc_id"), expr(tokensSpark).as("toks"))
       .where(size(col("toks")) >= n)
-    val g = t.select(col("doc_id"),
-      explode(expr(
-        s"""transform(sequence(1, size(toks) - ${n - 1}),
-           |  i -> struct(i AS pos, concat_ws(' ', $parts) AS gram))"""
-          .stripMargin)).as("g"))
-      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
-    val cov = g
-      .withColumn("cnt",
-        count(lit(1)).over(Window.partitionBy("doc_id", "gram")))
-      .where(col("cnt") >= 2)
       .select(col("doc_id"),
-        explode(expr(s"sequence(pos, pos + ${n - 1})")).as("cp"))
-      .groupBy("doc_id")
-      .agg(countDistinct("cp").as("n_cov"))
-    t.select(col("doc_id"), size(col("toks")).cast(LongType).as("n_toks"))
-      .join(cov, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_toks"),
-        coalesce(col("n_cov"), lit(0L)).as("n_covered"),
-        expr("coalesce(n_cov, 0L) * 10000L div n_toks").as("cov_e4"))
+        size(col("toks")).cast(LongType).as("n_toks"),
+        graft.functions.GraftFunctions.rep_coverage(col("toks"), n)
+          .as("n_covered"))
+      .withColumn("cov_e4", expr("n_covered * 10000L div n_toks"))
       .orderBy("doc_id")
   }
 

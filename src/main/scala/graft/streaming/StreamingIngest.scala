@@ -44,6 +44,20 @@ object StreamingIngest {
   def indexDir(storeDir: String): String =
     s"${storeDir.stripSuffix("/")}__index"
 
+  /** Store paths whose store==index consistency this JVM has confirmed
+    * (or produced). The divergence check costs two parquet-footer count
+    * jobs EVERY micro-batch, yet after the first batch this process is
+    * the only writer (the single-writer assumption the store append
+    * already makes), so consistency is an invariant of its own appends:
+    * membership here skips the re-count. The entry is dropped right
+    * before each append pair and re-added only after BOTH commits — any
+    * failure in between (or a process crash, which empties the set)
+    * sends the next batch back to the full disk check, i.e. the heal
+    * path.
+    */
+  private val validatedStores =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Drain all currently-available document files into the store,
     * `filesPerBatch` files per micro-batch (1 = maximal registry
     * growth between batches; the admission semantics only get STRICTER
@@ -92,7 +106,7 @@ object StreamingIngest {
     // covers a store created without one). After the heal, replayed
     // docs exact-hit themselves and the store converges, same as the
     // single-table design.
-    if (haveStore) {
+    if (haveStore && !validatedStores.contains(storeDir)) {
       val storeN = spark.read.parquet(storeDir).count()
       // a crash during an index append (or the heal's own overwrite) can
       // leave iDir existing but holding no committed parquet (only
@@ -109,6 +123,7 @@ object StreamingIngest {
           spark.read.parquet(storeDir).select(col("doc_id"), col("text")))
           .localCheckpoint(true)
           .write.mode("overwrite").parquet(iDir)
+      validatedStores.add(storeDir)
     }
     lap("healCheck")
     val oldIdx =
@@ -131,8 +146,10 @@ object StreamingIngest {
       val newIdx = IngestionPipeline.indexRowsFor(admitted)
         .localCheckpoint(true)
       lap("indexRows")
+      validatedStores.remove(storeDir)
       admitted.write.mode("append").parquet(storeDir)
       newIdx.write.mode("append").parquet(iDir)
+      validatedStores.add(storeDir)
       lap("appends")
     }
   }

@@ -24,13 +24,14 @@ class VerifyGateSpec extends AnyFunSuite with SparkTestBase {
     assert((q -- o).isEmpty, s"queries without oracles: ${(q -- o).mkString(", ")}")
   }
 
-  test("the registered surface only grows (floor pinned at round 12)") {
+  test("the registered surface only grows (floor pinned at round 13)") {
     // 172 = round-9's 166 + three *_pairs/census audit faces + manku
     // banding + the two ingestion-capstone faces; a refactor that
     // silently drops a registration fails here first
     // 175 = round 11's 174 + the streaming-face ingestion capstone
-    assert(SparkEntry.queries.size >= 175,
-      s"query surface shrank to ${SparkEntry.queries.size} (< 175)")
+    // 176 = round 12's 175 + S2 column-type introspection
+    assert(SparkEntry.queries.size >= 176,
+      s"query surface shrank to ${SparkEntry.queries.size} (< 176)")
   }
 
   test("every query constructs and analyzes against sf0.001") {

@@ -217,6 +217,37 @@ class TextHashSpec extends AnyFunSuite with SparkTestBase {
     assert(compiled(6).isNullAt(1))
   }
 
+  test("RepCoverage equals the exploded window + distinct pipeline") {
+    val n = 3
+    val parts = (0 until n).map(j => s"toks[i-1+$j]").mkString(", ")
+    val t = docs.withColumn("toks", expr(TextAnalysis.tokensSpark))
+      .where(size(col("toks")) >= n)
+    // the round-12 declarative shape, verbatim, as the ground truth
+    import org.apache.spark.sql.expressions.Window
+    val g = t.select(col("doc_id"),
+      explode(expr(
+        s"""transform(sequence(1, size(toks) - ${n - 1}),
+           |  i -> struct(i AS pos, concat_ws(' ', $parts) AS gram))"""
+          .stripMargin)).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+    val decl = g
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy("doc_id", "gram")))
+      .where(col("cnt") >= 2)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${n - 1})")).as("cp"))
+      .groupBy("doc_id").agg(countDistinct("cp").as("n_cov"))
+    val declMap = t.select(col("doc_id"))
+      .join(decl, Seq("doc_id"), "left")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .toMap
+    val kernel = t.select(col("doc_id"),
+      GraftFunctions.rep_coverage(col("toks"), n).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel === declMap)
+    assert(kernel.nonEmpty)
+  }
+
   test("ScrubCover equals the exploded interval-union pipeline") {
     import spark.implicits._
     val n = 3

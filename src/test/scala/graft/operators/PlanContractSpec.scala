@@ -440,14 +440,19 @@ class PlanContractSpec extends AnyFunSuite with SparkTestBase {
     spark.catalog.clearCache()
   }
 
-  test("q_rep_coverage occurrence window is (doc, gram)-partitioned") {
+  test("q_rep_coverage is one scan with no shuffle before the final sort") {
+    // the round-13 contract: the metric is a pure per-document function
+    // computed by the compiled rep_coverage kernel — the ONLY exchange
+    // in the plan is the output sort's range partitioning (the r12
+    // shape paid a corpus window by (doc, gram) plus a covered-position
+    // distinct, two full shuffles)
     val plan = stripAqe(
       TextAnalysis.repCoverage(spark, sf).queryExecution.executedPlan)
     val s = plan.toString
-    val specs = "windowspecdefinition\\(([^)]*)\\)".r
-      .findAllMatchIn(s).map(_.group(1)).toSeq
-    assert(specs.nonEmpty, s"expected a window in:\n$s")
-    assert(specs.forall(sp => sp.contains("doc_id") && sp.contains("gram")),
-      s"occurrence-count window must partition by (doc_id, gram): $specs\n$s")
+    assert(s.contains("rep_coverage("), s"expected the compiled kernel in:\n$s")
+    assert(!s.contains("windowspecdefinition"), s"no window expected in:\n$s")
+    val exchanges = "Exchange (\\w+)".r.findAllMatchIn(s).map(_.group(1)).toSeq
+    assert(exchanges.forall(_.startsWith("rangepartitioning")),
+      s"only the output sort may shuffle: $exchanges\n$s")
   }
 }
