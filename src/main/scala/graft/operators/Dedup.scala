@@ -1753,9 +1753,16 @@ object Dedup {
     while (!converged && it < maxIters) {
       val msgs = edges.join(labels, col("src") === col("doc_id"))
         .select(col("dst").as("doc_id"), col("label"))
+      // localCheckpoint, not persist: a persisted round keeps the whole
+      // previous-round LOGICAL plan nested inside the next one, so
+      // round k re-analyzes a k-deep chain (O(k²) driver planning over
+      // the loop — the crossmodal-prelude lesson, BUILDER_NOTES round
+      // 13). Severing keeps every round's plan flat, and the labelSum
+      // materialization the convergence test needs is the same work the
+      // persist-and-aggregate form paid.
       val next = labels.unionByName(msgs)
         .groupBy("doc_id").agg(min("label").as("label"))
-        .persist()
+        .localCheckpoint(true)
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
@@ -1873,7 +1880,10 @@ object Dedup {
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      val next = smallStar(largeStar(edges)).persist()
+      // localCheckpoint for the same reason as the propagation twin:
+      // flat per-round plans instead of a chain that re-analyzes every
+      // prior star round
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
       val nfp = fingerprint(next)
       converged = nfp == fp
       fp = nfp
