@@ -61,7 +61,12 @@ object IngestionPipeline {
       nSeen: Long,
       nAdmitted: Long,
       verdicts: DataFrame,
-      watermark: Watermark)
+      watermark: Watermark,
+      /** [[verdicts]] plus the probe's `ch` (content hash) and `cid`
+        * (batch canonical per content) — lets audit faces derive
+        * in-batch dup structure without re-hashing the batch.
+        */
+      verdictsCh: DataFrame)
 
   /** Coverage end of a plan: the first doc id NOT covered. */
   private def coverage(plan: Seq[Partition]): Long =
@@ -139,35 +144,30 @@ object IngestionPipeline {
     // reading them (recacheByPath) — a merely-persisted verdict frame
     // would silently re-run the whole probe on its next use. Severing
     // fixes the verdict bytes here, before admitted rows land anywhere.
-    val verdicts = Dedup.incrementalLshProbe(
+    val (vRaw, cont) = Dedup.incrementalLshProbeArtifacts(
       newDocs.select(col("doc_id"), col("text")),
       regBands, regSets, regHashes, numHashes, numBands, thresholdE4)
-      .localCheckpoint(true)
+    val verdictsCh = vRaw.localCheckpoint(true)
     lap("probe")
 
-    val cleared = newDocs
-      .join(verdicts.where(!col("is_dup")).select("doc_id"), Seq("doc_id"),
-        "left_semi")
-    val admittedNew =
-      if (!strictBatch) cleared
-      else {
-        import org.apache.spark.sql.expressions.Window
-        cleared
-          .withColumn("__ch",
-            graft.functions.GraftFunctions.content_hash(col("text")))
-          .withColumn("__first", min("doc_id").over(Window.partitionBy("__ch")))
-          .where(col("doc_id") === col("__first"))
-          .drop("__ch", "__first")
-      }
+    // is_dup is a function of the content, so the batch canonical per
+    // content (cid, from the probe's collapse) IS the min admitted doc
+    // id — the strict face needs no second hash + window pass
+    val admittedIds = verdictsCh.where(
+      if (strictBatch) !col("is_dup") && col("doc_id") === col("cid")
+      else !col("is_dup"))
+    val admittedNew = newDocs
+      .join(admittedIds.select("doc_id"), Seq("doc_id"), "left_semi")
     // merge: committed rows below the old coverage + this run's
     // admitted rows above it; each worklist directory takes its slice.
-    // Index rows follow the same merge — a NEW doc is hashed exactly
-    // once here; consolidated tiles LIFT committed docs' stored rows
-    // instead of re-deriving them
+    // Index rows follow the same merge — a NEW doc's signatures come
+    // straight from the probe's severed content frame (hashed exactly
+    // once, in the probe); consolidated tiles LIFT committed docs'
+    // stored rows instead of re-deriving them
     val allAdmitted = regDocs.unionByName(admittedNew).persist()
     allAdmitted.count()
     lap("allAdmitted")
-    val newIdx = indexRowsFor(admittedNew, numHashes)
+    val newIdx = indexRowsFromProbe(admittedIds, cont)
     val allIdx = oldIdx.unionByName(newIdx).persist()
     allIdx.count()
     lap("allIdx")
@@ -179,7 +179,7 @@ object IngestionPipeline {
     // admitted tally BEFORE the writes: the bulk jobs below invalidate
     // cached plans under the table roots, and a post-write count would
     // recompute the probe chain from files
-    val nAdmitted = admittedNew.count()
+    val nAdmitted = admittedIds.count()
     lap("nAdmitted")
     BulkWriter.writeTiles(spark, allAdmitted, "doc_id", work, tDir)
     lap("writeStore")
@@ -204,18 +204,40 @@ object IngestionPipeline {
     newDocs.unpersist()
     allAdmitted.unpersist()
     allIdx.unpersist()
-    IngestResult(work, nSeen, nAdmitted, verdicts, wm)
+    IngestResult(work, nSeen, nAdmitted, verdictsCh.drop("ch", "cid"), wm,
+      verdictsCh)
   }
 
-  /** Index rows for a batch of NEWLY ADMITTED docs: `(doc_id, ch)` for
-    * every doc, `sig`/`sset` only for the batch's CANONICAL per content
-    * (min doc id — stable forever, since admission guarantees a batch's
-    * content is new to the registry). The probe only ever reads
-    * canonical sig/sset ([[Dedup.registryIndexFromRows]]), and under
-    * mass in-batch duplication the shingle arrays of the copies would
-    * be the index's whole weight. Shared with
-    * [[graft.streaming.StreamingIngest]] — the streaming twin persists
-    * the same rows beside its store.
+  /** Index rows for admitted docs, assembled from the probe's OWN
+    * artifacts (verdicts carrying `ch`/`cid`, the severed content frame
+    * with `sig`/`sset`): `(doc_id, ch)` for every admitted doc,
+    * `sig`/`sset` only for the content canonical — the same rows
+    * [[indexRowsFor]] computes, with zero re-hashing. Admission is a
+    * function of content, so for admitted content `cid` is the min
+    * admitted doc id (pinned in IngestionPipelineSpec).
+    */
+  private[graft] def indexRowsFromProbe(admittedIds: DataFrame,
+      cont: DataFrame): DataFrame =
+    admittedIds.select(col("doc_id"), col("ch"), col("cid"))
+      .join(cont.select(col("ch"), col("sig"), col("sset")), Seq("ch"))
+      .select(col("doc_id"), col("ch"),
+        // cast to the parquet read-back element nullability, same as
+        // registryIndexRows — a strict _metadata merge rejects
+        // containsNull drift across tiles
+        when(col("doc_id") === col("cid"), col("sig"))
+          .cast("array<bigint>").as("sig"),
+        when(col("doc_id") === col("cid"), col("sset"))
+          .cast("array<string>").as("sset"))
+
+  /** REFERENCE form of the admitted-index rows — recomputes hashes from
+    * the admitted docs' text: `(doc_id, ch)` for every doc, `sig`/`sset`
+    * only for the batch's CANONICAL per content (min doc id — stable
+    * forever, since admission guarantees a batch's content is new to
+    * the registry). The probe only ever reads canonical sig/sset
+    * ([[Dedup.registryIndexFromRows]]), and under mass in-batch
+    * duplication the shingle arrays of the copies would be the index's
+    * whole weight. Production paths use [[indexRowsFromProbe]] (zero
+    * re-hashing); IngestionPipelineSpec pins the two row-identical.
     */
   def indexRowsFor(admitted: DataFrame,
       numHashes: Int = Dedup.DefaultNumHashes): DataFrame = {

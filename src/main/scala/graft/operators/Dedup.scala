@@ -530,7 +530,26 @@ object Dedup {
       regBands: DataFrame, regSets: DataFrame, regHashes: DataFrame,
       numHashes: Int = DefaultNumHashes,
       numBands: Int = DefaultNumBands,
-      thresholdE4: Long = IncrementalLshThresholdE4): DataFrame = {
+      thresholdE4: Long = IncrementalLshThresholdE4): DataFrame =
+    incrementalLshProbeArtifacts(newDocs, regBands, regSets, regHashes,
+      numHashes, numBands, thresholdE4)._1.drop("ch", "cid")
+
+  /** [[incrementalLshProbe]] plus the probe's own content-collapse
+    * artifacts, so ingestion callers never hash a batch twice:
+    * verdicts additionally carry `ch` (content hash) and `cid` (batch
+    * canonical = min doc id per content — is_dup is a function of the
+    * content, so for admitted content `cid` is also the min ADMITTED
+    * doc id), and the second element is the severed distinct-content
+    * frame `(ch, cid, sig, sset)` the funnel already computed. Index
+    * rows for admitted docs are a join of these two frames — zero
+    * re-hashing ([[graft.extract.IngestionPipeline]], the r12 "fold
+    * indexRows into the probe" note, done).
+    */
+  def incrementalLshProbeArtifacts(newDocs: DataFrame,
+      regBands: DataFrame, regSets: DataFrame, regHashes: DataFrame,
+      numHashes: Int = DefaultNumHashes,
+      numBands: Int = DefaultNumBands,
+      thresholdE4: Long = IncrementalLshThresholdE4): (DataFrame, DataFrame) = {
     val base = newDocs.select(col("doc_id"), col("text"),
       graft.functions.GraftFunctions.content_hash(col("text")).as("ch"))
     // CONTENT COLLAPSE: every probe artifact — signature, shingle set,
@@ -570,15 +589,18 @@ object Dedup {
     val perCh = cand.unionByName(exact)
       .groupBy("ch")
       .agg(max("j").as("best"), countDistinct("rgid").as("n_groups"))
-    base.select(col("doc_id"), col("ch"))
+    val verdicts = base.select(col("doc_id"), col("ch"))
       .join(regHashes.select(col("ch"), lit(true).as("exact_hit")).distinct(),
         Seq("ch"), "left")
       .join(perCh, Seq("ch"), "left")
-      .select(col("doc_id"),
+      // inner: every batch ch is in cont by construction
+      .join(cont.select(col("ch"), col("cid")), Seq("ch"))
+      .select(col("doc_id"), col("ch"), col("cid"),
         coalesce(col("exact_hit"), lit(false)).as("exact_dup"),
         coalesce(col("best"), lit(0L)).as("best_jaccard_e4"),
         coalesce(col("n_groups"), lit(0L)).as("n_candidate_groups"))
       .withColumn("is_dup", col("best_jaccard_e4") >= thresholdE4)
+    (verdicts, cont)
   }
 
   /** Stateless projection half of STREAMING exact dedup at ingest:
@@ -2075,24 +2097,18 @@ object Dedup {
     */
   def ingestAdmissionStrict(spark: SparkSession, d: String): DataFrame = {
     import graft.extract.IngestionPipeline
-    import org.apache.spark.sql.expressions.Window
     val dmax = Tables.documents(spark, d).agg(max("doc_id"))
       .collect()(0).getLong(0)
     val tier = ingestTier(dmax)
     val store = freshIngestStore("strict")
     val frames = (1 to 4).map { k =>
       val latest = (dmax + 1) * k / 4
-      val cov0 = (dmax + 1) * (k - 1) / 4 / tier * tier
-      val cov1 = latest / tier * tier
       val r = IngestionPipeline.ingest(spark, d, store, latest,
         tierSizes = Seq(4L * tier, tier), strictBatch = true)
-      val inBatch = Tables.documents(spark, d)
-        .where(col("doc_id") >= cov0 && col("doc_id") < cov1)
-        .select(col("doc_id"),
-          graft.functions.GraftFunctions.content_hash(col("text")).as("ch"))
-        .withColumn("first", min("doc_id").over(Window.partitionBy("ch")))
-        .select(col("doc_id"), (col("doc_id") =!= col("first")).as("in_batch_dup"))
-      r.verdicts.join(inBatch, Seq("doc_id"))
+      // in-batch dup = not the batch's content canonical — straight off
+      // the probe's severed verdict artifacts, no re-hash of the slice
+      r.verdictsCh
+        .withColumn("in_batch_dup", col("doc_id") =!= col("cid"))
         .withColumn("batch", lit(k.toLong))
     }
     frames.reduce(_.unionByName(_))

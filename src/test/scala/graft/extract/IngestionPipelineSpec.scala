@@ -161,4 +161,56 @@ class IngestionPipelineSpec extends AnyFunSuite with SparkTestBase {
   private def storeDocs2(srcDir: String, store: String): Set[Long] =
     IngestionPipeline.committedStore(spark, srcDir, store)
       .select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("probe-artifact index rows equal the re-hashing reference form") {
+    val s = spark
+    import s.implicits._
+    // replicas (same text, higher id) + uniques: exercises the
+    // canonical/non-canonical split of sig/sset
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine"),
+      (7L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (9L, "unique trailing document with its own words entirely"),
+      (11L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    val empty = docs.where(lit(false))
+    val (rb, rs, rh) = graft.operators.Dedup.registryIndexFromRows(
+      graft.operators.Dedup.registryIndexRows(empty))
+    val (v, cont) = graft.operators.Dedup.incrementalLshProbeArtifacts(
+      docs, rb, rs, rh)
+    val admittedIds = v.where(!col("is_dup")).localCheckpoint(true)
+    val folded = IngestionPipeline.indexRowsFromProbe(admittedIds, cont)
+    val admitted = docs.join(admittedIds.select("doc_id"), Seq("doc_id"),
+      "left_semi")
+    val reference = IngestionPipeline.indexRowsFor(admitted)
+    assert(folded.schema.map(f => (f.name, f.dataType)) ==
+      reference.schema.map(f => (f.name, f.dataType)))
+    val fm = folded.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val rm = reference.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(fm.keySet == rm.keySet)
+    fm.foreach { case (id, row) => assert(row == rm(id), s"doc $id") }
+    spark.catalog.clearCache()
+  }
+
+  test("strict-batch admission keeps only the content canonical (cid)") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("ingest-strict-fx").toString
+    (Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (5L, "totally different content with many other words in here"),
+      (8L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) })
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val store = freshStore()
+    val r = IngestionPipeline.ingest(spark, dir, store, latestDocId = 16L,
+      strictBatch = true)
+    assert(r.nAdmitted == 2L)
+    assert(storeDocs2(dir, store) == Set(1L, 5L),
+      "only the min doc id per content and the unique doc are admitted")
+    spark.catalog.clearCache()
+  }
 }
