@@ -130,10 +130,12 @@ object IngestionPipeline {
         Dedup.registryIndexRows(docs.where(lit(false)), numHashes)
       else spark.read.parquet(
         oldPlan.map(p => Partitioner.partitionDir(iDir, p)): _*)
+    // persisted lazily: the probe's first severing job populates the
+    // cache; nSeen is counted on the severed verdict frame below (one
+    // row per new doc), so no dedicated materialization pass runs
     val newDocs = docs
       .where(col("doc_id") >= prevCov && col("doc_id") < newCov)
       .persist()
-    val nSeen = newDocs.count()
     lap("newDocs")
 
     val (regBands, regSets, regHashes) =
@@ -148,6 +150,7 @@ object IngestionPipeline {
       newDocs.select(col("doc_id"), col("text")),
       regBands, regSets, regHashes, numHashes, numBands, thresholdE4)
     val verdictsCh = vRaw.localCheckpoint(true)
+    val nSeen = verdictsCh.count()
     lap("probe")
 
     // is_dup is a function of the content, so the batch canonical per
