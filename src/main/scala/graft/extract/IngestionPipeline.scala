@@ -62,9 +62,9 @@ object IngestionPipeline {
       nAdmitted: Long,
       verdicts: DataFrame,
       watermark: Watermark,
-      /** [[verdicts]] plus the probe's `ch` (content hash) and `cid`
-        * (batch canonical per content) — lets audit faces derive
-        * in-batch dup structure without re-hashing the batch.
+      /** [[verdicts]] plus the probe's `cid` (batch canonical per
+        * content) — lets audit faces derive in-batch dup structure
+        * without re-hashing the batch.
         */
       verdictsCh: DataFrame)
 
@@ -130,12 +130,16 @@ object IngestionPipeline {
         Dedup.registryIndexRows(docs.where(lit(false)), numHashes)
       else spark.read.parquet(
         oldPlan.map(p => Partitioner.partitionDir(iDir, p)): _*)
-    // persisted lazily: the probe's first severing job populates the
-    // cache; nSeen is counted on the severed verdict frame below (one
-    // row per new doc), so no dedicated materialization pass runs
+    // persisted and EAGERLY materialized by the count: filling the
+    // cache inside the probe's first severing stage instead (lazy
+    // persist) measured 2→13 s on that stage at the 1000× replica —
+    // the columnar cache build contends with the hash+shuffle work for
+    // execution memory; a dedicated fill pass is cheaper than the
+    // contention it avoids
     val newDocs = docs
       .where(col("doc_id") >= prevCov && col("doc_id") < newCov)
       .persist()
+    val nSeen = newDocs.count()
     lap("newDocs")
 
     val (regBands, regSets, regHashes) =
@@ -146,11 +150,23 @@ object IngestionPipeline {
     // reading them (recacheByPath) — a merely-persisted verdict frame
     // would silently re-run the whole probe on its next use. Severing
     // fixes the verdict bytes here, before admitted rows land anywhere.
-    val (vRaw, cont) = Dedup.incrementalLshProbeArtifacts(
-      newDocs.select(col("doc_id"), col("text")),
-      regBands, regSets, regHashes, numHashes, numBands, thresholdE4)
+    //
+    // Mode split, from 1000×-replica measurements (BUILDER_NOTES r13):
+    // STRICT uses the artifacts variant — the per-doc cid makes the
+    // strict filter and index rows join-cheap (admitted collapses to
+    // content canonicals). DEFAULT uses the plain probe and re-hashes
+    // admitted content for index rows — its admitted set is
+    // batch-sized, and the fatter cid-joined verdict plan measured
+    // ~25% slower end-to-end there, while the re-hash costs ~1 s per
+    // 1.25M-doc run (map-side parallel, no shuffle added).
+    val (vRaw, cont) =
+      if (strictBatch) Dedup.incrementalLshProbeArtifacts(
+        newDocs.select(col("doc_id"), col("text")),
+        regBands, regSets, regHashes, numHashes, numBands, thresholdE4)
+      else (Dedup.incrementalLshProbe(
+        newDocs.select(col("doc_id"), col("text")),
+        regBands, regSets, regHashes, numHashes, numBands, thresholdE4), null)
     val verdictsCh = vRaw.localCheckpoint(true)
-    val nSeen = verdictsCh.count()
     lap("probe")
 
     // is_dup is a function of the content, so the batch canonical per
@@ -163,14 +179,14 @@ object IngestionPipeline {
       .join(admittedIds.select("doc_id"), Seq("doc_id"), "left_semi")
     // merge: committed rows below the old coverage + this run's
     // admitted rows above it; each worklist directory takes its slice.
-    // Index rows follow the same merge — a NEW doc's signatures come
-    // straight from the probe's severed content frame (hashed exactly
-    // once, in the probe); consolidated tiles LIFT committed docs'
-    // stored rows instead of re-deriving them
+    // Index rows follow the same merge; consolidated tiles LIFT
+    // committed docs' stored rows instead of re-deriving them
     val allAdmitted = regDocs.unionByName(admittedNew).persist()
     allAdmitted.count()
     lap("allAdmitted")
-    val newIdx = indexRowsFromProbe(admittedIds, cont)
+    val newIdx =
+      if (strictBatch) indexRowsFromProbe(admittedIds, cont)
+      else indexRowsFor(admittedNew, numHashes)
     val allIdx = oldIdx.unionByName(newIdx).persist()
     allIdx.count()
     lap("allIdx")
@@ -207,7 +223,7 @@ object IngestionPipeline {
     newDocs.unpersist()
     allAdmitted.unpersist()
     allIdx.unpersist()
-    IngestResult(work, nSeen, nAdmitted, verdictsCh.drop("ch", "cid"), wm,
+    IngestResult(work, nSeen, nAdmitted, verdictsCh.drop("cid"), wm,
       verdictsCh)
   }
 
@@ -221,8 +237,11 @@ object IngestionPipeline {
     */
   private[graft] def indexRowsFromProbe(admittedIds: DataFrame,
       cont: DataFrame): DataFrame =
-    admittedIds.select(col("doc_id"), col("ch"), col("cid"))
-      .join(cont.select(col("ch"), col("sig"), col("sset")), Seq("ch"))
+    admittedIds.select(col("doc_id"), col("cid"))
+      // (ch, cid) is 1:1 in cont, so the 8-byte cid both keys the join
+      // and recovers the content hash the index row stores
+      .join(cont.select(col("cid"), col("ch"), col("sig"), col("sset")),
+        Seq("cid"))
       .select(col("doc_id"), col("ch"),
         // cast to the parquet read-back element nullability, same as
         // registryIndexRows — a strict _metadata merge rejects
@@ -232,15 +251,17 @@ object IngestionPipeline {
         when(col("doc_id") === col("cid"), col("sset"))
           .cast("array<string>").as("sset"))
 
-  /** REFERENCE form of the admitted-index rows — recomputes hashes from
-    * the admitted docs' text: `(doc_id, ch)` for every doc, `sig`/`sset`
-    * only for the batch's CANONICAL per content (min doc id — stable
-    * forever, since admission guarantees a batch's content is new to
-    * the registry). The probe only ever reads canonical sig/sset
+  /** Admitted-index rows recomputed from the admitted docs' text:
+    * `(doc_id, ch)` for every doc, `sig`/`sset` only for the batch's
+    * CANONICAL per content (min doc id — stable forever, since
+    * admission guarantees a batch's content is new to the registry).
+    * The probe only ever reads canonical sig/sset
     * ([[Dedup.registryIndexFromRows]]), and under mass in-batch
     * duplication the shingle arrays of the copies would be the index's
-    * whole weight. Production paths use [[indexRowsFromProbe]] (zero
-    * re-hashing); IngestionPipelineSpec pins the two row-identical.
+    * whole weight. Used by the DEFAULT ingestion face and the streaming
+    * twin — re-hashing is map-side parallel and measured ~1 s per
+    * 1.25M-doc run; the strict face uses [[indexRowsFromProbe]]
+    * instead (IngestionPipelineSpec pins the two row-identical).
     */
   def indexRowsFor(admitted: DataFrame,
       numHashes: Int = Dedup.DefaultNumHashes): DataFrame = {

@@ -531,25 +531,42 @@ object Dedup {
       numHashes: Int = DefaultNumHashes,
       numBands: Int = DefaultNumBands,
       thresholdE4: Long = IncrementalLshThresholdE4): DataFrame =
-    incrementalLshProbeArtifacts(newDocs, regBands, regSets, regHashes,
-      numHashes, numBands, thresholdE4)._1.drop("ch", "cid")
+    probeCore(newDocs, regBands, regSets, regHashes,
+      numHashes, numBands, thresholdE4, withCid = false)._1
 
   /** [[incrementalLshProbe]] plus the probe's own content-collapse
-    * artifacts, so ingestion callers never hash a batch twice:
-    * verdicts additionally carry `ch` (content hash) and `cid` (batch
-    * canonical = min doc id per content — is_dup is a function of the
-    * content, so for admitted content `cid` is also the min ADMITTED
-    * doc id), and the second element is the severed distinct-content
-    * frame `(ch, cid, sig, sset)` the funnel already computed. Index
-    * rows for admitted docs are a join of these two frames — zero
-    * re-hashing ([[graft.extract.IngestionPipeline]], the r12 "fold
-    * indexRows into the probe" note, done).
+    * artifacts, for the STRICT ingestion face: verdicts additionally
+    * carry `cid` (batch canonical = min doc id per content — is_dup is
+    * a function of the content, so for admitted content `cid` is also
+    * the min ADMITTED doc id), and the second element is the severed
+    * distinct-content frame `(ch, cid, sig, sset)` the funnel already
+    * computed. The strict admission filter and its in-batch-dup audit
+    * column become `doc_id == cid`, and index rows become a join on
+    * `cid` — no second hash + window pass over the batch.
+    *
+    * The DEFAULT ingestion face deliberately does NOT use this variant:
+    * measured at the 1000× replica, the extra per-doc cid join made the
+    * default capstone ~25% slower end-to-end (its admitted set is
+    * batch-sized, so every downstream frame rides the fatter verdict
+    * plan), while re-hashing admitted content for index rows
+    * ([[graft.extract.IngestionPipeline.indexRowsFor]]) costs ~1 s per
+    * 1.25M-doc run — hashing is map-side-parallel and cheap; the join
+    * is not free. In strict mode the admitted set collapses to content
+    * canonicals, and the variant measured flat at 1000× while saving
+    * 2.4 s at sf0.1.
     */
   def incrementalLshProbeArtifacts(newDocs: DataFrame,
       regBands: DataFrame, regSets: DataFrame, regHashes: DataFrame,
       numHashes: Int = DefaultNumHashes,
       numBands: Int = DefaultNumBands,
-      thresholdE4: Long = IncrementalLshThresholdE4): (DataFrame, DataFrame) = {
+      thresholdE4: Long = IncrementalLshThresholdE4): (DataFrame, DataFrame) =
+    probeCore(newDocs, regBands, regSets, regHashes,
+      numHashes, numBands, thresholdE4, withCid = true)
+
+  private def probeCore(newDocs: DataFrame,
+      regBands: DataFrame, regSets: DataFrame, regHashes: DataFrame,
+      numHashes: Int, numBands: Int, thresholdE4: Long,
+      withCid: Boolean): (DataFrame, DataFrame) = {
     val base = newDocs.select(col("doc_id"), col("text"),
       graft.functions.GraftFunctions.content_hash(col("text")).as("ch"))
     // CONTENT COLLAPSE: every probe artifact — signature, shingle set,
@@ -589,19 +606,44 @@ object Dedup {
     val perCh = cand.unionByName(exact)
       .groupBy("ch")
       .agg(max("j").as("best"), countDistinct("rgid").as("n_groups"))
-    val verdicts = base.select(col("doc_id"), col("ch"))
+    // cid map for the per-doc join (strict variant only): broadcast
+    // when the DISTINCT content count (exact — cont is already
+    // materialized) is small enough, as it is under any duplication
+    // mass; a genuinely unique batch falls back to the shuffle join
+    // (LogicalRDD carries no usable stats for the planner to decide)
+    val cidCols: Seq[org.apache.spark.sql.Column] =
+      if (withCid) Seq(col("cid")) else Nil
+    val withCidJoin = { (v: DataFrame) =>
+      if (!withCid) v
+      else {
+        val cidMap = cont.select(col("ch"), col("cid"))
+        // inner: every batch ch is in cont by construction; verdicts
+        // carry cid (8 bytes) but NOT ch — the severed frame is
+        // checkpointed per batch, and cont's (ch, cid) is 1:1, so index
+        // building recovers ch by joining cont on cid
+        v.join(
+          if (cont.count() <= ContBroadcastMaxRows) broadcast(cidMap)
+          else cidMap,
+          Seq("ch"))
+      }
+    }
+    val verdicts = withCidJoin(base.select(col("doc_id"), col("ch"))
       .join(regHashes.select(col("ch"), lit(true).as("exact_hit")).distinct(),
         Seq("ch"), "left")
-      .join(perCh, Seq("ch"), "left")
-      // inner: every batch ch is in cont by construction
-      .join(cont.select(col("ch"), col("cid")), Seq("ch"))
-      .select(col("doc_id"), col("ch"), col("cid"),
+      .join(perCh, Seq("ch"), "left"))
+      .select((Seq(col("doc_id")) ++ cidCols ++ Seq(
         coalesce(col("exact_hit"), lit(false)).as("exact_dup"),
         coalesce(col("best"), lit(0L)).as("best_jaccard_e4"),
-        coalesce(col("n_groups"), lit(0L)).as("n_candidate_groups"))
+        coalesce(col("n_groups"), lit(0L)).as("n_candidate_groups"))): _*)
       .withColumn("is_dup", col("best_jaccard_e4") >= thresholdE4)
     (verdicts, cont)
   }
+
+  /** Broadcast bound for the strict probe's (ch, cid) lookup — ~72
+    * bytes/row, so 1M rows ≈ 72 MB, comfortably under executor
+    * broadcast limits.
+    */
+  private val ContBroadcastMaxRows = 1000000L
 
   /** Stateless projection half of STREAMING exact dedup at ingest:
     * (doc_id, content_hash, ingest_ts) — the same content-hash kernel

@@ -29,7 +29,7 @@ import graft.operators.Dedup
   * canonical registry signatures (band equi-join, never all-pairs) and
   * an append of only the admitted rows. Like the batch pipeline, the
   * registry index is INCREMENTAL: signatures are computed once at
-  * admission ([[IngestionPipeline.indexRowsFromProbe]]) and appended beside
+  * admission ([[IngestionPipeline.indexRowsFor]]) and appended beside
   * the store; each probe derives its registry triple from stored rows
   * with zero re-hashing of registry content — per-batch cost tracks the
   * BATCH, not the store. Nothing is persisted across batches in the
@@ -131,21 +131,20 @@ object StreamingIngest {
       else Dedup.registryIndexRows(batch.where(lit(false))
         .select(col("doc_id"), col("text")))
     val (regBands, regSets, regHashes) = Dedup.registryIndexFromRows(oldIdx)
-    // severed verdicts: (a) the index scan feeding the registry must be
-    // cut before appending to the same path (Spark refuses a write into
-    // its own read lineage), (b) the frame feeds both the store append
-    // and the index rows below
-    val (vRaw, cont) = Dedup.incrementalLshProbeArtifacts(
+    val verdicts = Dedup.incrementalLshProbe(
       batch.select(col("doc_id"), col("text")), regBands, regSets, regHashes)
-    val admittedIds = vRaw.where(!col("is_dup")).localCheckpoint(true)
     val admitted = batch
-      .join(admittedIds.select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(verdicts.where(!col("is_dup")).select("doc_id"), Seq("doc_id"),
+        "left_semi")
+      // sever the store scan feeding the registry before appending to
+      // the same path (Spark refuses a write into its own read lineage)
+      .localCheckpoint(true)
     lap("probe")
-    if (!admittedIds.isEmpty) {
-      // index rows first-class like the batch pipeline: assembled from
-      // the probe's own severed artifacts — the batch is hashed exactly
-      // once, in the probe
-      val newIdx = IngestionPipeline.indexRowsFromProbe(admittedIds, cont)
+    if (!admitted.isEmpty) {
+      // index rows first-class like the batch pipeline: hashed exactly
+      // once at admission, severed from the index scan they derive from
+      val newIdx = IngestionPipeline.indexRowsFor(admitted)
+        .localCheckpoint(true)
       lap("indexRows")
       validatedStores.remove(storeDir)
       admitted.write.mode("append").parquet(storeDir)
