@@ -1419,9 +1419,53 @@ object TextAnalysis {
     * linear in corpus size at any duplication rate.
     */
   def boilerplateScrub(spark: SparkSession, d: String,
-      n: Int = DefaultBoilerGramN, minDf: Int = DefaultBoilerMinDf): DataFrame = {
+      n: Int = DefaultBoilerGramN, minDf: Int = DefaultBoilerMinDf,
+      collapse: Option[Boolean] = None): DataFrame = {
     require(n >= 2, s"gram width must be at least 2, got $n")
     require(minDf >= 2, s"df threshold must be at least 2, got $minDf")
+    // DUPLICATION-ADAPTIVE: every output column is a function of the
+    // document TEXT plus the corpus-global flagged-gram set, and that
+    // set itself only needs per-content gram rows weighted by copy
+    // count (df = Σ copies over contents containing the gram — exactly
+    // the distinct-doc count). So under duplication mass the whole
+    // gram pipeline runs once per DISTINCT content and the per-doc
+    // report expands through the (doc_id, ch) membership — the same
+    // collapse the dedup funnels and the admission probe make. The
+    // probe's cost profile applies too: one content-hash pass + one
+    // ch-keyed aggregation decide the branch, ~0.2 s at sf0.1 against
+    // a gram stream that shrinks by the replica multiplicity (1000×
+    // replica: 1044 s direct). A mostly-unique corpus (fixture SFs)
+    // takes the direct path — the oracle pins it; the collapsed path
+    // is pinned by BoilerplateCollapseSpec's differential on a
+    // replicated fixture, forced through `collapse = Some(true/false)`.
+    val docsT = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    // the branch DECISION is one cheap map-side sketch pass (xxhash64 +
+    // HLL distinct — it only picks a plan, both plans are exact); only
+    // the collapsed branch pays the real content-hash identity pass,
+    // where the replica multiplicity amortizes it. Collapse when at
+    // least half the corpus is exact copies — below that the
+    // canonical-text selection join costs more than the gram stream
+    // saves.
+    val doCollapse = collapse.getOrElse {
+      val s = docsT.agg(count(lit(1)).as("nd"),
+        approx_count_distinct(xxhash64(col("text"))).as("nc")).collect()(0)
+      s.getLong(1) * 2 <= s.getLong(0)
+    }
+    if (doCollapse) {
+      val rep = docsT.select(col("doc_id"),
+          graft.functions.GraftFunctions.content_hash(col("text")).as("ch"))
+        .persist()
+      val contents = rep.groupBy("ch")
+        .agg(min(col("doc_id")).as("cid"), count(lit(1)).as("w"))
+        .localCheckpoint(true)
+      val out = boilerplateScrubCollapsed(rep, contents, docsT, n, minDf)
+      rep.unpersist()
+      out
+    } else boilerplateScrubDirect(spark, d, n, minDf)
+  }
+
+  private def boilerplateScrubDirect(spark: SparkSession, d: String,
+      n: Int, minDf: Int): DataFrame = {
     val parts = (0 until n).map(j => s"toks[i-1+$j]").mkString(", ")
     val t = Tables.documents(spark, d)
       .select(col("doc_id"), expr(tokensSpark).as("toks"))
@@ -1477,6 +1521,65 @@ object TextAnalysis {
       .orderBy("doc_id").persist()
     out.count() // materialize so the gram cache can be released
     gd.unpersist()
+    out
+  }
+
+  /** The collapsed branch of [[boilerplateScrub]]: the direct
+    * pipeline's shape, run over one canonical document per distinct
+    * content, with df = Σ copy-weights (a gram in one content with w
+    * copies IS in w distinct documents) and the per-content report
+    * expanded through (doc_id, ch, cid). Output-identical to the
+    * direct branch by construction — every column is a function of
+    * text + the flagged set, and the weighted df equals the
+    * distinct-doc df (BoilerplateCollapseSpec pins it).
+    */
+  private def boilerplateScrubCollapsed(rep: DataFrame, contents: DataFrame,
+      docsT: DataFrame, n: Int, minDf: Int): DataFrame = {
+    val parts = (0 until n).map(j => s"toks[i-1+$j]").mkString(", ")
+    // canonical texts only — the join side is nContents rows (≤ half
+    // the corpus by the branch condition; tiny under replay mass, so
+    // AQE broadcasts it)
+    val canon = docsT
+      .join(contents.select(col("cid").as("doc_id"), col("w")), Seq("doc_id"))
+      .select(col("doc_id").as("cid"), col("w"), expr(tokensSpark).as("toks"))
+      .persist()
+    val gd = canon.where(size(col("toks")) >= n)
+      .select(col("cid"), col("w"),
+        explode(expr(
+          s"""transform(sequence(1, size(toks) - ${n - 1}),
+             |  i -> struct(i AS pos, xxhash64($parts) AS gram))"""
+            .stripMargin)).as("g"))
+      .select(col("cid"), col("w"), col("g.pos").as("pos"),
+        col("g.gram").as("gram"))
+      .groupBy("gram", "cid")
+      .agg(first(col("w")).as("w"), collect_list("pos").as("ps"))
+      .persist()
+    val flagged = gd.groupBy("gram")
+      .agg(sum(col("w")).as("df"))
+      .where(col("df") >= minDf)
+      .select("gram")
+    val cov = gd.join(flagged, Seq("gram"))
+      .select(col("cid"), explode(col("ps")).as("pos"))
+      .groupBy("cid")
+      .agg(collect_list("pos").as("starts"))
+    val perContent = canon.select(col("cid"), col("toks"))
+      .join(cov, Seq("cid"), "left")
+      .withColumn("__sc", graft.functions.GraftFunctions.scrub_cover(
+        col("toks"), col("starts"), n))
+      .select(col("cid"),
+        size(col("toks")).cast(LongType).as("n_toks"),
+        coalesce(col("__sc.n_cov"), lit(0L)).as("n_covered"),
+        expr("coalesce(__sc.n_cov, 0L) * 10000L div size(toks)").as("cov_e4"),
+        substring(sha2(col("__sc.scrub"), 256), 1, 16)
+          .as("scrub_h16"))
+    val out = rep
+      .join(contents.select(col("ch"), col("cid")), Seq("ch"))
+      .join(perContent, Seq("cid"))
+      .select("doc_id", "n_toks", "n_covered", "cov_e4", "scrub_h16")
+      .orderBy("doc_id").persist()
+    out.count() // materialize so the upstream caches can be released
+    gd.unpersist()
+    canon.unpersist()
     out
   }
 
