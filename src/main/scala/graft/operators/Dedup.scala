@@ -1172,6 +1172,21 @@ object Dedup {
       .persist()
   }
 
+  /** [[exactCollapse]] without the text column, for consumers that only
+    * need the (doc_id, gid) membership: the window exchange then moves
+    * 16-byte rows plus the hash instead of full document text — at the
+    * 1000× replica that is the difference between shuffling ~100 MB and
+    * shuffling the corpus. NOT persisted (one consumer, one pass).
+    */
+  private[operators] def exactMembership(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(spark, d)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.content_hash(col("text")).as("ch"))
+      .withColumn("gid", min("doc_id").over(Window.partitionBy("ch")))
+      .select("doc_id", "gid")
+  }
+
   /** Member-pair CENSUS over a collapsed funnel, counted WITHOUT
     * expansion: for each distinct value of `keyCols` (metric columns of
     * the canonical pair frame `gd` = (ga, gb, metrics…)), the number of

@@ -815,13 +815,16 @@ object TextAnalysis {
     // spans are detected among exact-canonical docs only (the funnel's
     // collapse); a replica's coverage is its canonical's — identical
     // text, identical spans — so the per-doc report expands through the
-    // (doc_id, gid) membership frame rather than losing replica rows
-    val collapsed = Dedup.exactCollapse(spark, d)
+    // (doc_id, gid) membership frame rather than losing replica rows.
+    // Membership only — the text-free variant keeps the window
+    // exchange at 16-byte rows instead of re-shuffling the corpus text
+    // the funnel already paid for
+    val collapsed = Dedup.exactMembership(spark, d)
     val out = Tables.documents(spark, d)
       .select(col("doc_id"),
         graft.functions.GraftFunctions.text_stats(col("text"), Nil)
           .getItem(0).as("n_tokens"))
-      .join(collapsed.select(col("doc_id"), col("gid")), "doc_id")
+      .join(collapsed, "doc_id")
       .join(covered.withColumnRenamed("doc_id", "gid"), Seq("gid"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
@@ -831,7 +834,6 @@ object TextAnalysis {
       .persist()
     out.count() // materialize so the upstream caches can be released
     spans.unpersist()
-    collapsed.unpersist()
     out
   }
 
