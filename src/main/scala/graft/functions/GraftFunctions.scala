@@ -66,6 +66,10 @@ object GraftFunctions {
   def scrub_cover(toks: Column, starts: Column, n: Int): Column =
     toCol(ScrubCover(toExpr(toks), toExpr(starts), n))
 
+  /** lowercased text → array<long>(36) of [a-z0-9] occurrence counts. */
+  def char_class_counts(lw: Column): Column =
+    toCol(CharClassCounts(toExpr(lw)))
+
   /** tokens → within-document duplicate-n-gram coverage count. */
   def rep_coverage(toks: Column, n: Int): Column =
     toCol(RepCoverage(toExpr(toks), n))
@@ -195,6 +199,8 @@ object GraftFunctions {
       "shingle_set" -> arity("shingle_set", 1, 1)(exprs => ShingleSet(exprs.head)),
       "text_fingerprint" -> arity("text_fingerprint", 1, 1)(exprs => TextFingerprint(exprs.head)),
       "content_hash" -> arity("content_hash", 1, 1)(exprs => ContentHash(exprs.head)),
+      "char_class_counts" -> arity("char_class_counts", 1, 1)(exprs =>
+        CharClassCounts(exprs.head)),
       // text_stats(text) with the default stopwords, or
       // text_stats(text, 'stop1', 'stop2', ...) with an explicit list
       "text_stats" -> arity("text_stats", 1, 64)(exprs =>

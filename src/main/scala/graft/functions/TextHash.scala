@@ -298,6 +298,30 @@ object TextHash {
     UTF8String.fromString(sb.toString)
   }
 
+  /** One-pass [a-z0-9] character-class counts over an (already
+    * lowercased) string: a 36-element long array, index 0-25 = 'a'-'z',
+    * 26-35 = '0'-'9'. Byte-exact twin of the declarative
+    * `transform(classes, ch -> length(lw) - length(replace(lw, ch)))`
+    * ladder — the classes are pure ASCII and UTF-8 continuation bytes
+    * never collide with ASCII, so a single byte scan counts code
+    * points exactly. The ladder evaluated INTERPRETED (higher-order
+    * functions have no codegen) and re-scanned the string 36 times; at
+    * the 1000× replica that walked the corpus 36× per doc through
+    * per-element lambda frames and never finished a single-task scan.
+    */
+  def charClassCounts(lw: UTF8String): ArrayData = {
+    val counts = new Array[Long](36)
+    val bytes = lw.getBytes
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b >= 'a' && b <= 'z') counts(b - 'a') += 1L
+      else if (b >= '0' && b <= '9') counts(26 + b - '0') += 1L
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
   /** One-pass coverage + scrub from flagged gram START positions: marks
     * [p, p+n) for each 1-based start, then in the same BitSet emits the
     * covered-position count AND the scrubbed text (tokens at covered
@@ -797,4 +821,30 @@ case class ScrubCover(left: Expression, right: Expression, n: Int)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ScrubCover =
     copy(left = newLeft, right = newRight)
+}
+
+/** string (pre-lowered) → array<long>(36) of [a-z0-9] class counts —
+  * the compiled kernel behind [[graft.operators.TextAnalysis
+  * .charDiversity]]; see [[TextHash.charClassCounts]].
+  */
+case class CharClassCounts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_class_counts"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"expected string, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TextHash.charClassCounts(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = TextHash.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, c => s"$helper.charClassCounts($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharClassCounts =
+    copy(child = newChild)
 }

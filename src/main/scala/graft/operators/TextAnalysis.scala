@@ -1697,11 +1697,14 @@ object TextAnalysis {
     * fixture corpus never exercises.
     */
   def charDiversityFrom(docs: DataFrame): DataFrame = {
-    val classesArr = CharClasses.map(c => s"'$c'").mkString("array(", ", ", ")")
     docs
       .withColumn("lw", lower(col("text")))
-      .withColumn("cc", expr(
-        s"transform($classesArr, ch -> CAST(length(lw) - length(replace(lw, ch, '')) AS BIGINT))"))
+      // compiled one-pass kernel; byte-exact twin of the declarative
+      // 36-replace ladder (CharClassCountsSpec pins it), which
+      // evaluated interpreted and re-scanned the string per class —
+      // unfinishable on a single-task scan at the 1000× replica
+      .withColumn("cc",
+        graft.functions.GraftFunctions.char_class_counts(col("lw")))
       .withColumn("n_alnum", expr("aggregate(cc, 0L, (a, v) -> a + v)"))
       .select(
         col("doc_id"), col("n_alnum"),
