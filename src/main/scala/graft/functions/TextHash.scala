@@ -384,9 +384,16 @@ object TextHash {
     while (i < m) {
       val sb = new java.lang.StringBuilder
       var j = 0
+      var firstTok = true
       while (j < n) {
-        if (j > 0) sb.append(' ')
-        if (!toks.isNullAt(i + j)) sb.append(toks.getUTF8String(i + j).toString)
+        // null elements skip the separator too, mirroring concat_ws
+        // (the tokenizer never produces nulls, but a containsNull
+        // caller must see the same gram identity either way)
+        if (!toks.isNullAt(i + j)) {
+          if (!firstTok) sb.append(' ')
+          sb.append(toks.getUTF8String(i + j).toString)
+          firstTok = false
+        }
         j += 1
       }
       val k = sb.toString

@@ -45,18 +45,46 @@ object StreamingIngest {
     s"${storeDir.stripSuffix("/")}__index"
 
   /** Store paths whose store==index consistency this JVM has confirmed
-    * (or produced). The divergence check costs two parquet-footer count
-    * jobs EVERY micro-batch, yet after the first batch this process is
-    * the only writer (the single-writer assumption the store append
-    * already makes), so consistency is an invariant of its own appends:
+    * (or produced), keyed by the FILESYSTEM-QUALIFIED path (so `/x`,
+    * `/x/` and `file:/x` memoize as one store, not three), mapped to
+    * the number of batches admitted since the last on-disk check. The
+    * divergence check costs two parquet-footer count jobs EVERY
+    * micro-batch, yet after the first batch this process is the only
+    * writer (the single-writer assumption the store append already
+    * makes), so consistency is an invariant of its own appends:
     * membership here skips the re-count. The entry is dropped right
     * before each append pair and re-added only after BOTH commits — any
-    * failure in between (or a process crash, which empties the set)
+    * failure in between (or a process crash, which empties the map)
     * sends the next batch back to the full disk check, i.e. the heal
-    * path.
+    * path. The single-writer assumption is still an assumption, so the
+    * memo self-expires every [[RevalidateEvery]] batches: an external
+    * writer (or a same-JVM batch pipeline touching the same store) is
+    * caught within one cadence window instead of never.
     */
   private val validatedStores =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** Batches between forced on-disk store==index re-validations. */
+  private[streaming] val RevalidateEvery = 64
+
+  /** The memo key: qualified by the store's filesystem so path spelling
+    * variants collapse to one entry.
+    */
+  private def storeKey(storeDir: String,
+      conf: org.apache.hadoop.conf.Configuration): String = {
+    val p = new org.apache.hadoop.fs.Path(storeDir)
+    try p.getFileSystem(conf).makeQualified(p).toString
+    catch { case scala.util.control.NonFatal(_) => p.toString }
+  }
+
+  /** Drop a store's validation memo — for a same-JVM batch writer that
+    * touches the store out-of-band and wants the next micro-batch to
+    * take the full divergence check.
+    */
+  def invalidate(storeDir: String,
+      conf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): Unit =
+    validatedStores.remove(storeKey(storeDir, conf))
 
   /** Drain all currently-available document files into the store,
     * `filesPerBatch` files per micro-batch (1 = maximal registry
@@ -106,7 +134,17 @@ object StreamingIngest {
     // covers a store created without one). After the heal, replayed
     // docs exact-hit themselves and the store converges, same as the
     // single-table design.
-    if (haveStore && !validatedStores.contains(storeDir)) {
+    val sKey = storeKey(storeDir, conf)
+    // memo hit = validated AND inside the re-validation cadence window;
+    // the batch count ticks here so a long-running stream re-checks the
+    // disk every RevalidateEvery batches even if nothing ever fails
+    val memoFresh = {
+      val n = validatedStores.get(sKey)
+      if (n == null) false
+      else if (n >= RevalidateEvery - 1) { validatedStores.remove(sKey); false }
+      else { validatedStores.replace(sKey, n, Int.box(n + 1)); true }
+    }
+    if (haveStore && !memoFresh) {
       val storeN = spark.read.parquet(storeDir).count()
       // a crash during an index append (or the heal's own overwrite) can
       // leave iDir existing but holding no committed parquet (only
@@ -123,7 +161,7 @@ object StreamingIngest {
           spark.read.parquet(storeDir).select(col("doc_id"), col("text")))
           .localCheckpoint(true)
           .write.mode("overwrite").parquet(iDir)
-      validatedStores.add(storeDir)
+      validatedStores.put(sKey, Int.box(0))
     }
     lap("healCheck")
     val oldIdx =
@@ -146,10 +184,15 @@ object StreamingIngest {
       val newIdx = IngestionPipeline.indexRowsFor(admitted)
         .localCheckpoint(true)
       lap("indexRows")
-      validatedStores.remove(storeDir)
+      // drop the memo across the append pair (a crash in between must
+      // re-validate), then RESTORE the batches-since-disk-check counter
+      // — putting 0 back would reset the cadence on every append and
+      // the periodic re-validation would never fire
+      val sinceCheck = Option(validatedStores.get(sKey)).getOrElse(Int.box(0))
+      validatedStores.remove(sKey)
       admitted.write.mode("append").parquet(storeDir)
       newIdx.write.mode("append").parquet(iDir)
-      validatedStores.add(storeDir)
+      validatedStores.put(sKey, sinceCheck)
       lap("appends")
     }
   }

@@ -18,8 +18,17 @@ import graft.sources.Tables
   * broadcast catalogs at any scale. Row CONTENT is repeated, which is
   * exactly what stresses dedup: every document gains 9 true near-dups.
   *
-  * Usage: runMain graft.tools.ScaleReplica <srcDir> <dstDir> [copies]
+  * Usage: runMain graft.tools.ScaleReplica <srcDir> <dstDir> [copies] [files]
   * (never point dstDir at /root/testdata — this is a /tmp experiment).
+  *
+  * Replicated tables are written as `files` parquet files (default 32,
+  * hash-distributed on the first shifted key) so scan stages parallelize
+  * the way a real multi-executor deployment would. A single-file replica
+  * is ONE row group, and parquet cannot split a row group — every scan
+  * stage over it runs as one task, so scan-bound kernels measure
+  * single-thread throughput instead of the plan (the round-13 fixture
+  * handicap: up to 32× understated on a 32-core box). Dimension tables
+  * (region, nation) stay single-file — they are broadcast catalogs.
   */
 object ScaleReplica {
 
@@ -43,11 +52,13 @@ object ScaleReplica {
       s"refusing to write replica into $dst")
     val copies = if (args.length > 2) args(2).toInt else 10
     require(copies >= 1, s"copies must be >= 1, got $copies")
+    val files = if (args.length > 3) args(3).toInt else 32
+    require(files >= 1, s"files must be >= 1, got $files")
     val spark = Sessions.local("graft-scale-replica")
     for (t <- Tables.All) {
       val df = Tables.table(spark, src, t)
       val out = shiftCols.get(t) match {
-        case None => df // dimension table: one copy
+        case None => df // dimension table: one copy, one file
         case Some(cols) =>
           // one cross join with a copy-index range, not a `copies`-way
           // union: the union plan is O(copies) deep and chokes Catalyst
@@ -55,7 +66,7 @@ object ScaleReplica {
           // multiplier
           val rep = df.crossJoin(
             spark.range(copies).select(col("id").as("__copy")))
-          cols.foldLeft(rep) { (d, c) =>
+          val shifted = cols.foldLeft(rep) { (d, c) =>
             // shifted keys WIDEN to long instead of casting back to the
             // source dtype: an int32 key would silently wrap once
             // copies * ShiftStep passes 2^31 (reachable now that the
@@ -63,9 +74,13 @@ object ScaleReplica {
             d.withColumn(c,
               (col(c).cast("long") + col("__copy") * ShiftStep))
           }.drop("__copy")
+          // hash-distribute on the first shifted key so the table lands
+          // as `files` similar-size parquet files → parallel scan stages
+          shifted.repartition(files, col(cols.head))
       }
       out.write.mode("overwrite").parquet(s"${dst.stripSuffix("/")}/$t.parquet")
-      println(s"replicated $t x${if (shiftCols.contains(t)) copies else 1}")
+      val nf = if (shiftCols.contains(t)) files else 1
+      println(s"replicated $t x${if (shiftCols.contains(t)) copies else 1} in $nf files")
     }
     spark.stop()
   }
