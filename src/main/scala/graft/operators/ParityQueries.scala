@@ -390,6 +390,116 @@ object ParityQueries {
        |FROM tagged ORDER BY table_name, column_name""".stripMargin
   }
 
+  /** K2 (cli.py:245-273): the `_metadata` summary as a driver-checked
+    * oracle face. Drives the REAL extract lifecycle — a graph-node
+    * fixture derived from the events table (event_id ≈
+    * lower(block_range)), [[graft.extract.ExtractPipeline]] plan → bulk
+    * write → `_metadata` → watermark — then reads back ONLY the summary
+    * footer and reports, per planned partition, the fragment count and
+    * the summed row-group row counts. The DuckDB oracle re-derives the
+    * partition plan with the recursive-CTE planner and counts source
+    * rows per half-open tile, so the check is: the summary footer
+    * faithfully describes what the pipeline wrote (relative paths
+    * resolving to plan tiles — exactly where the reference had its
+    * subtle path bug, cli.py:259-268 — and per-fragment row counts),
+    * against an independent replay that never looks at the files.
+    *
+    * Empty tiles hold an explicit schema-preserving empty fragment (the
+    * E7 contract) whose parquet footer has ZERO row groups, so they
+    * appear in `_metadata` with no blocks: both engines report
+    * (n_fragments, n_rows) = (0, 0) for them.
+    */
+  def k2Metadata(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import graft.extract.{ExtractPipeline, ParquetEntitySource}
+    import graft.model.{ExtractConfig, TableConfig}
+    import graft.plans.Partitioner
+    val conf = spark.sparkContext.hadoopConfiguration
+    val org.apache.spark.sql.Row(lo: Long, hiMax: Long) = Tables.events(spark, d)
+      .agg(min("event_id"), max("event_id")).head()
+    val hi = hiMax + 1
+    val tiers = PlannerQueries.tiersFor(hi - lo)
+
+    // graph-node fixture from the events table (catalog + entity rows)
+    val root = java.nio.file.Files.createTempDirectory("graft-k2-src").toString
+    val (dep, schema, sub, table) =
+      ("K2DEPLOY", "sgd_k2", "k2_subgraph", "events_entity")
+    def p(rel: String) = s"$root/$rel"
+    Seq((dep, schema, "testnet", true))
+      .toDF("subgraph", "name", "network", "active")
+      .write.mode("overwrite").parquet(p("catalog/deployment_schemas.parquet"))
+    Seq((dep, "v1")).toDF("deployment", "id")
+      .write.mode("overwrite").parquet(p("catalog/subgraph_version.parquet"))
+    Seq((sub, "v1")).toDF("name", "current_version")
+      .write.mode("overwrite").parquet(p("catalog/subgraph.parquet"))
+    // latest = max+1: the catalog range is half-open into the planner
+    Seq((dep, lo, hi))
+      .toDF("deployment", "earliest_block_number", "latest_ethereum_block_number")
+      .write.mode("overwrite").parquet(p("catalog/subgraph_deployment.parquet"))
+    Seq((schema, table, "vid", "bigint"),
+      (schema, table, "block_range", "int4range"),
+      (schema, table, "user_id", "bigint"),
+      (schema, table, "event_type", "text"))
+      .toDF("table_schema", "table_name", "column_name", "data_type")
+      .write.mode("overwrite").parquet(p("catalog/information_schema.parquet"))
+    Tables.events(spark, d).select(
+        col("event_id").as("vid"), col("event_id").as("block_lower"),
+        lit(null).cast("long").as("block_upper"),
+        col("user_id"), col("event_type"))
+      .write.mode("overwrite").parquet(p(s"$schema/$table.parquet"))
+
+    val outRoot = java.nio.file.Files.createTempDirectory("graft-k2-out").toString
+    ExtractPipeline.extract(spark, new ParquetEntitySource(root),
+      ExtractConfig("k2", "v1", sub, Map(table -> TableConfig(tiers))), outRoot)
+    val tDir = Partitioner.tableDir(s"$outRoot/k2/v1", sub, table)
+
+    // the check itself reads ONLY the summary footer — never a fragment
+    val metaPath = new org.apache.hadoop.fs.Path(tDir,
+      org.apache.parquet.hadoop.ParquetFileWriter.PARQUET_METADATA_FILE)
+    val meta = org.apache.parquet.hadoop.ParquetFileReader.readFooter(conf,
+      metaPath,
+      org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+    import scala.jdk.CollectionConverters._
+    val byTile: Map[(Long, Long, Long), (Long, Long)] = meta.getBlocks.asScala
+      .toSeq
+      .map { b =>
+        val seg = b.getPath.split('/')
+        ((seg(0).stripPrefix("partition_size=").toLong,
+          seg(1).stripPrefix("start_partition=").toLong,
+          seg(2).stripPrefix("end_partition=").toLong),
+          (b.getPath, b.getRowCount))
+      }
+      .groupBy(_._1)
+      .map { case (k, xs) =>
+        k -> (xs.map(_._2._1).distinct.size.toLong, xs.map(_._2._2).sum)
+      }
+    // total over plan ∪ footer tiles: a footer block outside the plan
+    // (a writer bug) surfaces as an extra row the oracle cannot have
+    val plan = Partitioner.plan(lo, hi, tiers)
+    val keys = (plan.map(q => (q.size, q.start, q.end)) ++ byTile.keys).distinct
+    keys.map { k =>
+      val (nf, nr) = byTile.getOrElse(k, (0L, 0L))
+      (k._1, k._2, k._3, nf, nr)
+    }.toDF("partition_size", "start_block", "end_block", "n_fragments", "n_rows")
+      .orderBy(col("partition_size").desc, col("start_block"))
+  }
+
+  /** Independent replay: the recursive-CTE partition planner (shared
+    * with `q_r1_partition_plan`) left-joined to per-tile source-row
+    * counts. One fragment per non-empty tile is the K1 one-sorted-
+    * fragment-per-directory contract; empty tiles read back (0, 0).
+    */
+  val k2MetadataSql: String =
+    s"""WITH plan AS (SELECT * FROM (${PlannerQueries.partitionPlanSql}))
+       |SELECT p.partition_size, p.start_block, p.end_block,
+       |  CAST(CASE WHEN count(e.event_id) > 0 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS n_fragments,
+       |  count(e.event_id) AS n_rows
+       |FROM plan p LEFT JOIN events e
+       |  ON e.event_id >= p.start_block AND e.event_id < p.end_block
+       |GROUP BY 1, 2, 3
+       |ORDER BY p.partition_size DESC, p.start_block""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_s1_range_scan" -> (s1RangeScan _),
     "q_s2_column_types" -> (s2ColumnTypes _),
@@ -402,6 +512,7 @@ object ParityQueries {
     "q_o1_sorted_projection" -> (o1SortedProjection _),
     "q_uint256_sum" -> (uint256Sum _),
     "q_uint256_mul" -> (uint256Mul _),
+    "q_k2_metadata" -> (k2Metadata _),
     "q1_agg" -> (q1Agg _))
 
   val oracles: Map[String, String] = Map(
@@ -416,5 +527,6 @@ object ParityQueries {
     "q_o1_sorted_projection" -> o1SortedProjectionSql,
     "q_uint256_sum" -> uint256SumSql,
     "q_uint256_mul" -> uint256MulSql,
+    "q_k2_metadata" -> k2MetadataSql,
     "q1_agg" -> q1AggSql)
 }

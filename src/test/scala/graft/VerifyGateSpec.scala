@@ -30,8 +30,9 @@ class VerifyGateSpec extends AnyFunSuite with SparkTestBase {
     // silently drops a registration fails here first
     // 175 = round 11's 174 + the streaming-face ingestion capstone
     // 176 = round 12's 175 + S2 column-type introspection
-    assert(SparkEntry.queries.size >= 176,
-      s"query surface shrank to ${SparkEntry.queries.size} (< 176)")
+    // 177 = round 13's 176 + K2 _metadata summary oracle face
+    assert(SparkEntry.queries.size >= 177,
+      s"query surface shrank to ${SparkEntry.queries.size} (< 177)")
   }
 
   test("every query constructs and analyzes against sf0.001") {
