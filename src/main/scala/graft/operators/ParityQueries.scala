@@ -500,6 +500,76 @@ object ParityQueries {
        |GROUP BY 1, 2, 3
        |ORDER BY p.partition_size DESC, p.start_block""".stripMargin
 
+  /** E4+E6 cast matrix: the FULL documented target-type grid
+    * (int8/16/32/64, uint32/uint64, float32/float64, numeric38, string,
+    * bytes — reference README.md:92-97; the reference documents these
+    * but only ever wires a few) driven through the REAL config path —
+    * `ColumnMapping`/`TargetType`/[[Transforms.convertColumns]] — vs a
+    * DuckDB CAST grid. Source values are taken modulo each target's
+    * range (both engines run ANSI casts: overflow would throw, and the
+    * matrix pins conversion semantics, not error paths). Narrow/exotic
+    * carriers re-emit as BIGINT/VARCHAR for the driver's hash compare;
+    * floats are pinned by round-tripping back to BIGINT (cross-engine
+    * float FORMATTING is unspecified; the VALUE is what the cast must
+    * preserve — the modulus keeps every value exactly representable).
+    */
+  def e6CastMatrix(spark: SparkSession, d: String): DataFrame = {
+    import graft.model.{ColumnMapping, TableConfig, TargetType => TT}
+    import graft.functions.Transforms
+    val cents = (dec2(col("l_extendedprice")) * 100).cast(DecimalType(18, 0))
+    val src = Tables.lineitem(spark, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      (cents % 100).as("m8"),
+      (cents % 30000).as("m16"),
+      (cents % 1000000000L).as("m32"),
+      cents.as("m64"),
+      (cents % 1000).as("mf"))
+    val tc = TableConfig(Seq(64L), Map(
+      "m8" -> Seq(ColumnMapping("as_int8", TT.Int8)),
+      "m16" -> Seq(ColumnMapping("as_int16", TT.Int16)),
+      "m32" -> Seq(ColumnMapping("as_int32", TT.Int32),
+        ColumnMapping("as_uint32", TT.UInt32)),
+      "m64" -> Seq(ColumnMapping("as_int64", TT.Int64),
+        ColumnMapping("as_uint64", TT.UInt64),
+        ColumnMapping("as_numeric38", TT.Numeric38),
+        ColumnMapping("as_bytes", TT.Bytes),
+        ColumnMapping("as_string", TT.Str)),
+      "mf" -> Seq(ColumnMapping("as_float32", TT.Float32),
+        ColumnMapping("as_float64", TT.Float64))))
+    Transforms.convertColumns(src, Map.empty, tc).select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("as_int8").cast(LongType).as("as_int8"),
+      col("as_int16").cast(LongType).as("as_int16"),
+      col("as_int32").cast(LongType).as("as_int32"),
+      col("as_uint32").as("as_uint32"),
+      col("as_int64").as("as_int64"),
+      col("as_uint64").cast(StringType).as("as_uint64"),
+      col("as_numeric38").cast(StringType).as("as_numeric38"),
+      hex(col("as_bytes")).as("as_bytes_hex"),
+      col("as_string"),
+      col("as_float32").cast(LongType).as("f32_roundtrip"),
+      col("as_float64").cast(LongType).as("f64_roundtrip"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val e6CastMatrixSql: String =
+    """WITH src AS (SELECT l_orderkey, l_linenumber,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0)) AS cents
+      |  FROM lineitem)
+      |SELECT l_orderkey, l_linenumber,
+      |  CAST(CAST(cents % 100 AS TINYINT) AS BIGINT) AS as_int8,
+      |  CAST(CAST(cents % 30000 AS SMALLINT) AS BIGINT) AS as_int16,
+      |  CAST(CAST(cents % 1000000000 AS INTEGER) AS BIGINT) AS as_int32,
+      |  CAST(cents % 1000000000 AS BIGINT) AS as_uint32,
+      |  CAST(cents AS BIGINT) AS as_int64,
+      |  CAST(CAST(cents AS DECIMAL(20,0)) AS VARCHAR) AS as_uint64,
+      |  CAST(CAST(cents AS DECIMAL(38,0)) AS VARCHAR) AS as_numeric38,
+      |  lpad(upper(to_hex(CAST(cents AS BIGINT))), 64, '0') AS as_bytes_hex,
+      |  CAST(cents AS VARCHAR) AS as_string,
+      |  CAST(CAST(CAST(cents % 1000 AS FLOAT) AS BIGINT) AS BIGINT) AS f32_roundtrip,
+      |  CAST(CAST(CAST(cents % 1000 AS DOUBLE) AS BIGINT) AS BIGINT) AS f64_roundtrip
+      |FROM src ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_s1_range_scan" -> (s1RangeScan _),
     "q_s2_column_types" -> (s2ColumnTypes _),
@@ -513,6 +583,7 @@ object ParityQueries {
     "q_uint256_sum" -> (uint256Sum _),
     "q_uint256_mul" -> (uint256Mul _),
     "q_k2_metadata" -> (k2Metadata _),
+    "q_e6_cast_matrix" -> (e6CastMatrix _),
     "q1_agg" -> (q1Agg _))
 
   val oracles: Map[String, String] = Map(
@@ -528,5 +599,6 @@ object ParityQueries {
     "q_uint256_sum" -> uint256SumSql,
     "q_uint256_mul" -> uint256MulSql,
     "q_k2_metadata" -> k2MetadataSql,
+    "q_e6_cast_matrix" -> e6CastMatrixSql,
     "q1_agg" -> q1AggSql)
 }

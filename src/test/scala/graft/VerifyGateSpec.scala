@@ -30,9 +30,9 @@ class VerifyGateSpec extends AnyFunSuite with SparkTestBase {
     // silently drops a registration fails here first
     // 175 = round 11's 174 + the streaming-face ingestion capstone
     // 176 = round 12's 175 + S2 column-type introspection
-    // 177 = round 13's 176 + K2 _metadata summary oracle face
-    assert(SparkEntry.queries.size >= 177,
-      s"query surface shrank to ${SparkEntry.queries.size} (< 177)")
+    // 178 = round 13's 176 + K2 _metadata summary + E4/E6 cast matrix
+    assert(SparkEntry.queries.size >= 178,
+      s"query surface shrank to ${SparkEntry.queries.size} (< 178)")
   }
 
   test("every query constructs and analyzes against sf0.001") {
