@@ -1176,9 +1176,11 @@ object Similarity {
     // the five branch caches can release here rather than accumulate
     // until clearCache. On the all-uniform fast path the slow branches
     // were never computed and their unpersist is a no-op.
+    val tC = System.nanoTime()
     val census = nPairs.join(nDocs, keys)
       .orderBy("est_jaccard_e4", "embeds_agree")
       .localCheckpoint(true)
+    xlap("census", tC)
     Seq(fastCross, fastIntra, slowCross, slowIntraSame, slowIntraDiff)
       .foreach(_.unpersist())
     census

@@ -1,10 +1,14 @@
-package graft
+package graft.tools
 
-/** Scratch sweep main (delete before round close): times the
-  * boilerplate-scrub DIRECT and COLLAPSED shapes explicitly forced, on
-  * a replica dir — the adaptive sketch would always pick collapsed on
-  * replicated fixtures, so the direct shape needs the override to be
-  * measured at scale.
+import graft.Sessions
+
+/** Replica-sweep tool: times the boilerplate-scrub DIRECT and COLLAPSED
+  * shapes explicitly forced on a given data dir. The adaptive sketch
+  * always picks collapsed on replicated fixtures, so the direct shape
+  * needs the override to be measured at scale (it is the shape a
+  * genuinely unique corpus runs).
+  *
+  * Usage: runMain graft.tools.SweepScrub <sfDir> [direct|collapsed|both]
   */
 object SweepScrub {
   def main(args: Array[String]): Unit = {
