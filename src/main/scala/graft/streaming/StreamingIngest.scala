@@ -137,13 +137,16 @@ object StreamingIngest {
     val sKey = storeKey(storeDir, conf)
     // memo hit = validated AND inside the re-validation cadence window;
     // the batch count ticks here so a long-running stream re-checks the
-    // disk every RevalidateEvery batches even if nothing ever fails
+    // disk every RevalidateEvery batches even if nothing ever fails.
+    // The memo never excuses a MISSING index dir (one fs stat, no count
+    // job): an external delete inside the cadence window must take the
+    // heal path below, not throw on the index read.
     val memoFresh = {
       val n = validatedStores.get(sKey)
       if (n == null) false
       else if (n >= RevalidateEvery - 1) { validatedStores.remove(sKey); false }
       else { validatedStores.replace(sKey, n, Int.box(n + 1)); true }
-    }
+    } && graft.sinks.Fs.exists(iDir, conf)
     if (haveStore && !memoFresh) {
       val storeN = spark.read.parquet(storeDir).count()
       // a crash during an index append (or the heal's own overwrite) can

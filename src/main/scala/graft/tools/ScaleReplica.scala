@@ -55,6 +55,12 @@ object ScaleReplica {
     val files = if (args.length > 3) args(3).toInt else 32
     require(files >= 1, s"files must be >= 1, got $files")
     val spark = Sessions.local("graft-scale-replica")
+    replicate(spark, src, dst, copies, files)
+    spark.stop()
+  }
+
+  def replicate(spark: org.apache.spark.sql.SparkSession, src: String,
+      dst: String, copies: Int, files: Int): Unit = {
     for (t <- Tables.All) {
       val df = Tables.table(spark, src, t)
       val out = shiftCols.get(t) match {
@@ -82,6 +88,5 @@ object ScaleReplica {
       val nf = if (shiftCols.contains(t)) files else 1
       println(s"replicated $t x${if (shiftCols.contains(t)) copies else 1} in $nf files")
     }
-    spark.stop()
   }
 }

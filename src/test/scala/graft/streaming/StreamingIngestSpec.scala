@@ -102,6 +102,52 @@ class StreamingIngestSpec extends AnyFunSuite with SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("the validation memo never excuses a missing index; invalidate() forces the heal") {
+    val s = spark
+    import s.implicits._
+    def doc(id: Long, text: String) = (id, text, "en", "src", text.length.toLong)
+    def batch(rows: (Long, String, String, String, Long)*) =
+      rows.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val store = Files.createTempDirectory("memo-store").toString + "/data"
+    val iDir = StreamingIngest.indexDir(store)
+    def storeN() = spark.read.parquet(store).count()
+    def idxN() = spark.read.parquet(iDir).count()
+
+    // batch 1 creates the store and marks the memo fresh
+    StreamingIngest.admitBatch(batch(doc(1L,
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa")), store)
+    assert(storeN() == 1L && idxN() == 1L)
+
+    // an external DELETE of the index inside the cadence window: the
+    // memo must not excuse a missing dir — the next batch heals instead
+    // of throwing on the index read
+    assert(graft.sinks.Fs.delete(iDir, spark.sparkContext.hadoopConfiguration))
+    StreamingIngest.admitBatch(batch(doc(2L,
+      "completely novel words that match nothing admitted before now")), store)
+    assert(storeN() == 2L && idxN() == 2L, "missing index must re-derive")
+
+    // an out-of-band divergence the existence probe CANNOT see: an
+    // extra fragment duplicated into the index dir. The memo (still
+    // inside its 64-batch cadence) legitimately skips the count check —
+    // the divergence persists through the next batch...
+    val part = new File(iDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.copy(part.toPath, new File(iDir, "dup-" + part.getName).toPath)
+    val diverged = idxN()
+    assert(diverged > storeN())
+    StreamingIngest.admitBatch(batch(doc(3L,
+      "further fresh content keeps arriving with unseen vocabulary")), store)
+    assert(idxN() == diverged + 1L, "memo window: divergence persists")
+    // ...until an out-of-band writer declares itself: invalidate()
+    // drops the memo and the next batch takes the full disk check
+    StreamingIngest.invalidate(store)
+    StreamingIngest.admitBatch(batch(doc(4L,
+      "one more entirely distinct document closes out the scenario")), store)
+    assert(storeN() == 4L && idxN() == 4L,
+      "post-invalidate batch must heal the diverged index")
+    spark.catalog.clearCache()
+  }
+
   test("streaming quartile drops equal the batch pipeline's admitted store") {
     // the capstone equivalence: four file-drops drained one per
     // micro-batch admit EXACTLY the docs four watermark-chained batch
