@@ -152,8 +152,13 @@ object ParityQueries {
     */
   def e5Uint256(spark: SparkSession, d: String): DataFrame = {
     val cents = (dec2(col("l_extendedprice")) * 100).cast(DecimalType(18, 0))
+    // derive AFTER the sort: the sort keys don't depend on the carrier
+    // columns, so the range exchange (and its sampling pass) carries
+    // ~30-byte rows instead of three 64-char hex strings per row — the
+    // derivations run once per row in the post-sort projection
     Tables.lineitem(spark, d)
       .select(col("l_orderkey"), col("l_linenumber"), cents.as("cents"))
+      .orderBy("l_orderkey", "l_linenumber")
       .select(
         col("l_orderkey"), col("l_linenumber"),
         hex(GraftFunctions.uint256_encode(col("cents"))).as("cents_u256_hex"),
@@ -162,7 +167,6 @@ object ParityQueries {
         GraftFunctions.uint256_to_decimal(
           GraftFunctions.uint256_encode(col("cents"))).cast(StringType)
           .as("cents_roundtrip"))
-      .orderBy("l_orderkey", "l_linenumber")
   }
 
   val e5Uint256Sql: String =
@@ -536,7 +540,11 @@ object ParityQueries {
         ColumnMapping("as_string", TT.Str)),
       "mf" -> Seq(ColumnMapping("as_float32", TT.Float32),
         ColumnMapping("as_float64", TT.Float64))))
-    Transforms.convertColumns(src, Map.empty, tc).select(
+    // sort the narrow source frame FIRST (keys + five decimals), then
+    // derive the 13-column grid in a post-sort projection — the range
+    // exchange never carries the hex/string payload (e5's lesson)
+    Transforms.convertColumns(
+      src.orderBy("l_orderkey", "l_linenumber"), Map.empty, tc).select(
       col("l_orderkey"), col("l_linenumber"),
       col("as_int8").cast(LongType).as("as_int8"),
       col("as_int16").cast(LongType).as("as_int16"),
@@ -549,7 +557,6 @@ object ParityQueries {
       col("as_string"),
       col("as_float32").cast(LongType).as("f32_roundtrip"),
       col("as_float64").cast(LongType).as("f64_roundtrip"))
-      .orderBy("l_orderkey", "l_linenumber")
   }
 
   val e6CastMatrixSql: String =
