@@ -575,32 +575,88 @@ object TrainingPrep {
        |FROM bc JOIN u u1 ON u1.w = bc.w1 JOIN u u2 ON u2.w = bc.w2, nu
        |ORDER BY score_e6 DESC, bc.w1, bc.w2 LIMIT $DefaultCollocTopK""".stripMargin
 
-  def bigramCoherence(spark: SparkSession, d: String): DataFrame = {
-    val bi = Tables.documents(spark, d)
-      .select(col("doc_id"), expr(toksExpr).as("toks"))
-      .where(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(toks) - 1),
-          |  i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"""
-          .stripMargin)).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .persist()
-    // fold the head counts into the bigram table FIRST (both are
-    // LM-sized, |vocab| and |vocab|² rows) so the corpus-sized bigram
-    // stream pays ONE equi-join, not two
-    val lm = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
-      .join(bi.groupBy("w1").agg(count(lit(1)).as("h")), Seq("w1"))
-      .select(col("w1"), col("w2"), expr("c * 1000000L div h").as("p_e6"))
-    val out = bi
-      .join(lm, Seq("w1", "w2"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        expr("sum(p_e6) div count(1)").as("score_e6"))
-      .orderBy("doc_id")
-      .persist()
-    out.count() // materialize so the bigram cache can be released
-    bi.unpersist()
-    out
+  /** DUPLICATION-ADAPTIVE (the boilerplateScrub pattern): every output
+    * column is a function of the document TEXT plus the corpus-global
+    * bigram LM, and the LM's counts are Σ copies over distinct contents
+    * — so under duplication mass the bigram pipeline runs once per
+    * DISTINCT content (weighted by copy count) and per-content scores
+    * expand through the (doc_id, ch) membership. The r14 multi-file
+    * fixture exposed this query as the next corpus-mass payer (the old
+    * single-task scan had hidden it by collapsing all replica copies in
+    * one map-side combine). A mostly-unique corpus takes the direct
+    * path — the oracle pins it; collapsed == direct is pinned by
+    * BigramCollapseSpec on a replicated fixture.
+    */
+  def bigramCoherence(spark: SparkSession, d: String,
+      collapse: Option[Boolean] = None): DataFrame = {
+    val docsT = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val doCollapse = collapse.getOrElse {
+      val s = docsT.agg(count(lit(1)).as("nd"),
+        approx_count_distinct(xxhash64(col("text"))).as("nc")).collect()(0)
+      s.getLong(1) * 2 <= s.getLong(0)
+    }
+    val bigramsOf = explode(expr(
+      """transform(sequence(1, size(toks) - 1),
+        |  i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"""
+        .stripMargin)).as("b")
+    if (!doCollapse) {
+      val bi = Tables.documents(spark, d)
+        .select(col("doc_id"), expr(toksExpr).as("toks"))
+        .where(size(col("toks")) >= 2)
+        .select(col("doc_id"), bigramsOf)
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .persist()
+      // fold the head counts into the bigram table FIRST (both are
+      // LM-sized, |vocab| and |vocab|² rows) so the corpus-sized bigram
+      // stream pays ONE equi-join, not two
+      val lm = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+        .join(bi.groupBy("w1").agg(count(lit(1)).as("h")), Seq("w1"))
+        .select(col("w1"), col("w2"), expr("c * 1000000L div h").as("p_e6"))
+      val out = bi
+        .join(lm, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("sum(p_e6) div count(1)").as("score_e6"))
+        .orderBy("doc_id")
+        .persist()
+      out.count() // materialize so the bigram cache can be released
+      bi.unpersist()
+      out
+    } else {
+      val rep = docsT.select(col("doc_id"),
+          graft.functions.GraftFunctions.content_hash(col("text")).as("ch"))
+        .persist()
+      val contents = rep.groupBy("ch")
+        .agg(min(col("doc_id")).as("cid"), count(lit(1)).as("w"))
+        .localCheckpoint(true)
+      // bigrams once per distinct content, carrying the copy weight
+      val bi = Tables.documents(spark, d)
+        .join(contents.select(col("cid").as("doc_id"), col("ch"), col("w")),
+          Seq("doc_id"))
+        .select(col("ch"), col("w"), expr(toksExpr).as("toks"))
+        .where(size(col("toks")) >= 2)
+        .select(col("ch"), col("w"), bigramsOf)
+        .select(col("ch"), col("w"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .persist()
+      // weighted counts == occurrence counts over the full corpus
+      val lm = bi.groupBy("w1", "w2").agg(sum("w").as("c"))
+        .join(bi.groupBy("w1").agg(sum("w").as("h")), Seq("w1"))
+        .select(col("w1"), col("w2"), expr("c * 1000000L div h").as("p_e6"))
+      // per-CONTENT report (n_bigrams and the score are per-text facts,
+      // copy-invariant), expanded through the membership frame
+      val perContent = bi.join(lm, Seq("w1", "w2"))
+        .groupBy("ch")
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("sum(p_e6) div count(1)").as("score_e6"))
+      val out = rep.join(perContent, Seq("ch"))
+        .select(col("doc_id"), col("n_bigrams"), col("score_e6"))
+        .orderBy("doc_id")
+        .persist()
+      out.count()
+      bi.unpersist()
+      rep.unpersist()
+      out
+    }
   }
 
   val bigramCoherenceSql: String =
@@ -670,7 +726,7 @@ object TrainingPrep {
     "q_mix_temperature" -> (mixTemperature _),
     "q_quantile_stats" -> (quantileStats _),
     "q_quantile_sketch" -> (quantileSketch _),
-    "q_bigram_coherence" -> (bigramCoherence _),
+    "q_bigram_coherence" -> ((s, d) => bigramCoherence(s, d)),
     "q_collocations" -> ((s, d) => collocations(s, d)),
     "q_budget_select" -> ((s, d) => budgetSelect(s, d)))
 
