@@ -41,11 +41,11 @@ object Bench {
     * whenever the canonical artifact is refreshed.
     */
   val Canaries: Map[String, Double] = Map(
-    "q1_agg" -> 1.327,
-    "q6_forecast_revenue" -> 0.252,
-    "q3_shipping" -> 1.237,
-    "q_set_ops" -> 0.578,
-    "q_merge_upsert" -> 0.256)
+    "q1_agg" -> 1.345,
+    "q6_forecast_revenue" -> 0.283,
+    "q3_shipping" -> 1.261,
+    "q_set_ops" -> 0.512,
+    "q_merge_upsert" -> 0.259)
   /** 1m/5m/15m load averages, or empty when /proc/loadavg is unreadable
     * (non-Linux). Sampled before AND after the run: the before sample is
     * the external-load signal (Spark itself has not started working yet);
