@@ -170,6 +170,106 @@ object Similarity {
        |FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
        |ORDER BY rrf_e6 DESC, doc_id LIMIT $HybridK""".stripMargin
 
+  /** Outlier flag threshold: a vector is an outlier when its squared
+    * centroid distance exceeds `OutlierC` × its bucket's mean squared
+    * distance (the classic z-score-free variance-ratio rule — exact in
+    * integer arithmetic, where a σ-based rule would need a square root).
+    */
+  val OutlierC = 4
+
+  /** EMBEDDING OUTLIER DETECTION — the corpus-cleaning face of the
+    * embedding pipeline: flag vectors far from their neighborhood
+    * centroid (mis-embedded docs, modality mixups, garbage inputs) so
+    * curation can drop them BEFORE they poison semantic dedup thresholds
+    * or ANN recall. Neighborhoods are the deterministic sign-LSH buckets
+    * (same [[bucketSpark]] knob as the retrieval paths: planes grow with
+    * the corpus so bucket population stays bounded).
+    *
+    * All math is EXACT integer arithmetic on e3-quantized coordinates,
+    * so the DuckDB oracle hash-matches bit-for-bit with no float-sum
+    * order dependence:
+    *
+    *   q_ij   = floor(x_ij · 1000)                      (per coordinate)
+    *   D_i    = Σ_j (n_b·q_ij − S_bj)²                  (n_b²·‖q_i − c_b‖²)
+    *   Σ_i D_i = n_b²·T_b − n_b·Σ_j S_bj²               (sufficient stats)
+    *
+    * with S_bj = Σ_i q_ij and T_b = Σ_ij q_ij² — so ONE aggregation pass
+    * (66 map-side-combined sums on ≤2^planes keys) yields everything:
+    * the per-bucket stats broadcast back (2^planes rows) and both the
+    * flag `D_i·n_b > OutlierC·Σ D` and the auditable variance share
+    * `floor(D_i·n_b·10⁴ / Σ D)` evaluate in the final map-side
+    * projection. No second shuffle, no corpus explode (the 64 element
+    * sums aggregate the array column in place). Degenerate buckets
+    * (singleton, or all-identical) have Σ D = 0 → nothing flagged.
+    *
+    * Decimal(38,0) accumulation bounds: |n·q − S| ≤ 2·10³·n so the e4
+    * share numerator D·n·10⁴ ≤ 2.56e12·n³ — exact to n_b ≈ 3·10⁸ rows
+    * per bucket, far beyond the bucket population any sane plane count
+    * leaves (planes ≈ log2(n/target) keeps n_b ~10⁴).
+    */
+  def embedOutliers(spark: SparkSession, d: String,
+      numPlanes: Int = DefaultNumPlanes): DataFrame =
+    embedOutliersFrom(Tables.embeddings(spark, d), numPlanes)
+
+  def embedOutliersFrom(emb: DataFrame,
+      numPlanes: Int = DefaultNumPlanes): DataFrame = {
+    val dec = "decimal(38,0)"
+    val e = emb.select(col("vec_id"),
+      expr(s"transform(embedding, x -> cast(floor(cast(x as double) * 1000) as $dec))")
+        .as("q"),
+      expr(bucketSpark(numPlanes)).as("bucket"))
+    val aggs =
+      (1 to Dims).map(j => sum(element_at(col("q"), j)).as(s"s$j")) :+
+        sum(expr(s"aggregate(q, cast(0 as $dec), (acc, v) -> acc + v * v)"))
+          .as("t")
+    val st = e.groupBy("bucket")
+      .agg(count(lit(1)).cast(DecimalType(38, 0)).as("n"), aggs: _*)
+      .select(col("bucket"), col("n"), col("t"),
+        array((1 to Dims).map(j => col(s"s$j")): _*).as("s"))
+    e.join(broadcast(st), Seq("bucket"))
+      .select(col("vec_id"), col("bucket"),
+        col("n").cast(LongType).as("n_bucket"),
+        expr(s"""aggregate(zip_with(q, s, (x, sj) -> (n * x - sj) * (n * x - sj)),
+                |  cast(0 as $dec), (acc, v) -> acc + v)""".stripMargin
+          .replace("\n", " ")).as("d2"),
+        (col("n") * col("n") * col("t") -
+          col("n") * expr(s"aggregate(s, cast(0 as $dec), (acc, v) -> acc + v * v)"))
+          .as("sumd2"))
+      .select(col("vec_id"), col("bucket"), col("n_bucket"),
+        when(col("sumd2") > 0, expr("(d2 * n_bucket * 10000) div sumd2"))
+          .otherwise(lit(0L)).as("share_e4"),
+        (col("d2") * col("n_bucket") > lit(OutlierC) * col("sumd2"))
+          .as("is_outlier"))
+      .orderBy("vec_id")
+  }
+
+  lazy val embedOutliersSql: String = {
+    val sumCols = (1 to Dims)
+      .map(j => s"CAST(SUM(q[$j]) AS HUGEINT) AS s$j").mkString(", ")
+    val sArr = (1 to Dims).map(j => s"s$j").mkString(", ")
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(floor(x * 1000) AS HUGEINT)) AS q,
+       |    ${bucketDuck()} AS bucket
+       |  FROM embeddings),
+       |st AS (SELECT bucket, CAST(COUNT(*) AS HUGEINT) AS n,
+       |    $sumCols,
+       |    CAST(SUM(list_sum(list_transform(q, v -> v * v))) AS HUGEINT) AS t
+       |  FROM e GROUP BY bucket),
+       |sa AS (SELECT bucket, n, t, list_value($sArr) AS s FROM st),
+       |j AS (SELECT e.vec_id, e.bucket, sa.n,
+       |    list_sum(list_transform(range(1, ${Dims + 1}),
+       |      i -> (sa.n * q[i] - s[i]) * (sa.n * q[i] - s[i]))) AS d2,
+       |    sa.n * sa.n * sa.t
+       |      - sa.n * list_sum(list_transform(s, v -> v * v)) AS sumd2
+       |  FROM e JOIN sa ON e.bucket = sa.bucket)
+       |SELECT vec_id, bucket, CAST(n AS BIGINT) AS n_bucket,
+       |  CASE WHEN sumd2 > 0
+       |    THEN CAST(d2 * n * 10000 // sumd2 AS BIGINT) ELSE 0 END AS share_e4,
+       |  d2 * n > $OutlierC * sumd2 AS is_outlier
+       |FROM j ORDER BY vec_id""".stripMargin
+  }
+
   /** LSH-bucketed top-k: same queries, but candidates limited to the
     * query's sign bucket — the approximate, corpus-scale path.
     */
@@ -1862,6 +1962,7 @@ object Similarity {
     "q_pq_codes" -> (pqCodes _),
     "q_sim_topk_ivfpq" -> ((s, d) => simTopkIvfPq(s, d)),
     "q_dedup_semantic" -> ((s, d) => dedupSemantic(s, d)),
+    "q_embed_outliers" -> ((s, d) => embedOutliers(s, d)),
     "q_graph_pagerank" -> ((s, d) => graphPagerank(s, d)))
 
   val oracles: Map[String, String] = Map(
@@ -1885,5 +1986,6 @@ object Similarity {
     "q_pq_codes" -> pqCodesSql,
     "q_sim_topk_ivfpq" -> simTopkIvfPqSql,
     "q_dedup_semantic" -> dedupSemanticSql,
+    "q_embed_outliers" -> embedOutliersSql,
     "q_graph_pagerank" -> graphPagerankSql)
 }

@@ -31,8 +31,9 @@ class VerifyGateSpec extends AnyFunSuite with SparkTestBase {
     // 175 = round 11's 174 + the streaming-face ingestion capstone
     // 176 = round 12's 175 + S2 column-type introspection
     // 178 = round 13's 176 + K2 _metadata summary + E4/E6 cast matrix
-    assert(SparkEntry.queries.size >= 178,
-      s"query surface shrank to ${SparkEntry.queries.size} (< 178)")
+    // 179 = + embedding outlier detection (q_embed_outliers)
+    assert(SparkEntry.queries.size >= 179,
+      s"query surface shrank to ${SparkEntry.queries.size} (< 179)")
   }
 
   test("every query constructs and analyzes against sf0.001") {
