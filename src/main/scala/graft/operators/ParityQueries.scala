@@ -520,7 +520,15 @@ object ParityQueries {
   def e6CastMatrix(spark: SparkSession, d: String): DataFrame = {
     import graft.model.{ColumnMapping, TableConfig, TargetType => TT}
     import graft.functions.Transforms
-    val cents = (dec2(col("l_extendedprice")) * 100).cast(DecimalType(18, 0))
+    // the range-fitting mods are FIXTURE PREP, not the operator under
+    // test — compute them in the integral carrier (cents is exact in a
+    // long). The decimal form cost ~6 s at sf0.1: decimal `%` has no
+    // compact-long fast path (a JBigDecimal remainder per row per mod),
+    // and the orderBy's range-sampling pass re-executes the expensive
+    // child a second time. convertColumns still receives the full
+    // documented grid and still casts every source through Decimal(38,0).
+    val cents = (dec2(col("l_extendedprice")) * 100)
+      .cast(DecimalType(18, 0)).cast(LongType)
     val src = Tables.lineitem(spark, d).select(
       col("l_orderkey"), col("l_linenumber"),
       (cents % 100).as("m8"),
