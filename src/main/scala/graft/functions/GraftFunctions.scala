@@ -82,6 +82,16 @@ object GraftFunctions {
   def cosine_e6(a: Column, b: Column): Column =
     toCol(CosineSimE6(toExpr(a), toExpr(b)))
 
+  /** array<float> → [q…, Σq², signBucket] embedding-outlier sufficient
+    * stats in one compiled pass (e3 quantize + self-dot + sign bucket).
+    */
+  def outlier_stats(c: Column, planes: Int): Column =
+    toCol(OutlierStats(toExpr(c), planes))
+
+  /** (array<long>, array<long>) → Σ a_i·b_i over the common prefix. */
+  def dot_long(a: Column, b: Column): Column =
+    toCol(DotLong(toExpr(a), toExpr(b)))
+
   /** Evaluation barrier: identity the optimizer won't substitute through
     * (stops predicate pushdown from double-evaluating an expensive
     * projected kernel). Zero runtime cost. Only valid where analysis

@@ -107,6 +107,53 @@ object VectorOps {
     if (n == 0) { cMin = 0L; cMax = 0L }
     new GenericArrayData(Array(m6, checksum, cMin, cMax, err))
   }
+
+  /** array<float> → [q_0 … q_{n-1}, Σ q², signBucket] with
+    * q_i = floor(x_i · 1000) — the embedding-outlier per-row sufficient
+    * stats in ONE compiled pass (e3 quantize + self-dot + strided sign
+    * bucket), replacing three interpreted higher-order lambdas over the
+    * corpus. Bucket bit k = sign of element stride·k with
+    * stride = n/planes — bit-for-bit operators.Similarity.bucketSpark.
+    * Codegen target for [[OutlierStats]].
+    */
+  def outlierStats(a: ArrayData, planes: Int): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Long](n + 2)
+    var t = 0L
+    var i = 0
+    while (i < n) {
+      val q = math.floor(a.getFloat(i).toDouble * 1000).toLong
+      out(i) = q
+      t += q * q
+      i += 1
+    }
+    out(n) = t
+    val stride = if (planes > 0) n / planes else 0
+    var b = 0L
+    if (stride > 0) {
+      var k = 0
+      while (k < planes) {
+        if (a.getFloat(stride * k) >= 0f) b |= (1L << k)
+        k += 1
+      }
+    }
+    out(n + 1) = b
+    new GenericArrayData(out)
+  }
+
+  /** Σ a_i·b_i over the common prefix of two long arrays — compiled
+    * replacement for `aggregate(zip_with(a, b, …))`. The min-length
+    * contract lets a stats-suffixed array (e.g. [[outlierStats]]'s
+    * [q…, t, bucket]) dot a plain one without slicing a copy. Codegen
+    * target for [[DotLong]].
+    */
+  def dotLong(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    acc
+  }
 }
 
 /** Exact Jaccard over two string arrays (distinct-element sets),
@@ -212,6 +259,61 @@ case class QuantizeStats(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): QuantizeStats =
     copy(child = newChild)
+}
+
+/** array<float> → [q…, Σq², bucket] one-pass embedding-outlier stats
+  * (see [[VectorOps.outlierStats]]); `planes` is a plan-time constant.
+  */
+case class OutlierStats(child: Expression, planes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "outlier_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"expected array<float>, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    VectorOps.outlierStats(v.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = VectorOps.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, c => s"$helper.outlierStats($c, $planes)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): OutlierStats =
+    copy(child = newChild)
+}
+
+/** (array<long>, array<long>) → Σ a_i·b_i over the common prefix (see
+  * [[VectorOps.dotLong]]).
+  */
+case class DotLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_long"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"expected two array<long>, got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = VectorOps.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, (a, b) => s"$helper.dotLong($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotLong =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Evaluation barrier: identity on its child that optimizer rules must

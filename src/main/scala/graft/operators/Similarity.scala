@@ -211,30 +211,54 @@ object Similarity {
       numPlanes: Int = DefaultNumPlanes): DataFrame =
     embedOutliersFrom(Tables.embeddings(spark, d), numPlanes)
 
+  /** All array work stays in LONG via ONE compiled pass per row
+    * ([[graft.functions.VectorOps.outlierStats]]: e3 quantize +
+    * self-dot T_i = ‖q_i‖² + sign bucket — higher-order lambdas are
+    * interpreted per element, the r13 `CharClassCounts` lesson) and one
+    * compiled dot for P_i = q_i·S_b; per-bucket U_b = Σ_j S_bj² — then
+    * the expansion D_i = n²·T_i − 2n·P_i + U and Σ D = n²·T − n·U needs
+    * only a handful of Decimal(38,0) products per row. Long-overflow
+    * bounds: with |q| ≤ q_max, S ≤ q_max·n and P_i, T-sums ≤
+    * 64·q_max²·n — safe past n_b ≈ 10⁹ at q_max = 4·10³; the decimal
+    * carrier takes over for the cubic-magnitude products.
+    */
   def embedOutliersFrom(emb: DataFrame,
       numPlanes: Int = DefaultNumPlanes): DataFrame = {
+    requirePlanes(numPlanes)
     val dec = "decimal(38,0)"
+    // e feeds BOTH the stats aggregation and the flag join; without an
+    // explicit persist the quantize kernel runs twice (exchange reuse
+    // does not apply — the two consumers have different subtrees). At
+    // corpus scale the same reuse is a one-time materialization of the
+    // quantized projection, not a cache (see the CACHE CONTRACT in
+    // SparkEntry: runners clearCache between queries).
     val e = emb.select(col("vec_id"),
-      expr(s"transform(embedding, x -> cast(floor(cast(x as double) * 1000) as $dec))")
-        .as("q"),
-      expr(bucketSpark(numPlanes)).as("bucket"))
+      graft.functions.GraftFunctions.outlier_stats(col("embedding"), numPlanes)
+        .as("os"))
+      .select(col("vec_id"), col("os"),
+        element_at(col("os"), Dims + 1).as("t_i"),
+        element_at(col("os"), Dims + 2).cast(IntegerType).as("bucket"))
+      .persist()
     val aggs =
-      (1 to Dims).map(j => sum(element_at(col("q"), j)).as(s"s$j")) :+
-        sum(expr(s"aggregate(q, cast(0 as $dec), (acc, v) -> acc + v * v)"))
-          .as("t")
+      (1 to Dims).map(j => sum(element_at(col("os"), j)).as(s"s$j")) :+
+        sum(col("t_i")).as("t")
     val st = e.groupBy("bucket")
-      .agg(count(lit(1)).cast(DecimalType(38, 0)).as("n"), aggs: _*)
+      .agg(count(lit(1)).as("n"), aggs: _*)
       .select(col("bucket"), col("n"), col("t"),
         array((1 to Dims).map(j => col(s"s$j")): _*).as("s"))
+      .withColumn("u", expr("aggregate(s, 0L, (acc, v) -> acc + v * v)"))
     e.join(broadcast(st), Seq("bucket"))
-      .select(col("vec_id"), col("bucket"),
-        col("n").cast(LongType).as("n_bucket"),
-        expr(s"""aggregate(zip_with(q, s, (x, sj) -> (n * x - sj) * (n * x - sj)),
-                |  cast(0 as $dec), (acc, v) -> acc + v)""".stripMargin
-          .replace("\n", " ")).as("d2"),
-        (col("n") * col("n") * col("t") -
-          col("n") * expr(s"aggregate(s, cast(0 as $dec), (acc, v) -> acc + v * v)"))
-          .as("sumd2"))
+      // dot_long's min-length contract ignores os's [t, bucket] suffix
+      .withColumn("p_i",
+        graft.functions.GraftFunctions.dot_long(col("os"), col("s")))
+      .select(col("vec_id"), col("bucket"), col("n").as("n_bucket"),
+        expr(s"""cast(n as $dec) * cast(n as $dec) * cast(t_i as $dec)
+                |  - 2 * cast(n as $dec) * cast(p_i as $dec)
+                |  + cast(u as $dec)""".stripMargin.replace("\n", " "))
+          .as("d2"),
+        expr(s"""cast(n as $dec) * cast(n as $dec) * cast(t as $dec)
+                |  - cast(n as $dec) * cast(u as $dec)""".stripMargin
+          .replace("\n", " ")).as("sumd2"))
       .select(col("vec_id"), col("bucket"), col("n_bucket"),
         when(col("sumd2") > 0, expr("(d2 * n_bucket * 10000) div sumd2"))
           .otherwise(lit(0L)).as("share_e4"),
