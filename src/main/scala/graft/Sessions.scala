@@ -26,6 +26,20 @@ object Sessions {
       // (graft.sources.Tables.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing can only merge DOWN from the initial partition
+      // count — with the default (initial = shuffle.partitions = cpus),
+      // a 1000×-scale global sort is stuck at 32 partitions of ~1 GB+
+      // of raw rows each and spills multiple passes (measured: 59 GB
+      // spilled on a 7.6 GB sort exchange). A/B at the 1000× replica
+      // (SWEEP_r14b): initial=8×cpus cuts that query's spill 38% and
+      // wall 18%, but costs ~5-8% on the NON-spilling heavy families
+      // (more shuffle segments, worse per-bucket compression — write
+      // bytes doubled) — not a default-worthy trade on one box, so the
+      // default stays engine behavior and the knob is env-gated. A real
+      // deployment sizes this to data volume (bytes / advisory target),
+      // which local mode cannot know up front.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", cpus))
       // Without this, any plan under a persist() (every iterative loop:
       // star contraction, label propagation, the dedup signature caches)
       // runs WITHOUT AQE partition coalescing, so a 2k-row edge frame
