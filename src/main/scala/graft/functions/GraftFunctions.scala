@@ -233,7 +233,14 @@ object GraftFunctions {
       "zorder_key" -> arity("zorder_key", 2, 2)(exprs =>
         ZOrderKey(exprs.head, exprs(1))),
       "quantize_stats" -> arity("quantize_stats", 1, 1)(exprs =>
-        QuantizeStats(exprs.head)))
+        QuantizeStats(exprs.head)),
+      // dot_long(a, b): compiled Σ a_i·b_i over the common prefix
+      "dot_long" -> arity("dot_long", 2, 2)(exprs =>
+        DotLong(exprs.head, exprs(1))),
+      // outlier_stats(embedding[, planes]): [q…, Σq², signBucket]
+      "outlier_stats" -> arity("outlier_stats", 1, 2)(exprs =>
+        OutlierStats(exprs.head,
+          if (exprs.size > 1) int(exprs(1), "outlier_stats planes") else 8)))
   }
 
   def registerAll(spark: SparkSession): Unit = {

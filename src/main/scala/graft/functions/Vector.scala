@@ -154,6 +154,40 @@ object VectorOps {
     while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
     acc
   }
+
+  /** Bit-for-bit twin of `aggregate(zip_with(a, b, (x, y) -> x * y),
+    * 0L, (acc, v) -> acc + v)` — the codegen target the
+    * [[graft.DotKernelCompile]] optimizer rule rewrites that pattern
+    * to. Semantics faithfully reproduced, not simplified:
+    * zip_with pads a length mismatch with nulls → a null product →
+    * the fold goes null; a null ELEMENT does the same; and under ANSI
+    * every pairwise product is still overflow-CHECKED even after the
+    * accumulator has gone null (zip_with materializes all products
+    * before the fold), while accumulation stops being checked once
+    * null (Add(null, v) short-circuits) — hence the sawNull split
+    * below.
+    */
+  def dotLongExact(a: ArrayData, b: ArrayData,
+      failOnOverflow: Boolean): java.lang.Long = {
+    val nA = a.numElements()
+    val nB = b.numElements()
+    val n = math.max(nA, nB)
+    var acc = 0L
+    var sawNull = false
+    var i = 0
+    while (i < n) {
+      if (i >= nA || i >= nB || a.isNullAt(i) || b.isNullAt(i)) sawNull = true
+      else {
+        val p =
+          if (failOnOverflow) Math.multiplyExact(a.getLong(i), b.getLong(i))
+          else a.getLong(i) * b.getLong(i)
+        if (!sawNull)
+          acc = if (failOnOverflow) Math.addExact(acc, p) else acc + p
+      }
+      i += 1
+    }
+    if (sawNull) null else java.lang.Long.valueOf(acc)
+  }
 }
 
 /** Exact Jaccard over two string arrays (distinct-element sets),
@@ -313,6 +347,47 @@ case class DotLong(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotLong =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Compiled twin of the declarative long dot-product fold (see
+  * [[VectorOps.dotLongExact]]); planted by [[graft.DotKernelCompile]],
+  * never constructed by the operator modules directly (they use
+  * [[DotLong]]'s min-length contract). `failOnOverflow` captures the
+  * matched Multiply/Add eval mode at rule time.
+  */
+case class DotLongExact(left: Expression, right: Expression,
+    failOnOverflow: Boolean) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dot_long_exact"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"expected two array<long>, got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val r = VectorOps.dotLongExact(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], failOnOverflow)
+    if (r == null) null else r.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = VectorOps.getClass.getName.stripSuffix("$")
+    val r = ctx.freshName("dot")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""java.lang.Long $r = $helper.dotLongExact($a, $b, $failOnOverflow);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }"""
+        .stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotLongExact =
     copy(left = newLeft, right = newRight)
 }
 

@@ -115,6 +115,83 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.sql("SELECT content_hash('x') AS h").head().getString(0).length === 64)
   }
 
+  private val DotFold =
+    "aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+
+  /** Two long-array columns off a range source (a local Seq would
+    * constant-fold before the plan assertion can look at it).
+    */
+  private def dotFrame = spark.range(4).select(
+    expr("transform(sequence(1L, 3L), i -> i + id)").as("a"),
+    expr("transform(sequence(1L, 3L), i -> i * 2L)").as("b"))
+
+  test("optimizer compiles the declarative long dot fold into the kernel") {
+    val df = dotFrame.select(expr(DotFold).as("dot"), col("a"))
+    val exprs = df.queryExecution.optimizedPlan.expressions
+      .flatMap(_.collect { case e => e })
+    assert(exprs.exists(_.isInstanceOf[graft.functions.DotLongExact]),
+      s"kernel missing from: ${df.queryExecution.optimizedPlan}")
+    assert(!exprs.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ArrayAggregate]),
+      "interpreted fold survived the rewrite")
+    // values match the hand-computed fold: Σ (i + id)·(2i), i = 1..3
+    val got = df.collect().map(_.getLong(0)).sorted
+    val want = (0L until 4L).map(id => (1L to 3L).map(i => (i + id) * 2 * i).sum)
+    assert(got === want.sorted.toArray)
+  }
+
+  test("dot-fold rewrite reproduces null and length-mismatch semantics") {
+    // null element poisons the fold; zip_with pads a length mismatch
+    // with nulls — both must stay NULL through the kernel
+    // arrays depend on id so constant folding can't collapse the fold
+    // before the rewrite is observable
+    val df = spark.range(1).select(
+      expr("aggregate(zip_with(array(1L + id, null), array(2L, 3L), (x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("n1"),
+      expr("aggregate(zip_with(array(1L + id, 2L, 3L), array(4L, 5L), (x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("n2"),
+      expr("aggregate(zip_with(array(1L + id, 2L), array(4L, 5L), (x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("ok"))
+    val row = df.head()
+    assert(row.isNullAt(0) && row.isNullAt(1))
+    assert(row.getLong(2) === 14L)
+    // and those columns really did go through the kernel
+    val exprs = df.queryExecution.optimizedPlan.expressions
+      .flatMap(_.collect { case e => e })
+    assert(exprs.count(_.isInstanceOf[graft.functions.DotLongExact]) === 3)
+  }
+
+  test("dot-fold rewrite keeps ANSI overflow failing") {
+    val df = spark.range(1).select(
+      expr(s"aggregate(zip_with(array(${Long.MaxValue}L, 1L), array(2L, 1L), (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+    assert(spark.conf.get("spark.sql.ansi.enabled") === "true")
+    intercept[Exception](df.collect())
+  }
+
+  test("non-dot folds are left alone") {
+    val df = dotFrame.select(
+      expr("aggregate(zip_with(a, b, (x, y) -> x + y), 0L, (acc, v) -> acc + v)").as("sumzip"),
+      expr("aggregate(zip_with(a, a, (x, y) -> x * x), 0L, (acc, v) -> acc + v)").as("selfsq"))
+    val exprs = df.queryExecution.optimizedPlan.expressions
+      .flatMap(_.collect { case e => e })
+    assert(!exprs.exists(_.isInstanceOf[graft.functions.DotLongExact]),
+      "rewrite matched a non-dot pattern")
+    // and the semantics stay Spark's own
+    val row = df.head()
+    assert(row.getLong(0) === (1L to 3L).map(i => i + 2 * i).sum)
+    assert(row.getLong(1) === (1L to 3L).map(i => i * i).sum)
+  }
+
+  test("dot_long and outlier_stats resolve in plain SQL") {
+    val row = spark.sql(
+      """SELECT
+        |  dot_long(array(1L, 2L, 3L), array(4L, 5L)) AS d,
+        |  size(outlier_stats(array(CAST(1.5 AS FLOAT), CAST(-0.25 AS FLOAT)))) AS os,
+        |  outlier_stats(array(CAST(1.5 AS FLOAT), CAST(-0.25 AS FLOAT)), 2) AS os2
+        |""".stripMargin).head()
+    assert(row.getAs[Long]("d") === 14L) // min-length prefix contract
+    assert(row.getAs[Int]("os") === 4)   // 2 coords + sumsq + bucket
+    // q = [1500, -250], sumsq = 2312500; planes=2, stride=1: signs (+,−) → bucket 1
+    assert(row.getAs[Seq[Long]]("os2") === Seq(1500L, -250L, 2312500L, 1L))
+  }
+
   test("rewrite preserves negative-rejection semantics") {
     import spark.implicits._
     val df = Seq("-5").toDF("s")
