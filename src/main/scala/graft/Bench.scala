@@ -41,11 +41,11 @@ object Bench {
     * whenever the canonical artifact is refreshed.
     */
   val Canaries: Map[String, Double] = Map(
-    "q1_agg" -> 1.345,
-    "q6_forecast_revenue" -> 0.283,
-    "q3_shipping" -> 1.261,
-    "q_set_ops" -> 0.512,
-    "q_merge_upsert" -> 0.259)
+    "q1_agg" -> 1.14,
+    "q6_forecast_revenue" -> 0.248,
+    "q3_shipping" -> 1.046,
+    "q_set_ops" -> 0.575,
+    "q_merge_upsert" -> 0.289)
   /** 1m/5m/15m load averages, or empty when /proc/loadavg is unreadable
     * (non-Linux). Sampled before AND after the run: the before sample is
     * the external-load signal (Spark itself has not started working yet);
