@@ -1743,7 +1743,171 @@ object TextAnalysis {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  /** Vocabulary-budget cut points for [[vocabCoverage]] — spans the
+    * fully-saturated regime (the fixture vocabulary is small) and the
+    * open-tail regime, so the panel is non-degenerate at every SF.
+    */
+  val VocabCoverageCuts: Seq[Int] = Seq(4, 16, 64, 256, 1024)
+
+  /** VOCABULARY COVERAGE (Zipf) panel: for each candidate vocabulary
+    * budget K, how much of the corpus token mass the top-K tokens cover
+    * — the table a tokenizer designer reads to pick a vocab size (and
+    * the rank-frequency face of Zipf's law: coverage_ppm vs K IS the
+    * integrated Zipf curve). `min_count_in` is the collection frequency
+    * of the K-th token — the cutoff a frequency-thresholded vocabulary
+    * would use to realize the same cut.
+    *
+    * Scale shape: ONE corpus shuffle builds the vocab-sized (token, c)
+    * frame (map-side partial counts); each cut is then a BOUNDED global
+    * top-K (`TakeOrdered`) over the persisted vocab frame plus a 1-row
+    * aggregate — no global sort, no single-partition window, nothing
+    * corpus-sized past the first aggregation. Ties at the boundary
+    * resolve by the shared total order (count DESC, token ASC).
+    */
+  def vocabCoverage(spark: SparkSession, d: String): DataFrame = {
+    val tc = Tables.documents(spark, d)
+      .select(explode(expr(tokensSpark)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .persist()
+    tc.count() // one count pass; every cut below reuses the cache
+    val totals = tc.agg(
+      sum("c").as("n_tokens_total"), count(lit(1)).as("n_vocab_total"))
+    val cuts = VocabCoverageCuts.map { k =>
+      tc.orderBy(col("c").desc, col("token").asc).limit(k)
+        .agg(count(lit(1)).as("n_in"),
+          sum("c").as("covered_tokens"),
+          min("c").as("min_count_in"))
+        .select(lit(k.toLong).as("vocab_k"), col("n_in"),
+          col("covered_tokens"), col("min_count_in"))
+    }.reduce(_ union _)
+    val out = cuts.join(broadcast(totals))
+      .select(col("vocab_k"), col("n_in"), col("covered_tokens"),
+        col("min_count_in"),
+        expr("covered_tokens * 1000000L div n_tokens_total").as("coverage_ppm"),
+        col("n_vocab_total"), col("n_tokens_total"))
+      .orderBy("vocab_k")
+      .persist()
+    out.count() // materialize so the vocab cache can be released
+    tc.unpersist()
+    out
+  }
+
+  val vocabCoverageSql: String = {
+    val cutsList = VocabCoverageCuts.mkString("[", ", ", "]")
+    s"""WITH tok AS (SELECT unnest($tokensDuck) AS token FROM documents),
+       |tc AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+       |r AS (SELECT token, c,
+       |    row_number() OVER (ORDER BY c DESC, token ASC) AS rn FROM tc),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens_total,
+       |    count(*) AS n_vocab_total FROM tc),
+       |ks AS (SELECT CAST(unnest($cutsList) AS BIGINT) AS vocab_k)
+       |SELECT ks.vocab_k, count(*) AS n_in,
+       |  CAST(sum(r.c) AS BIGINT) AS covered_tokens,
+       |  CAST(min(r.c) AS BIGINT) AS min_count_in,
+       |  CAST(sum(r.c) * 1000000 // max(tot.n_tokens_total) AS BIGINT) AS coverage_ppm,
+       |  max(tot.n_vocab_total) AS n_vocab_total,
+       |  max(tot.n_tokens_total) AS n_tokens_total
+       |FROM ks JOIN r ON r.rn <= ks.vocab_k CROSS JOIN tot
+       |GROUP BY ks.vocab_k ORDER BY ks.vocab_k""".stripMargin
+  }
+
+  /** Slice count for [[ngramSaturation]] — 8 cumulative corpus
+    * fractions, assigned by the key-pure sha-bucket hash (the
+    * [[Curation.sampleHash]] family), so the curve is reproducible and
+    * the slices are unbiased under any doc_id layout.
+    */
+  val SaturationSlices = 8
+
+  /** N-GRAM SATURATION (Heap's law) curve: split the corpus into 8
+    * hash-assigned slices, and for each cumulative prefix report how
+    * many NEW distinct 3-gram shingles that slice contributed —
+    * `discovery_ppm` (new grams per million gram occurrences in the
+    * slice) is the marginal-novelty rate a data-scaling decision reads:
+    * a flat curve says more of the same data still buys new content; a
+    * collapsing one says the corpus is saturating and the next token
+    * budget should buy DIFFERENT data. (Heaps 1978; the measurement
+    * behind data-mixing "quality vs quantity" calls.)
+    *
+    * Scale shape: a gram's first-appearance slice is `min(slice)` over
+    * its occurrences — ONE corpus shuffle keyed (gram, slice) with
+    * map-side combine, grams shipped as xxhash64 longs (the
+    * [[boilerplateScrub]] economics); everything after is vocab-sized
+    * (per-gram min) or 8-row (per-slice rollups, running sums). No
+    * pairwise terms, no corpus-sized sort.
+    */
+  def ngramSaturation(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sliceCol = expr(
+      s"cast(conv(substring(sha2(cast(doc_id as string), 256), 1, 8), 16, 10) as bigint) % $SaturationSlices")
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), sliceCol.as("slice"), expr(tokensSpark).as("toks"))
+    val perSliceDocs = docs.groupBy("slice").agg(count(lit(1)).as("n_docs"))
+    val gs = docs.where(size(col("toks")) >= 3)
+      .select(col("slice"),
+        explode(expr(s"transform(sequence(1, size(toks) - 2), " +
+          "i -> xxhash64(concat_ws(' ', toks[i-1], toks[i], toks[i+1])))")).as("gram"))
+      .groupBy("gram", "slice").agg(count(lit(1)).as("c"))
+      .persist()
+    gs.count() // two vocab-sized consumers below; pin one corpus shuffle
+    val perSliceOcc = gs.groupBy("slice").agg(sum("c").as("occ"))
+    val newGrams = gs.groupBy("gram").agg(min("slice").as("first_slice"))
+      .groupBy("first_slice").agg(count(lit(1)).as("new_grams"))
+      .withColumnRenamed("first_slice", "slice")
+    val w = Window.orderBy("slice")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = spark.range(SaturationSlices).select(col("id").as("slice"))
+      .join(perSliceDocs, Seq("slice"), "left")
+      .join(perSliceOcc, Seq("slice"), "left")
+      .join(newGrams, Seq("slice"), "left")
+      .select(col("slice"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("occ"), lit(0L)).as("occ"),
+        coalesce(col("new_grams"), lit(0L)).as("new_grams"))
+      // 8 rows; the single-partition window is on the FINAL tiny frame
+      .select(col("slice"),
+        sum("n_docs").over(w).as("n_docs_cum"),
+        sum("occ").over(w).as("occ_cum"),
+        col("new_grams"),
+        sum("new_grams").over(w).as("distinct_grams_cum"),
+        expr("CASE WHEN occ > 0 THEN new_grams * 1000000L div occ ELSE 0L END")
+          .as("discovery_ppm"))
+      .orderBy("slice")
+      .persist()
+    out.count()
+    gs.unpersist()
+    out
+  }
+
+  val ngramSaturationSql: String =
+    s"""WITH b AS (SELECT doc_id,
+       |    ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % $SaturationSlices AS slice,
+       |    $tokensDuck AS toks FROM documents),
+       |g AS (SELECT slice, unnest($shinglesDuck) AS gram FROM b WHERE len(toks) >= 3),
+       |gs AS (SELECT gram, slice, count(*) AS c FROM g GROUP BY 1, 2),
+       |ps AS (SELECT slice, CAST(sum(c) AS BIGINT) AS occ FROM gs GROUP BY slice),
+       |ng AS (SELECT first_slice AS slice, count(*) AS new_grams FROM
+       |    (SELECT gram, min(slice) AS first_slice FROM gs GROUP BY gram)
+       |  GROUP BY 1),
+       |nd AS (SELECT slice, count(*) AS n_docs FROM b GROUP BY slice),
+       |base AS (SELECT s.slice,
+       |    coalesce(nd.n_docs, 0) AS n_docs,
+       |    coalesce(ps.occ, 0) AS occ,
+       |    coalesce(ng.new_grams, 0) AS new_grams
+       |  FROM (SELECT unnest(range($SaturationSlices)) AS slice) s
+       |  LEFT JOIN nd USING (slice) LEFT JOIN ps USING (slice)
+       |  LEFT JOIN ng USING (slice))
+       |SELECT slice,
+       |  CAST(sum(n_docs) OVER (ORDER BY slice) AS BIGINT) AS n_docs_cum,
+       |  CAST(sum(occ) OVER (ORDER BY slice) AS BIGINT) AS occ_cum,
+       |  CAST(new_grams AS BIGINT) AS new_grams,
+       |  CAST(sum(new_grams) OVER (ORDER BY slice) AS BIGINT) AS distinct_grams_cum,
+       |  CASE WHEN occ > 0 THEN CAST(new_grams * 1000000 // occ AS BIGINT)
+       |       ELSE 0 END AS discovery_ppm
+       |FROM base ORDER BY slice""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab_coverage" -> (vocabCoverage _),
+    "q_ngram_saturation" -> (ngramSaturation _),
     "q_char_diversity" -> (charDiversity _),
     "q_inverted_index" -> ((s, d) => invertedIndex(s, d)),
     "q_text_novelty" -> (textNovelty _),
@@ -1773,6 +1937,8 @@ object TextAnalysis {
     "q_text_fingerprint" -> (textFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_vocab_coverage" -> vocabCoverageSql,
+    "q_ngram_saturation" -> ngramSaturationSql,
     "q_char_diversity" -> charDiversitySql,
     "q_inverted_index" -> invertedIndexSql,
     "q_text_novelty" -> textNoveltySql,

@@ -32,8 +32,9 @@ class VerifyGateSpec extends AnyFunSuite with SparkTestBase {
     // 176 = round 12's 175 + S2 column-type introspection
     // 178 = round 13's 176 + K2 _metadata summary + E4/E6 cast matrix
     // 179 = + embedding outlier detection (q_embed_outliers)
-    assert(SparkEntry.queries.size >= 179,
-      s"query surface shrank to ${SparkEntry.queries.size} (< 179)")
+    // 181 = + vocabulary-coverage panel + n-gram saturation curve
+    assert(SparkEntry.queries.size >= 181,
+      s"query surface shrank to ${SparkEntry.queries.size} (< 181)")
   }
 
   test("every query constructs and analyzes against sf0.001") {
