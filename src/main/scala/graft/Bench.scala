@@ -45,7 +45,11 @@ object Bench {
     "q6_forecast_revenue" -> 0.248,
     "q3_shipping" -> 1.046,
     "q_set_ops" -> 0.575,
-    "q_merge_upsert" -> 0.289)
+    // was q_merge_upsert, swapped when the compute-parallelism floor
+    // (Tables.flooredTable) touched every documents/events/embeddings
+    // reader — canaries must be queries NO engine change reaches, and
+    // q12 runs on the un-floored TPC-H tables only
+    "q12_late_lines" -> 0.509)
   /** 1m/5m/15m load averages, or empty when /proc/loadavg is unreadable
     * (non-Linux). Sampled before AND after the run: the before sample is
     * the external-load signal (Spark itself has not started working yet);

@@ -47,6 +47,14 @@ object Sessions {
       // cached-plan output trades exact cache-partitioning reuse for
       // right-sized shuffles — the correct trade for iterative graphs.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // compute-parallelism floor for small-split per-row-CPU scans
+      // (graft.sources.Tables.computeFloor): "off" | "opt-in" | "on".
+      // Default opt-in (only measured-winner operators request it) — a
+      // full 181-query A/B at sf0.1 (r14) showed floor-everywhere
+      // costs more in stage/task overhead than the map-side
+      // parallelism returns on all but the most CPU-dense queries.
+      .config("spark.graft.computeFloor",
+        sys.env.getOrElse("SPARK_GRAFT_COMPUTE_FLOOR", "opt-in"))
       // managed (bucketed) tables land outside the repo checkout
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")

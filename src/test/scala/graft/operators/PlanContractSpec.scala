@@ -16,9 +16,25 @@ import graft.SparkTestBase
   * otherwise alarming), so pin it here: if a future Spark version or a
   * query edit drops the bound, this fails instead of the cluster.
   */
-class PlanContractSpec extends AnyFunSuite with SparkTestBase {
+class PlanContractSpec extends AnyFunSuite with SparkTestBase
+    with org.scalatest.BeforeAndAfterAll {
 
   private val sf = "/root/testdata/sf0.001"
+
+  // These contracts pin each OPERATOR's exchange shape. The compute-
+  // parallelism floor (graft.sources.Tables.computeFloor, an opt-in
+  // session knob) would add one input-conditioning hash exchange on
+  // small-split fixtures, so it is pinned off here regardless of the
+  // session's setting — TablesFloorSpec pins the floor's own plan
+  // behavior, including that pushdown and pruning survive it.
+  override protected def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set("spark.graft.computeFloor", "off")
+  }
+  override protected def afterAll(): Unit = {
+    spark.conf.set("spark.graft.computeFloor", "opt-in")
+    super.afterAll()
+  }
 
   private def stripAqe(p: SparkPlan): SparkPlan = p match {
     case a: AdaptiveSparkPlanExec => stripAqe(a.executedPlan)

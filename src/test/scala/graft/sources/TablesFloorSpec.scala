@@ -1,0 +1,92 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Pins the compute-parallelism floor (`Tables.flooredTable`):
+  *
+  *   1. a one-row-group fixture gets ONE hash exchange on the row key
+  *      (the floor), and scan pushdown is UNAFFECTED by it — the filter
+  *      and the pruned schema still reach the parquet scan;
+  *   2. an input that already offers >= cores row groups is returned
+  *      untouched (the cluster-scale no-op contract);
+  *   3. the floor repartitions to exactly `defaultParallelism` with
+  *      hash-on-key, so a downstream groupBy on the same key can reuse
+  *      the exchange instead of adding a second one.
+  */
+class TablesFloorSpec extends AnyFunSuite with SparkTestBase
+    with org.scalatest.BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // The floor fires only for requesting call sites by default (mode
+  // "opt-in", set after the r14 full-surface A/B — see
+  // Tables.computeFloor); these tests pin the behavior in mode "on",
+  // then restore the default.
+  override protected def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set("spark.graft.computeFloor", "on")
+  }
+  override protected def afterAll(): Unit = {
+    spark.conf.set("spark.graft.computeFloor", "opt-in")
+    super.afterAll()
+  }
+
+  test("plain readers do not floor in the default opt-in mode") {
+    spark.conf.set("spark.graft.computeFloor", "opt-in")
+    try {
+      val plain = Tables.documents(spark, sf)
+        .select("doc_id").queryExecution.executedPlan.toString
+      assert(!plain.contains("hashpartitioning(doc_id"),
+        s"plain reader floored in opt-in mode:\n$plain")
+      val req = Tables.documentsFloored(spark, sf)
+        .select("doc_id").queryExecution.executedPlan.toString
+      assert(req.contains("hashpartitioning(doc_id"),
+        s"requesting reader did not floor in opt-in mode:\n$req")
+    } finally spark.conf.set("spark.graft.computeFloor", "on")
+  }
+
+  test("floored read keeps filter pushdown and column pruning at the scan") {
+    val plan = Tables.documents(spark, sf)
+      .where(col("doc_id") >= 10 && col("doc_id") < 40)
+      .select("doc_id", "n_chars")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(doc_id"),
+      s"expected the floor's hash exchange on doc_id in:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(doc_id,10)") &&
+      plan.contains("LessThan(doc_id,40)"),
+      s"range predicate not pushed to the parquet scan:\n$plan")
+    // pruned read schema: the floor must not force text into the scan
+    assert(!plan.contains("text"),
+      s"column pruning lost through the floor exchange (text read):\n$plan")
+  }
+
+  test("floor widens a one-row-group scan to defaultParallelism") {
+    val df = Tables.documents(spark, sf).select("doc_id")
+    assert(df.rdd.getNumPartitions === spark.sparkContext.defaultParallelism)
+  }
+
+  test("an input with >= cores row groups is returned untouched") {
+    val cores = spark.sparkContext.defaultParallelism
+    val dir = java.nio.file.Files.createTempDirectory("floor-noop").toString
+    Tables.documents(spark, sf)
+      .repartition(cores)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val plan = Tables.documents(spark, dir)
+      .select("doc_id").queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning(doc_id"),
+      s"floor fired on a ${cores}-file input:\n$plan")
+  }
+
+  test("downstream groupBy on the floor key reuses the exchange") {
+    val plan = Tables.documents(spark, sf)
+      .groupBy("doc_id").agg(sum("n_chars"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning\\(doc_id".r
+      .findAllMatchIn(plan).size
+    assert(exchanges === 1,
+      s"expected one reused doc_id exchange, saw $exchanges:\n$plan")
+  }
+}
