@@ -693,7 +693,11 @@ object Curation {
   val PhonePat = "\\+\\d[\\d-]{7,}\\d"
 
   def piiScrub(spark: SparkSession, d: String): DataFrame =
-    scrubFrames(Tables.documents(spark, d)).orderBy("doc_id")
+    // floor-requesting read: the scrub's regex/char-scan chain is
+    // CPU-dense enough that widening a small-split scan pays even on
+    // one box — 7-rep targeted A/B, 1.19/1.38 s floor-off bracketing
+    // 0.70 s floor-on at sf0.1 on a box drifting HOTTER (r14)
+    scrubFrames(Tables.documentsFloored(spark, d)).orderBy("doc_id")
 
   /** Frame-in form of [[piiScrub]]: every expression is a stateless
     * projection, so the SAME transform scrubs a batch read or a file
@@ -1131,7 +1135,10 @@ object Curation {
     * ([[shardFrames]] supplies the shard/pos assignment).
     */
   def jsonlEmit(spark: SparkSession, d: String): DataFrame =
-    jsonlFrames(Tables.documents(spark, d)).orderBy("doc_id")
+    // floor-requesting read: per-doc escape folding is map-side CPU;
+    // same 7-rep A/B as piiScrub — 0.93/1.08 s off bracketing 0.75 s
+    // on (box drifting hotter), ~20-30% repeatable
+    jsonlFrames(Tables.documentsFloored(spark, d)).orderBy("doc_id")
 
   /** The assembled record itself, one row per doc — split out so the
     * escaping path is testable with planted quotes/backslashes (the
