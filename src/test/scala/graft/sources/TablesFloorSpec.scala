@@ -34,6 +34,26 @@ class TablesFloorSpec extends AnyFunSuite with SparkTestBase
     super.afterAll()
   }
 
+  test("batch floor widens a big micro-batch and skips a trickle") {
+    val cores = spark.sparkContext.defaultParallelism
+    val big = Tables.computeFloorForBatch(spark,
+      spark.range(cores * Tables.FloorMinRowsPerCore).toDF("doc_id"),
+      "doc_id", rows = cores * Tables.FloorMinRowsPerCore)
+    assert(big.rdd.getNumPartitions === cores)
+    val trickleRows = cores * Tables.FloorMinRowsPerCore - 1
+    val trickle = spark.range(4).toDF("doc_id").coalesce(1)
+    val kept = Tables.computeFloorForBatch(spark, trickle, "doc_id", trickleRows)
+    assert(kept.rdd.getNumPartitions === 1,
+      "trickle batch below the rows-per-core guard must not be exchanged")
+    spark.conf.set("spark.graft.computeFloor", "off")
+    try {
+      val off = Tables.computeFloorForBatch(spark,
+        spark.range(10).toDF("doc_id").coalesce(1), "doc_id",
+        rows = cores * Tables.FloorMinRowsPerCore)
+      assert(off.rdd.getNumPartitions === 1, "mode off must disable the batch floor")
+    } finally spark.conf.set("spark.graft.computeFloor", "on")
+  }
+
   test("plain readers do not floor in the default opt-in mode") {
     spark.conf.set("spark.graft.computeFloor", "opt-in")
     try {
