@@ -56,6 +56,28 @@ object Bench {
     * the after sample plus per-query inter-pass spread distinguish "the
     * box was busy" from "the code got slower" without forensics.
     */
+  /** Wall seconds to FORCE a query's physical plan — analysis,
+    * optimization, and physical planning, no job execution. The box
+    * canaries normalize EXECUTION time only and are expression-light,
+    * so a driver-side optimizer regression (r14's unguarded
+    * DotKernelCompile rule cost 20-40% optimization time on
+    * expression-heavy queries while every canary read fast) is
+    * invisible to `box_factor`. Recording per-query planning time in
+    * the artifact makes that regression class machine-detectable: a
+    * round whose canaries read ~1.0 but whose `planning` map moved
+    * against the canonical's is an OPTIMIZER regression, not a slow
+    * box. (A few query builders execute real work while constructing
+    * the frame — the k2 lifecycle — so their planning numbers include
+    * it by construction; the diff against the canonical compares like
+    * against like.)
+    */
+  private[graft] def planningSeconds(df: => DataFrame): Double = {
+    val t0 = System.nanoTime()
+    try { df.queryExecution.executedPlan; () }
+    catch { case _: Throwable => () } // failures surface in the timed passes
+    (System.nanoTime() - t0) / 1e9
+  }
+
   private def loadavg(): Seq[Double] =
     try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
       .trim.split("\\s+").take(3).toSeq.map(_.toDouble)
@@ -102,6 +124,13 @@ object Bench {
     }
     val names = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // one planning probe per query, BEFORE the timed passes (so probe
+    // side effects — codegen cache warmth is NOT one of them; forcing
+    // executedPlan compiles nothing — don't contaminate pass medians)
+    val planning: Seq[(String, Double)] = names.map { case (name, fn) =>
+      name -> planningSeconds(fn(spark, sfDir))
+    }
+    spark.catalog.clearCache()
     val passes: Seq[Map[String, Option[Double]]] = (1 to reps).map { _ =>
       names.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
     }
@@ -159,7 +188,12 @@ object Bench {
     val canaryJson = canaryRatios
       .map { case (c, r) => s"\"" + c + "\":" + s3(r) }
       .mkString("{", ",", "}")
-    val guard = s""""loadavg_start":${arr(loadStart)},"loadavg_end":${arr(loadEnd)},""" +
+    val planJson = planning.map { case (k, v) => s"\"" + k + "\":" + s3(v) }
+      .mkString("{", ",", "}")
+    val planGuard = s""""planning":$planJson,""" +
+      s""""planning_total":${s3(planning.map(_._2).sum)},"""
+    val guard = planGuard +
+      s""""loadavg_start":${arr(loadStart)},"loadavg_end":${arr(loadEnd)},""" +
       s""""spread_median":${s3(medianSpread)},"spread_p90":${s3(p90Spread)},""" +
       s""""load_flagged":$loadFlagged,""" +
       s""""canary_ratios":$canaryJson,"box_factor":${s3(boxFactor)},""" +

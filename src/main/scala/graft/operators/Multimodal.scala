@@ -89,22 +89,24 @@ object Multimodal {
     * fleet behind filesystem metadata work. Measured on q_multimodal_phash
     * at sf0.1, 32 local cores: 1.38 s → 0.58 s (~2.4×) from memory-backed
     * streams alone — and the gap WIDENS with per-executor parallelism,
-    * so the cluster impact is larger. Memory streams are strictly
-    * better for small in-memory payloads; set once per executor JVM,
-    * lazily from the first codec call site (object init runs wherever
-    * the closure runs, so real clusters get it on every executor).
+    * so the cluster impact is larger. Rather than flipping the
+    * PROCESS-GLOBAL `ImageIO.setUseCache(false)` (which changes stream
+    * caching for every ImageIO user in the host JVM, the driver
+    * application included, with no opt-out), each codec call site here
+    * passes an explicit memory-backed stream — the same win, scoped to
+    * graft's own reads and writes.
     */
-  private object ImageIOMemStreams {
-    lazy val init: Unit = javax.imageio.ImageIO.setUseCache(false)
-  }
-
   private[operators] def imageRead(blob: Array[Byte]): java.awt.image.BufferedImage = {
-    ImageIOMemStreams.init
-    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(blob))
+    // ImageIO.read(ImageInputStream) closes the stream itself once a
+    // decoder is found; the swallow covers the no-decoder path (where
+    // it doesn't) without double-close throwing on the normal one.
+    try javax.imageio.ImageIO.read(iis)
+    finally try iis.close() catch { case _: java.io.IOException => () }
   }
 
   private def buildPng(w: Int, h: Int, rgb: Int => (Int, Int, Int)): Array[Byte] = {
-    ImageIOMemStreams.init
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     for (y <- 0 until h; x <- 0 until w) {
@@ -112,7 +114,11 @@ object Multimodal {
       img.setRGB(x, y, (r << 16) | (g << 8) | b)
     }
     val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", baos)
+    // explicit memory-backed output stream (see imageRead): the
+    // OutputStream overload of ImageIO.write would consult the global
+    // cache setting and hit the temp-file path under the JDK default
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    try javax.imageio.ImageIO.write(img, "png", ios) finally ios.close()
     baos.toByteArray
   }
 

@@ -550,9 +550,20 @@ object ParityQueries {
         ColumnMapping("as_float64", TT.Float64))))
     // sort the narrow source frame FIRST (keys + five decimals), then
     // derive the 13-column grid in a post-sort projection — the range
-    // exchange never carries the hex/string payload (e5's lesson)
+    // exchange never carries the hex/string payload (e5's lesson).
+    // The sort width is VOLUME-SIZED, not the session constant: at 32
+    // partitions the 1000× replica's 600M-row sort spilled 59 GB
+    // (BUILDER_NOTES r14 item C); range-partitioning by measured input
+    // bytes keeps every sorted run in execution memory while sf0.1 and
+    // below stay at the configured width (identical plan). An explicit
+    // repartitionByRange(n) + sortWithinPartitions IS orderBy's own
+    // physical plan (range exchange + per-partition sort) with the
+    // width chosen by the data instead of a constant.
+    val sortWidth = Tables.volumeSizedShufflePartitions(spark, d, "lineitem")
     Transforms.convertColumns(
-      src.orderBy("l_orderkey", "l_linenumber"), Map.empty, tc).select(
+      src.repartitionByRange(sortWidth, col("l_orderkey"), col("l_linenumber"))
+        .sortWithinPartitions("l_orderkey", "l_linenumber"),
+      Map.empty, tc).select(
       col("l_orderkey"), col("l_linenumber"),
       col("as_int8").cast(LongType).as("as_int8"),
       col("as_int16").cast(LongType).as("as_int16"),

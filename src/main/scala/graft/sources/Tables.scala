@@ -21,34 +21,94 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"${sfDir.stripSuffix("/")}/$name.parquet")
 
-  /** Row-group count of every data file under `path` (a file or a
-    * directory), memoized per path for the JVM's lifetime — the inputs
-    * are immutable fixtures, and the count gates a plan-shape decision
-    * that must not flap between queries of one session.
+  /** Data files under `path` (a file or a directory), with any file
+    * under a HIDDEN path component skipped — a crashed write's
+    * `_temporary/…/part-….parquet` debris has an ordinary LEAF name, so
+    * filtering only the leaf (the pre-r15 behavior) would hand the
+    * footer reader a half-written file the plain Spark scan (which
+    * ignores whole `_`/`.` components) never sees.
     */
-  private val rowGroupsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private def dataFiles(conf: org.apache.hadoop.conf.Configuration,
+      path: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val rootStr = fs.makeQualified(root).toString
+    val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toString.stripPrefix(rootStr).stripPrefix("/")
+      val hidden = rel.split("/")
+        .exists(c => c.startsWith("_") || c.startsWith("."))
+      if (st.isFile && st.getLen > 0 && !hidden) out += st
+    }
+    out.result()
+  }
 
-  private def rowGroups(spark: SparkSession, path: String): Int =
-    rowGroupsMemo.computeIfAbsent(path, { p: String =>
-      val conf = spark.sparkContext.hadoopConfiguration
-      val root = new org.apache.hadoop.fs.Path(p)
-      val fs = root.getFileSystem(conf)
-      var n = 0
-      val it = fs.listFiles(root, true)
-      while (it.hasNext) {
-        val st = it.next()
-        val name = st.getPath.getName
-        if (st.isFile && st.getLen > 0 &&
-            !name.startsWith("_") && !name.startsWith(".")) {
-          n += org.apache.parquet.hadoop.ParquetFileReader
-            .readFooter(conf, st.getPath,
-              org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
-            .getBlocks.size
-        }
-      }
-      Integer.valueOf(n)
-    }).intValue
+  /** Row-group count of every data file under `path` (a file or a
+    * directory), memoized per path KEYED BY a cheap listing signature
+    * (file count, total bytes, newest mtime) — the count gates a
+    * plan-shape decision that must not flap between queries of one
+    * session, but a table REWRITTEN in-process (a regenerated /tmp
+    * replica, a test overwrite) must re-decide instead of reusing a
+    * stale count (the r14 staleness hole). The listing runs every call
+    * (one fs metadata pass); the footer reads — the expensive part —
+    * run only when the signature changes. An unreadable footer counts
+    * as 0 row groups instead of failing reader construction: a file
+    * deleted or truncated between the listing and the read is a race
+    * to survive, not a reason the whole scan cannot plan.
+    */
+  private val rowGroupsMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, ((Int, Long, Long), Integer)]()
+
+  private def rowGroups(spark: SparkSession, path: String): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = dataFiles(conf, path)
+    val sig = (files.size, files.iterator.map(_.getLen).sum,
+      if (files.isEmpty) 0L
+      else files.iterator.map(_.getModificationTime).max)
+    val memo = rowGroupsMemo.get(path)
+    if (memo != null && memo._1 == sig) return memo._2.intValue
+    var n = 0
+    files.foreach { st =>
+      n += (try org.apache.parquet.hadoop.ParquetFileReader
+        .readFooter(conf, st.getPath,
+          org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+        .getBlocks.size
+      catch { case scala.util.control.NonFatal(_) => 0 })
+    }
+    rowGroupsMemo.put(path, (sig, Integer.valueOf(n)))
+    n
+  }
+
+  /** Volume-sized width for a WIDE exchange over a full-table frame —
+    * a global range sort, a wide unclustered shuffle. A fixed
+    * `spark.sql.shuffle.partitions` is the one shuffle width that
+    * cannot be right at every scale: the r14 1000× probe measured the
+    * cast matrix's 600M-row global sort spilling 59 GB at 32
+    * partitions, while raising the GLOBAL AQE initial width taxed every
+    * non-spilling family 5-8% (BUILDER_NOTES r14 item C). So the width
+    * is derived PER QUERY from the table's measured parquet bytes: one
+    * partition per `bytesPerPartition` of input, floored at the
+    * session's shuffle width (small fixtures keep their exact plans —
+    * at sf0.1 every table stays at the configured 32) and capped at
+    * 4096 (beyond which task-launch overhead dominates any local box
+    * and a real cluster would size by executor count anyway). The
+    * default budget is deliberately small (32 MB of PARQUET per
+    * partition ≈ 100-250 MB of unsafe-row sort payload after
+    * decompression): a sorted run that fits in execution memory spills
+    * nothing, and range partitions this size still amortize their task
+    * launch thousands of times over.
+    */
+  private[graft] def volumeSizedShufflePartitions(spark: SparkSession,
+      sfDir: String, name: String, bytesPerPartition: Long = 32L << 20): Int = {
+    val p = s"${sfDir.stripSuffix("/")}/$name.parquet"
+    val bytes = dataFiles(spark.sparkContext.hadoopConfiguration, p)
+      .iterator.map(_.getLen).sum
+    val floor = spark.sessionState.conf.numShufflePartitions
+    val n = math.ceil(bytes.toDouble / bytesPerPartition.toDouble).toLong
+    math.max(floor.toLong, math.min(n, 4096L)).toInt
+  }
 
   /** Compute-parallelism floor for small-split scans of per-row-CPU
     * tables (text/embedding/event kernels: tokenize, shingle, hash,
@@ -147,11 +207,22 @@ object Tables {
     */
   private[graft] val FloorMinRowsPerCore = 2048L
 
+  /** The trickle guard's threshold, overridable per session
+    * (`spark.graft.floorMinRowsPerCore`) — the cliff it encodes (stage
+    * launch overhead vs per-task kernel work) is hardware-dependent, so
+    * the constant is a measured DEFAULT, not a law; the knob exists so
+    * a deployment (and the calibration A/B) can move it without a
+    * rebuild.
+    */
+  private[graft] def floorMinRowsPerCore(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.floorMinRowsPerCore",
+      FloorMinRowsPerCore.toString).toLong
+
   private[graft] def computeFloorForBatch(spark: SparkSession, df: DataFrame,
       key: String, rows: Long): DataFrame = {
     if (spark.conf.get("spark.graft.computeFloor", "opt-in") == "off") return df
     val cores = spark.sparkContext.defaultParallelism
-    if (rows < cores * FloorMinRowsPerCore) return df
+    if (rows < cores * floorMinRowsPerCore(spark)) return df
     df.repartition(cores, col(key))
   }
 

@@ -113,6 +113,16 @@ object StreamingIngest {
   }
 
   private[streaming] def admitBatch(batch: DataFrame, storeDir: String): Unit = {
+    // The micro-batch is consumed up to three times — the count pass,
+    // the probe, and the admitted join — and arrives RDD-backed, so
+    // each pass would re-run the source scan. Cache it for the batch's
+    // lifetime; the finally releases it even when admission throws (a
+    // retried batch must not find executor memory pinned).
+    batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try admitCached(batch, storeDir) finally batch.unpersist(false)
+  }
+
+  private def admitCached(batch: DataFrame, storeDir: String): Unit = {
     val spark = batch.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val timing = sys.env.contains("GRAFT_INGEST_TIMING")
@@ -124,7 +134,8 @@ object StreamingIngest {
     }
     // one count pass serves both the empty check and the floor's size
     // guard (an RDD-backed micro-batch has no cheaper truthful size or
-    // width signal — see computeFloorForBatch)
+    // width signal — see computeFloorForBatch); it doubles as the
+    // cache fill for the wrapper's persist
     val nRows = batch.count()
     if (nRows == 0) return
     lap("countCheck")

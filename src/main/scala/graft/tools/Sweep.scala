@@ -1,0 +1,135 @@
+package graft.tools
+
+import java.util.concurrent.{Callable, Executors, ThreadFactory, TimeUnit,
+  TimeoutException}
+
+import graft.{Sessions, SparkEntry}
+
+/** Full-surface scale-sweep tool: times every registered query ONCE on a
+  * given data dir with the bench's noop sink, appending one JSONL line
+  * per query AS IT FINISHES — a multi-hour replica sweep must not lose
+  * 150 finished queries to a crash on the 151st — with a per-query wall
+  * budget enforced through Spark job groups. The budget is the point of
+  * the probe: the one class of scale-killer r14 could not find any other
+  * way (q_char_diversity — fine at sf0.1, unfinishable at 1000×) shows
+  * up here as a `timeout` row the sweep records and MOVES PAST instead
+  * of hanging the round on one wedged query.
+  *
+  * Re-entrant by construction: names already present in the output file
+  * are skipped, so an interrupted sweep resumes by re-running the same
+  * command, and chunked invocations (only=/skip=) compose into one file.
+  *
+  * Usage:
+  *   runMain graft.tools.Sweep <sfDir> <outJsonl> [timeoutSec]
+  *     [only=a,b,…|skip=a,b,…]
+  */
+object Sweep {
+
+  /** Expansion-bound audit faces: their OUTPUT is the full near-dup pair
+    * dump, quadratic in replica duplication by contract (each document
+    * gains copies-1 true near-dups), so replica-scale wall time measures
+    * output volume, not the engine — excluded unless explicitly only=’d.
+    */
+  val ExpansionBound: Set[String] = Set(
+    "q_dedup_minhash_lsh_pairs", "q_dedup_simhash64_pairs",
+    "q_dedup_editdist_pairs", "q_minhash_est_audit_pairs",
+    "q_crossmodal_audit_pairs")
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: Sweep <sfDir> <outJsonl> [timeoutSec] [only=a,b|skip=a,b]")
+    val dir = args(0)
+    val out = java.nio.file.Paths.get(args(1))
+    val timeoutSec = if (args.length > 2) args(2).toLong else 900L
+    val sel = if (args.length > 3) args(3) else ""
+    val only =
+      if (sel.startsWith("only="))
+        Some(sel.drop(5).split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      else None
+    val skip =
+      if (sel.startsWith("skip="))
+        sel.drop(5).split(",").map(_.trim).filter(_.nonEmpty).toSet
+      else Set.empty[String]
+    val done: Set[String] =
+      if (java.nio.file.Files.exists(out))
+        java.nio.file.Files.readAllLines(out).toArray(Array.empty[String])
+          .flatMap("\"q\":\"([^\"]+)\"".r.findFirstMatchIn(_).map(_.group(1)))
+          .toSet
+      else Set.empty
+    Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .filter { case (n, _) =>
+        only.isDefined || (!skip.contains(n) && !ExpansionBound.contains(n)) }
+    val todo = names.filterNot { case (n, _) => done.contains(n) }
+    println(s"[sweep] ${names.size} selected, ${done.size} already in " +
+      s"$out, ${todo.size} to run, budget ${timeoutSec}s/query")
+
+    val spark = Sessions.local("graft-sweep")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"${dir.stripSuffix("/")}/region.parquet").count()
+
+    // one fresh daemon thread per query: after a timeout + job-group
+    // cancel, a worker wedged in non-interruptible code is abandoned
+    // (daemon: it cannot pin JVM exit) instead of poisoning a shared pool
+    val tf = new ThreadFactory {
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, "sweep-worker"); t.setDaemon(true); t
+      }
+    }
+    var failures = 0
+    for ((name, fn) <- todo) {
+      val pool = Executors.newSingleThreadExecutor(tf)
+      val t0 = System.nanoTime()
+      val fut = pool.submit(new Callable[Unit] {
+        def call(): Unit = {
+          // interruptOnCancel: cancelJobGroup interrupts running tasks,
+          // so a timed-out query releases its cores for the next one
+          spark.sparkContext.setJobGroup(name, s"sweep $name",
+            interruptOnCancel = true)
+          try fn(spark, dir).write.format("noop").mode("overwrite").save()
+          finally spark.sparkContext.clearJobGroup()
+        }
+      })
+      val status =
+        try { fut.get(timeoutSec, TimeUnit.SECONDS); "ok" }
+        catch {
+          case _: TimeoutException =>
+            spark.sparkContext.cancelJobGroup(name)
+            // grace period for the cancel to unwind the worker cleanly
+            try fut.get(120, TimeUnit.SECONDS)
+            catch { case _: Throwable => () }
+            "timeout"
+          case e: java.util.concurrent.ExecutionException =>
+            val root = Iterator.iterate(e.getCause)(_.getCause)
+              .takeWhile(_ != null).reduceLeft((_, c) => c)
+            "fail:" + root.getClass.getSimpleName
+          case e: Throwable => "fail:" + e.getClass.getSimpleName
+        }
+      val dt = (System.nanoTime() - t0) / 1e9
+      pool.shutdownNow()
+      if (status != "ok") failures += 1
+      spark.catalog.clearCache()
+      val line = String.format(java.util.Locale.ROOT,
+        """{"q":"%s","sec":%.3f,"status":"%s","sf":"%s"}""",
+        jsonEscape(name), Double.box(dt), jsonEscape(status), jsonEscape(dir))
+      java.nio.file.Files.writeString(out, line + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      println(f"[sweep] $name%-36s ${dt}%9.1f s  $status")
+    }
+    println(s"[sweep] DONE: ${todo.size} ran, $failures not-ok, " +
+      s"results in $out")
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+  }
+}

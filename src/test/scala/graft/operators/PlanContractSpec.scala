@@ -27,12 +27,20 @@ class PlanContractSpec extends AnyFunSuite with SparkTestBase
   // small-split fixtures, so it is pinned off here regardless of the
   // session's setting — TablesFloorSpec pins the floor's own plan
   // behavior, including that pushdown and pruning survive it.
+  // restore the PRIOR session value, not a hardcoded default: with
+  // SPARK_GRAFT_COMPUTE_FLOOR set for the shared test session, suites
+  // running after this one must see the configured mode, not "opt-in"
+  private var priorFloor: Option[String] = None
   override protected def beforeAll(): Unit = {
     super.beforeAll()
+    priorFloor = spark.conf.getOption("spark.graft.computeFloor")
     spark.conf.set("spark.graft.computeFloor", "off")
   }
   override protected def afterAll(): Unit = {
-    spark.conf.set("spark.graft.computeFloor", "opt-in")
+    priorFloor match {
+      case Some(v) => spark.conf.set("spark.graft.computeFloor", v)
+      case None => spark.conf.unset("spark.graft.computeFloor")
+    }
     super.afterAll()
   }
 

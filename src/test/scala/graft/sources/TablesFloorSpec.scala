@@ -25,12 +25,20 @@ class TablesFloorSpec extends AnyFunSuite with SparkTestBase
   // "opt-in", set after the r14 full-surface A/B — see
   // Tables.computeFloor); these tests pin the behavior in mode "on",
   // then restore the default.
+  // restore the PRIOR session value, not a hardcoded default: with
+  // SPARK_GRAFT_COMPUTE_FLOOR set for the shared test session, suites
+  // running after this one must see the configured mode, not "opt-in"
+  private var priorFloor: Option[String] = None
   override protected def beforeAll(): Unit = {
     super.beforeAll()
+    priorFloor = spark.conf.getOption("spark.graft.computeFloor")
     spark.conf.set("spark.graft.computeFloor", "on")
   }
   override protected def afterAll(): Unit = {
-    spark.conf.set("spark.graft.computeFloor", "opt-in")
+    priorFloor match {
+      case Some(v) => spark.conf.set("spark.graft.computeFloor", v)
+      case None => spark.conf.unset("spark.graft.computeFloor")
+    }
     super.afterAll()
   }
 
@@ -98,6 +106,56 @@ class TablesFloorSpec extends AnyFunSuite with SparkTestBase
       .select("doc_id").queryExecution.executedPlan.toString
     assert(!plan.contains("hashpartitioning(doc_id"),
       s"floor fired on a ${cores}-file input:\n$plan")
+  }
+
+  test("a table rewritten in-process re-decides the floor (no stale memo)") {
+    val cores = spark.sparkContext.defaultParallelism
+    val dir = java.nio.file.Files.createTempDirectory("floor-rewrite").toString
+    val src = Tables.documents(spark, sf)
+    src.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val before = Tables.documents(spark, dir).select("doc_id")
+      .queryExecution.executedPlan.toString
+    assert(before.contains("hashpartitioning(doc_id"),
+      s"one-file table must floor:\n$before")
+    // same path, same JVM, rewritten wide: the decision must flip —
+    // the row-group memo is keyed by the listing signature, not path
+    src.repartition(cores).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val after = Tables.documents(spark, dir).select("doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!after.contains("hashpartitioning(doc_id"),
+      s"stale row-group memo: floor fired on the rewritten $cores-file table:\n$after")
+  }
+
+  test("crashed-write debris under hidden components does not break the census") {
+    val dir = java.nio.file.Files.createTempDirectory("floor-debris").toString
+    Tables.documents(spark, sf).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // a crashed write's leftovers: ordinary part-file LEAF names below a
+    // _temporary component, holding non-parquet bytes — the plain Spark
+    // scan never sees them, and neither may the row-group census
+    val tmp = java.nio.file.Paths.get(s"$dir/documents.parquet/_temporary/0")
+    java.nio.file.Files.createDirectories(tmp)
+    java.nio.file.Files.write(tmp.resolve("part-00000-junk.snappy.parquet"),
+      Array[Byte](1, 2, 3))
+    val plan = Tables.documents(spark, dir).select("doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(doc_id"),
+      s"floor decision disturbed by hidden debris:\n$plan")
+  }
+
+  test("volume-sized shuffle width floors at the session constant and caps") {
+    val w = spark.sessionState.conf.numShufflePartitions
+    // a tiny fixture must keep the session width — the small-scale plan
+    // is EXACTLY the pre-r15 plan
+    assert(Tables.volumeSizedShufflePartitions(spark, sf, "lineitem") === w,
+      "sf0.001 lineitem must not widen past the session shuffle width")
+    // degenerate budget: width is capped, not unbounded
+    assert(Tables.volumeSizedShufflePartitions(spark, sf, "lineitem",
+      bytesPerPartition = 1L) === 4096)
+    // huge budget: width never drops below the session constant
+    assert(Tables.volumeSizedShufflePartitions(spark, sf, "lineitem",
+      bytesPerPartition = Long.MaxValue) === w)
   }
 
   test("downstream groupBy on the floor key reuses the exchange") {
