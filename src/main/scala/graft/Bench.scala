@@ -102,8 +102,11 @@ object Bench {
       val ok =
         // noop DSv2 sink: materializes EVERY output column and keeps the
         // final sort — count() would let Catalyst prune the projections
-        // and eliminate the orderBy, timing a fraction of the query
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        // and eliminate the orderBy, timing a fraction of the query.
+        // widthScoped: one query's volume ratchet must not leak into
+        // the next query's plans (Tables.widthScoped).
+        try { graft.sources.Tables.widthScoped(spark) {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save() }; true }
         catch {
           case e: Throwable =>
             failures += s"$name:${e.getClass.getSimpleName}"
@@ -128,7 +131,9 @@ object Bench {
     // side effects — codegen cache warmth is NOT one of them; forcing
     // executedPlan compiles nothing — don't contaminate pass medians)
     val planning: Seq[(String, Double)] = names.map { case (name, fn) =>
-      name -> planningSeconds(fn(spark, sfDir))
+      name -> graft.sources.Tables.widthScoped(spark) {
+        planningSeconds(fn(spark, sfDir))
+      }
     }
     spark.catalog.clearCache()
     val passes: Seq[Map[String, Option[Double]]] = (1 to reps).map { _ =>

@@ -28,8 +28,12 @@ object Verify {
     // crashed queries were simply absent from CORRECTNESS_r08.json).
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // widthScoped: one query's volume ratchet must not leak into the
+      // next query's plans (Tables.widthScoped)
+      try graft.sources.Tables.widthScoped(spark) {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

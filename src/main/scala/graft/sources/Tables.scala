@@ -18,8 +18,11 @@ object Tables {
   val All: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"${sfDir.stripSuffix("/")}/$name.parquet")
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val p = s"${sfDir.stripSuffix("/")}/$name.parquet"
+    widthRatchet(spark, p)
+    spark.read.parquet(p)
+  }
 
   /** Data files under `path` (a file or a directory), with any file
     * under a HIDDEN path component skipped — a crashed write's
@@ -103,11 +106,104 @@ object Tables {
   private[graft] def volumeSizedShufflePartitions(spark: SparkSession,
       sfDir: String, name: String, bytesPerPartition: Long = 32L << 20): Int = {
     val p = s"${sfDir.stripSuffix("/")}/$name.parquet"
-    val bytes = dataFiles(spark.sparkContext.hadoopConfiguration, p)
-      .iterator.map(_.getLen).sum
     val floor = spark.sessionState.conf.numShufflePartitions
-    val n = math.ceil(bytes.toDouble / bytesPerPartition.toDouble).toLong
-    math.max(floor.toLong, math.min(n, 4096L)).toInt
+    math.max(floor, volumeWidth(spark, p, bytesPerPartition))
+  }
+
+  /** Partitions implied by a path's parquet bytes alone (no session
+    * floor): one per `bytesPerPartition`, capped at 4096.
+    */
+  private def volumeWidth(spark: SparkSession, path: String,
+      bytesPerPartition: Long): Int = {
+    val bytes = dataFiles(spark.sparkContext.hadoopConfiguration, path)
+      .iterator.map(_.getLen).sum
+    math.min(math.ceil(bytes.toDouble / bytesPerPartition.toDouble).toLong,
+      4096L).toInt
+  }
+
+  /** Shuffle-width ratchet — the volume-sized counterpart of the AQE
+    * initial width, applied where the data volume is actually KNOWN:
+    * the reader. A fixed `spark.sql.shuffle.partitions` cannot be right
+    * at every scale, and AQE coalescing can only merge DOWN from the
+    * configured initial width — so on a session configured for the
+    * small end (32 here), a 600M-row join is stuck shuffling ~20M rows
+    * into each of 32 partitions, and every per-partition hash/sort
+    * blows execution memory and spills. Measured at the 1000× replica
+    * (r15 full-surface probe, pre-fix): the big-join relational family
+    * ran 9-37× super-linear for 10× the 100× data — q12 (a SEVEN-row
+    * output) 324 s, q10 timed out past 910 s. The ratchet raises
+    * `spark.sql.adaptive.coalescePartitions.initialPartitionNum` to the
+    * table's volume-sized width whenever a reader observes a table that
+    * implies MORE partitions than the session currently allows; AQE
+    * then sizes every individual stage back DOWN to its advisory
+    * target, so small shuffles in the same session stay exactly as
+    * wide as before — the ratchet only lifts the ceiling AQE is allowed
+    * to start from. It never lowers (a deployment that configured a
+    * wide initial width keeps it), fires only on real volume (at sf0.1
+    * every fixture table implies ≤ 1 partition, so small-scale plans —
+    * and the frozen bench canaries — are byte-identical), and is
+    * session-scoped conf, so `spark.graft.shuffleWidthRatchet=off`
+    * restores engine behavior for A/Bs and plan-shape specs that pin
+    * partition counts.
+    */
+  /** The session confs the width ratchet may move. A ratchet decision
+    * is derived from the tables ONE query reads, so runners that
+    * execute MANY queries in one session (Bench, Verify, Sweep,
+    * PlanStats) wrap each query in [[widthScoped]] — without it, one
+    * query's volume decision leaks into the next query's plans
+    * (measured leak at the 1000× replica: a lineitem-ratcheted session
+    * ran the documents-table bigram panel 6× slower — 344 initial
+    * partitions on a corpus whose own tables imply 3, every persisted
+    * round-trip paying full-width stages). A single-workload session —
+    * the library's normal embedding — needs no scoping: the ratchet
+    * then reflects exactly the tables that session reads.
+    */
+  private val RatchetKeys = Seq(
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+
+  private[graft] def widthScoped[T](spark: SparkSession)(body: => T): T = {
+    val prior = RatchetKeys.map(k => k -> spark.conf.getOption(k))
+    try body
+    finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def widthRatchet(spark: SparkSession, path: String): Unit = {
+    if (spark.conf.get("spark.graft.shuffleWidthRatchet", "on") == "off") return
+    val budget = spark.conf
+      .get("spark.graft.shuffleWidthBytesPerPartition", (32L << 20).toString)
+      .toLong
+    val want = volumeWidth(spark, path, budget)
+    val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val cur = spark.conf.getOption(key).map(_.toInt)
+      .getOrElse(spark.sessionState.conf.numShufflePartitions)
+    if (want <= cur) return
+    spark.conf.set(key, want.toString)
+    // Raising the initial width alone is NOT enough: AQE coalescing
+    // merges post-shuffle reads back to the ADVISORY byte target
+    // (64 MB), which is tuned for IO-bound stages — a CPU-dense reduce
+    // stage (a sort-merge join's per-task sorts, a wide hash
+    // aggregation) re-coalesced to ~64 MB compressed carries a
+    // multi-hundred-MB deserialized working set per task, and that is
+    // the measured pathology (r15 bisection, q12 @1000×: 32 wide-ish
+    // tasks → 490 s with 330 s of GC; 256 small tasks, coalescing off
+    // → 148 s, GC 103 s — same rows, same cores). Lowering the
+    // advisory to 16 MB when real volume is observed keeps the reduce
+    // stages at cache-friendly task sizes while still letting AQE merge
+    // genuinely tiny partitions; like the initial width, it only moves
+    // in one direction per session and only on a volume trigger, so
+    // small-scale sessions never see either conf change.
+    val advisoryKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val advisoryWant = spark.conf
+      .get("spark.graft.shuffleWidthAdvisoryBytes", (16L << 20).toString)
+      .toLong
+    val advisoryCur = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(spark.conf.get(advisoryKey, "64m"))
+    if (advisoryWant < advisoryCur)
+      spark.conf.set(advisoryKey, advisoryWant.toString)
   }
 
   /** Compute-parallelism floor for small-split scans of per-row-CPU
@@ -171,6 +267,7 @@ object Tables {
   private def flooredTable(spark: SparkSession, sfDir: String,
       name: String, key: String, requested: Boolean = false): DataFrame = {
     val p = s"${sfDir.stripSuffix("/")}/$name.parquet"
+    widthRatchet(spark, p)
     computeFloor(spark, spark.read.parquet(p), p, key, requested)
   }
 

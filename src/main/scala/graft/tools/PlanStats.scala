@@ -36,8 +36,21 @@ object PlanStats {
         diskSpill.add(m.diskBytesSpilled)
       }
     }
-    override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+    override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
       stages.increment()
+      val i = e.stageInfo
+      val m = i.taskMetrics
+      if (m != null) stageRows.add(
+        (i.stageId, i.numTasks, m.executorRunTime,
+          m.inputMetrics.bytesRead, m.shuffleReadMetrics.totalBytesRead,
+          m.shuffleWriteMetrics.bytesWritten,
+          m.memoryBytesSpilled + m.diskBytesSpilled,
+          i.name.takeWhile(_ != '\n').take(60)))
+    }
+    // per-stage rows for the breakdown print (stageId, tasks, runMs,
+    // input, sread, swrite, spill, name)
+    val stageRows = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Int, Int, Long, Long, Long, Long, Long, String)]()
   }
 
   def main(args: Array[String]): Unit = {
@@ -51,8 +64,12 @@ object PlanStats {
       val acc = new Acc
       spark.sparkContext.addSparkListener(acc)
       val t0 = System.nanoTime()
-      graft.SparkEntry.queries(n)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
+      // widthScoped: one query's volume ratchet must not leak into the
+      // next query's plans (Tables.widthScoped)
+      graft.sources.Tables.widthScoped(spark) {
+        graft.SparkEntry.queries(n)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+      }
       val wall = (System.nanoTime() - t0) / 1e9
       // the listener bus is async — give queued task-end events time to
       // drain before reading the adders (a tool, not a protocol)
@@ -64,6 +81,16 @@ object PlanStats {
         s""""input_mb":${mb(acc.input)},"shuffle_read_mb":${mb(acc.shuffleRead)},""" +
         s""""shuffle_write_mb":${mb(acc.shuffleWrite)},""" +
         s""""mem_spill_mb":${mb(acc.memSpill)},"disk_spill_mb":${mb(acc.diskSpill)}}""")
+      // per-stage breakdown, heaviest first — wall says a query is slow;
+      // this says WHICH exchange/scan is paying for it
+      import scala.jdk.CollectionConverters._
+      acc.stageRows.asScala.toSeq.sortBy(-_._3).take(12).foreach {
+        case (id, nt, run, in, sr, sw, sp, name) =>
+          println(f"[plan-stats]   stage $id%4d tasks=$nt%4d " +
+            f"run=${run / 1000.0}%8.1fs in=${in / 1000000}%6dMB " +
+            f"sread=${sr / 1000000}%6dMB swrite=${sw / 1000000}%6dMB " +
+            f"spill=${sp / 1000000}%6dMB  $name")
+      }
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -96,7 +96,11 @@ object Sweep {
           // so a timed-out query releases its cores for the next one
           spark.sparkContext.setJobGroup(name, s"sweep $name",
             interruptOnCancel = true)
-          try fn(spark, dir).write.format("noop").mode("overwrite").save()
+          // widthScoped: one query's volume ratchet must not leak into
+          // the next query's plans (Tables.widthScoped)
+          try graft.sources.Tables.widthScoped(spark) {
+            fn(spark, dir).write.format("noop").mode("overwrite").save()
+          }
           finally spark.sparkContext.clearJobGroup()
         }
       })
