@@ -73,8 +73,11 @@ object Bench {
     */
   private[graft] def planningSeconds(df: => DataFrame): Double = {
     val t0 = System.nanoTime()
+    // NonFatal only: analysis failures surface in the timed passes, but
+    // a fatal JVM error (OOM, stack overflow) must abort the bench
+    // visibly, not leave a corrupted driver reporting garbage numbers
     try { df.queryExecution.executedPlan; () }
-    catch { case _: Throwable => () } // failures surface in the timed passes
+    catch { case scala.util.control.NonFatal(_) => () }
     (System.nanoTime() - t0) / 1e9
   }
 

@@ -555,10 +555,12 @@ object ParityQueries {
     // partitions the 1000× replica's 600M-row sort spilled 59 GB
     // (BUILDER_NOTES r14 item C); range-partitioning by measured input
     // bytes keeps every sorted run in execution memory while sf0.1 and
-    // below stay at the configured width (identical plan). An explicit
-    // repartitionByRange(n) + sortWithinPartitions IS orderBy's own
-    // physical plan (range exchange + per-partition sort) with the
-    // width chosen by the data instead of a constant.
+    // below keep the session width. An explicit repartitionByRange(n)
+    // + sortWithinPartitions is orderBy's physical shape (range
+    // exchange + per-partition sort) with the width chosen by the data
+    // instead of a constant — though the explicit width PINS the
+    // partition count (opts that exchange out of AQE coalescing), so
+    // small-scale partition counts can differ from a plain orderBy's.
     val sortWidth = Tables.volumeSizedShufflePartitions(spark, d, "lineitem")
     Transforms.convertColumns(
       src.repartitionByRange(sortWidth, col("l_orderkey"), col("l_linenumber"))

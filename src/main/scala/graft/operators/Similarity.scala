@@ -63,6 +63,60 @@ object Similarity {
     */
   val DefaultNumPlanes = 8
 
+  /** Sentinel default for the `numPlanes` parameters: resolve the plane
+    * count from the CORPUS SIZE ([[numPlanesFor]] over the footer row
+    * count) instead of a fixed constant. Callers who pass an explicit
+    * count (tests, A/Bs, the DuckDB-twinned small fixtures) still get
+    * exactly what they asked for.
+    */
+  val AutoPlanes = 0
+
+  /** Bucket-population target for [[numPlanesFor]]. In-bucket pair work
+    * is quadratic in bucket population (Σ C(pop, 2) ≈ n·pop/2 when
+    * planes track the corpus), so holding pop near a constant keeps the
+    * candidate funnel LINEAR in n. 4096 rows ≈ 8M cosine evaluations
+    * per bucket — seconds of one core — while buckets stay populous
+    * enough that near-threshold recall doesn't collapse.
+    */
+  private[graft] val TargetBucketRows = 4096L
+
+  /** Corpus-size-driven sign-LSH plane count — the simhash
+    * `Dedup.simhash64BandModeFor` rule applied to the embedding paths
+    * (SURVEY §7.6 standing rule 3: banding families widen with corpus
+    * size). Expected bucket population is n / 2^planes, so planes
+    * double until it falls under [[TargetBucketRows]]; the doubling
+    * steps (8 → 16 → 32 → 64) are the plane counts whose evenly-strided
+    * coordinate sets NEST (stride 8 coords ⊂ stride 4 ⊂ stride 2 ⊂
+    * stride 1), which makes wider bucketings strict REFINEMENTS of
+    * narrower ones — candidate sets only shrink as the corpus grows,
+    * never jump to a disjoint partitioning (pinned in
+    * SimilarityPlanesSpec). Corpora at or under 2^8·4096 ≈ 1M vectors
+    * keep the 8-plane default, so every DuckDB-twinned fixture (2k
+    * vectors at sf0.1) and the frozen bench canaries are untouched.
+    * Flip points: >1.0M → 16, >268M → 32, >1.8e13 → 64.
+    *
+    * Measured need (r15 1000× sweep): at 2M vectors the fixed 8-plane
+    * bucketing left Σ pop² ≈ 8.6e9 candidate pairs and
+    * `q_dedup_embedding` timed out past 600 s while its 100× cost was
+    * 11.9 s; 16 planes cut the candidate funnel 8.3× on the same
+    * fixture (footer-measured Σ C(pop,2): 7573 → 29 per-original).
+    */
+  def numPlanesFor(nVectors: Long): Int = {
+    var planes = DefaultNumPlanes
+    while (planes < Dims && nVectors > (TargetBucketRows << planes))
+      planes *= 2
+    planes
+  }
+
+  /** Resolve a `numPlanes` argument: [[AutoPlanes]] → corpus-sized via
+    * the parquet footer row count (no job), anything else verbatim.
+    */
+  private def resolvePlanes(spark: SparkSession, d: String,
+      numPlanes: Int): Int =
+    if (numPlanes == AutoPlanes)
+      numPlanesFor(Tables.tableRows(spark, d, "embeddings"))
+    else numPlanes
+
   private val Dims = 64 // embeddings.parquet vector width
 
   private def requirePlanes(numPlanes: Int): Unit =
@@ -298,9 +352,10 @@ object Similarity {
     * query's sign bucket — the approximate, corpus-scale path.
     */
   def simTopkLsh(spark: SparkSession, d: String,
-      numPlanes: Int = DefaultNumPlanes): DataFrame = {
+      numPlanes: Int = AutoPlanes): DataFrame = {
+    val planes = resolvePlanes(spark, d, numPlanes)
     val emb = Tables.embeddings(spark, d)
-      .withColumn("bucket", expr(bucketSpark(numPlanes)))
+      .withColumn("bucket", expr(bucketSpark(planes)))
     val queries = emb.where(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("bucket").as("q_bucket"))
@@ -331,14 +386,15 @@ object Similarity {
     * a candidate — no dedup stage needed.
     */
   def simTopkLshMulti(spark: SparkSession, d: String,
-      numPlanes: Int = DefaultNumPlanes): DataFrame = {
+      numPlanes: Int = AutoPlanes): DataFrame = {
+    val planes = resolvePlanes(spark, d, numPlanes)
     val emb = Tables.embeddings(spark, d)
-      .withColumn("bucket", expr(bucketSpark(numPlanes)))
+      .withColumn("bucket", expr(bucketSpark(planes)))
     val queries = emb.where(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         explode(expr(
           s"""concat(array(bucket),
-             |  transform(sequence(0, ${numPlanes - 1}),
+             |  transform(sequence(0, ${planes - 1}),
              |    k -> cast(bucket ^ shiftleft(1, k) as int)))""".stripMargin))
           .as("q_bucket"))
     emb.select(col("vec_id"), col("embedding"), col("bucket"))
@@ -1382,10 +1438,10 @@ object Similarity {
     * bucket key.
     */
   def dedupEmbedding(spark: SparkSession, d: String,
-      numPlanes: Int = DefaultNumPlanes,
+      numPlanes: Int = AutoPlanes,
       minCosE6: Long = 300000L): DataFrame = {
     val emb = Tables.embeddings(spark, d)
-      .withColumn("bucket", expr(bucketSpark(numPlanes)))
+      .withColumn("bucket", expr(bucketSpark(resolvePlanes(spark, d, numPlanes))))
       .select(col("vec_id"), col("embedding"), col("bucket"))
     emb.as("a").join(emb.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
@@ -1408,6 +1464,63 @@ object Similarity {
        |WHERE ${cosE6Duck("a.embedding", "b.embedding")} >= 300000
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Embedding near-dup CENSUS: the [[dedupEmbedding]] candidate funnel
+    * aggregated to (cosine decile band → pair count, distinct docs) —
+    * the same census identity the MinHash and simhash default faces
+    * ship (`Dedup.pairCountsByKey`), applied to the embedding family.
+    * This is the face replica-scale measurement runs: the raw pair dump
+    * ([[dedupEmbedding]]) has output QUADRATIC in duplication by
+    * contract (each of `copies` verbatim replica vectors pairs with
+    * every other — ~1.25e9 true rows at the 1000× fixture, dominated by
+    * the 500k within-group pairs per original), so its replica wall
+    * time measures output volume, not the engine — it sits in
+    * `Sweep.ExpansionBound` with the other audit dumps, and THIS face
+    * is what must stay near-linear: O(bands) output, candidate work
+    * bounded by the corpus-sized plane count ([[numPlanesFor]]).
+    */
+  def dedupEmbeddingCensus(spark: SparkSession, d: String,
+      numPlanes: Int = AutoPlanes,
+      minCosE6: Long = 300000L): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+      .withColumn("bucket", expr(bucketSpark(resolvePlanes(spark, d, numPlanes))))
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+    val pairs = emb.as("a").join(emb.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        graft.functions.GraftFunctions.materialize(
+          cosE6("a.embedding", "b.embedding")).as("cos_e6"))
+      .where(col("cos_e6") >= minCosE6)
+      .withColumn("cos_band", expr("cos_e6 div 100000"))
+      // two consumers (pair counts, doc counts) — share one candidate
+      // enumeration; the harnesses clearCache between queries
+      .persist()
+    val p = pairs.groupBy("cos_band").agg(count(lit(1)).as("n_pairs"))
+    val dd = pairs.select(col("cos_band"), col("vec_a").as("vec_id"))
+      .unionAll(pairs.select(col("cos_band"), col("vec_b").as("vec_id")))
+      .groupBy("cos_band").agg(countDistinct("vec_id").as("n_docs"))
+    val out = p.join(dd, Seq("cos_band")).orderBy("cos_band").persist()
+    out.count() // materialize so the pair cache can be released
+    pairs.unpersist()
+    out
+  }
+
+  val dedupEmbeddingCensusSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding, ${bucketDuck()} AS bucket FROM embeddings),
+       |pr AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         ${cosE6Duck("a.embedding", "b.embedding")} AS cos_e6
+       |       FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |       WHERE ${cosE6Duck("a.embedding", "b.embedding")} >= 300000),
+       |pb AS (SELECT cos_e6 // 100000 AS cos_band, vec_a, vec_b FROM pr),
+       |p AS (SELECT cos_band, count(*) AS n_pairs FROM pb GROUP BY 1),
+       |dd AS (SELECT cos_band, count(DISTINCT vec_id) AS n_docs FROM (
+       |         SELECT cos_band, vec_a AS vec_id FROM pb
+       |         UNION ALL SELECT cos_band, vec_b FROM pb) GROUP BY 1)
+       |SELECT p.cos_band, CAST(p.n_pairs AS BIGINT) AS n_pairs,
+       |  CAST(dd.n_docs AS BIGINT) AS n_docs
+       |FROM p JOIN dd USING (cos_band)
+       |ORDER BY cos_band""".stripMargin
+
   /** Mutual k-NEAREST-NEIGHBOR GRAPH over the sign-LSH buckets: each
     * vector's top-k in-bucket cosine neighbors, kept only when the
     * relation is MUTUAL (a in b's top-k AND b in a's) — the standard
@@ -1428,9 +1541,9 @@ object Similarity {
     * harnesses clearCache between queries).
     */
   def knnGraph(spark: SparkSession, d: String, k: Int = 3,
-      numPlanes: Int = DefaultNumPlanes): DataFrame = {
+      numPlanes: Int = AutoPlanes): DataFrame = {
     val emb = Tables.embeddings(spark, d)
-      .withColumn("bucket", expr(bucketSpark(numPlanes)))
+      .withColumn("bucket", expr(bucketSpark(resolvePlanes(spark, d, numPlanes))))
       .select(col("vec_id"), col("embedding"), col("bucket"))
     val topk = emb.as("a").join(emb.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
@@ -1919,10 +2032,10 @@ object Similarity {
     */
   def dedupSemantic(spark: SparkSession, d: String,
       minCosE6: Long = 300000L,
-      numPlanes: Int = DefaultNumPlanes): DataFrame = {
+      numPlanes: Int = AutoPlanes): DataFrame = {
     val cents = centroidRow(spark, fitIvfCentroids(spark, d))
     val assigned = Tables.embeddings(spark, d)
-      .withColumn("bucket", expr(bucketSpark(numPlanes)))
+      .withColumn("bucket", expr(bucketSpark(resolvePlanes(spark, d, numPlanes))))
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("bucket"),
         bestCentId(col("embedding")).as("cent_id"))
@@ -1981,6 +2094,7 @@ object Similarity {
     "q_crossmodal_audit" -> ((s, d) => crossmodalAudit(s, d)),
     "q_crossmodal_audit_pairs" -> ((s, d) => crossmodalAuditPairs(s, d)),
     "q_dedup_embedding" -> ((s, d) => dedupEmbedding(s, d)),
+    "q_dedup_embedding_census" -> ((s, d) => dedupEmbeddingCensus(s, d)),
     "q_embed_quantize" -> (embedQuantize _),
     "q_pq_codebook" -> (pqCodebook _),
     "q_pq_codes" -> (pqCodes _),
@@ -2005,6 +2119,7 @@ object Similarity {
     "q_crossmodal_audit" -> crossmodalAuditSql,
     "q_crossmodal_audit_pairs" -> crossmodalAuditPairsSql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
+    "q_dedup_embedding_census" -> dedupEmbeddingCensusSql,
     "q_embed_quantize" -> embedQuantizeSql,
     "q_pq_codebook" -> pqCodebookSql,
     "q_pq_codes" -> pqCodesSql,

@@ -18,6 +18,20 @@ object Tables {
   val All: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Read one testdata table. Side effect to know about: constructing
+    * the frame runs the shuffle-width ratchet ([[widthRatchet]]), which
+    * on a genuinely LARGE table raises two session-scoped AQE confs
+    * (initial partition width, advisory bytes) and never lowers them.
+    * That is the right default for the library's normal embedding — a
+    * session serving ONE workload, where the ratchet reflects exactly
+    * the tables that workload reads — but a session that runs MANY
+    * unrelated queries must scope each one with [[widthScoped]] (as
+    * Bench/Verify/Sweep/PlanStats do; the measured leak was a 6×
+    * slowdown on a small-corpus query after a big-table read), and
+    * concurrent query CONSTRUCTION from one session should be
+    * serialized or scoped per thread. `spark.graft.shuffleWidthRatchet
+    * =off` disables the ratchet entirely.
+    */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val p = s"${sfDir.stripSuffix("/")}/$name.parquet"
     widthRatchet(spark, p)
@@ -62,27 +76,47 @@ object Tables {
     * to survive, not a reason the whole scan cannot plan.
     */
   private val rowGroupsMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, ((Int, Long, Long), Integer)]()
+    String, ((Int, Long, Long), (Int, Long))]()
 
-  private def rowGroups(spark: SparkSession, path: String): Int = {
+  private def footerStats(spark: SparkSession, path: String): (Int, Long) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val files = dataFiles(conf, path)
     val sig = (files.size, files.iterator.map(_.getLen).sum,
       if (files.isEmpty) 0L
       else files.iterator.map(_.getModificationTime).max)
     val memo = rowGroupsMemo.get(path)
-    if (memo != null && memo._1 == sig) return memo._2.intValue
-    var n = 0
+    if (memo != null && memo._1 == sig) return memo._2
+    var groups = 0
+    var rows = 0L
     files.foreach { st =>
-      n += (try org.apache.parquet.hadoop.ParquetFileReader
-        .readFooter(conf, st.getPath,
-          org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
-        .getBlocks.size
-      catch { case scala.util.control.NonFatal(_) => 0 })
+      try {
+        val blocks = org.apache.parquet.hadoop.ParquetFileReader
+          .readFooter(conf, st.getPath,
+            org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+          .getBlocks
+        groups += blocks.size
+        blocks.forEach(b => rows += b.getRowCount)
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
-    rowGroupsMemo.put(path, (sig, Integer.valueOf(n)))
-    n
+    rowGroupsMemo.put(path, (sig, (groups, rows)))
+    (groups, rows)
   }
+
+  private def rowGroups(spark: SparkSession, path: String): Int =
+    footerStats(spark, path)._1
+
+  /** Table row count from the parquet footers alone — no Spark job, one
+    * driver-side metadata pass, memoized by the same listing signature
+    * as [[rowGroups]]. This is the corpus-size signal the
+    * scale-adaptive knobs condition on (the sign-LSH plane count in
+    * [[graft.operators.Similarity.numPlanesFor]], mirroring
+    * `Dedup.simhash64BandModeFor`): a plan-shape decision may not cost
+    * a job to make, and footer counts are exact for an immutable
+    * parquet table.
+    */
+  private[graft] def tableRows(spark: SparkSession, sfDir: String,
+      name: String): Long =
+    footerStats(spark, s"${sfDir.stripSuffix("/")}/$name.parquet")._2
 
   /** Volume-sized width for a WIDE exchange over a full-table frame —
     * a global range sort, a wide unclustered shuffle. A fixed
@@ -162,14 +196,38 @@ object Tables {
     "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
     "spark.sql.adaptive.advisoryPartitionSizeInBytes")
 
-  private[graft] def widthScoped[T](spark: SparkSession)(body: => T): T = {
-    val prior = RatchetKeys.map(k => k -> spark.conf.getOption(k))
+  /** Run `body` with the width-ratchet confs restored afterwards —
+    * PUBLIC because any multi-workload consumer of [[table]] needs it:
+    * one query's volume decision must not leak into the next query's
+    * plans. Wrap each logical query (construction AND execution) in one
+    * `widthScoped`; for concurrent query builds on one session, scope
+    * and serialize construction (the confs are session-global).
+    */
+  def widthScoped[T](spark: SparkSession)(body: => T): T = {
+    val prior = widthSnapshot(spark)
     try body
-    finally prior.foreach {
+    finally widthRestore(spark, prior)
+  }
+
+  /** Capture / restore the ratchet-movable confs explicitly — for
+    * runners whose scoping can't be a simple try/finally: a sweep that
+    * TIMES OUT a query abandons the worker thread while it is still
+    * inside [[widthScoped]], so the wedged query's ratcheted confs
+    * survive into every later row (and the abandoned worker's eventual
+    * finally would restore them mid-flight under a LATER query). The
+    * sweep instead snapshots once at startup and force-restores the
+    * baseline after every timeout.
+    */
+  private[graft] def widthSnapshot(
+      spark: SparkSession): Seq[(String, Option[String])] =
+    RatchetKeys.map(k => k -> spark.conf.getOption(k))
+
+  private[graft] def widthRestore(spark: SparkSession,
+      snap: Seq[(String, Option[String])]): Unit =
+    snap.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
     }
-  }
 
   private def widthRatchet(spark: SparkSession, path: String): Unit = {
     if (spark.conf.get("spark.graft.shuffleWidthRatchet", "on") == "off") return

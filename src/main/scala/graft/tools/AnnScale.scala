@@ -36,7 +36,11 @@ object AnnScale {
     val t1 = System.nanoTime()
     val pur = Similarity.clusterPurity(spark, dir)
       .agg(count(lit(1)).as("n_cells"),
-        (sum("n_top") * 10000L / sum("n_cell")).as("weighted_purity_e4"),
+        // double, not integer, arithmetic: truncating long division
+        // loses up to 1e-4 of purity and sum*10000 can overflow long on
+        // extreme corpora — this is a recorded quality metric
+        round(sum("n_top") * lit(10000.0) / sum("n_cell"))
+          .cast("long").as("weighted_purity_e4"),
         min("purity_e4").as("min_purity_e4"),
         max("n_cell").as("max_cell"), min("n_cell").as("min_cell"))
       .collect()(0)

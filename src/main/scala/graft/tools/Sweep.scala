@@ -33,7 +33,14 @@ object Sweep {
   val ExpansionBound: Set[String] = Set(
     "q_dedup_minhash_lsh_pairs", "q_dedup_simhash64_pairs",
     "q_dedup_editdist_pairs", "q_minhash_est_audit_pairs",
-    "q_crossmodal_audit_pairs")
+    "q_crossmodal_audit_pairs",
+    // the embedding pair dump is the same contract: every original
+    // vector gains copies-1 VERBATIM replica twins (identical sign
+    // bucket at any plane count), so its true output is
+    // ~C(copies,2)·n_orig + pairs·copies² rows (~1.25e9 at the 1000×
+    // fixture) — the engine-measurable face is
+    // q_dedup_embedding_census (same funnel, O(bands) output)
+    "q_dedup_embedding")
 
   private def jsonEscape(s: String): String =
     s.flatMap {
@@ -77,6 +84,33 @@ object Sweep {
     val spark = Sessions.local("graft-sweep")
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"${dir.stripSuffix("/")}/region.parquet").count()
+
+    // pre-sweep width baseline: a TIMED-OUT query is abandoned while
+    // still inside widthScoped, so its ratcheted confs would otherwise
+    // leak into every later row — force-restore after each timeout
+    val widthBaseline = graft.sources.Tables.widthSnapshot(spark)
+
+    // per-row box canary: one frozen sub-second query on the SMALL
+    // canonical fixture (a MACHINE signal — same data whatever `dir`
+    // is), as a ratio against its canonical seconds (Bench.Canaries).
+    // Embedded in every row because the box demonstrably drifts WITHIN
+    // a sweep (r15: 1.26 → 1.79 in three hours), so post-hoc ratio
+    // analysis must de-distort per row, not per session.
+    val canaryName = "q6_forecast_revenue"
+    val canaryDir = "/root/testdata/sf0.1"
+    val canaryOk = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$canaryDir/lineitem.parquet"))
+    def canaryRatio(): Double =
+      if (!canaryOk) -1.0
+      else {
+        val t0 = System.nanoTime()
+        graft.sources.Tables.widthScoped(spark) {
+          SparkEntry.queries(canaryName)(spark, canaryDir)
+            .write.format("noop").mode("overwrite").save()
+        }
+        ((System.nanoTime() - t0) / 1e9) / graft.Bench.Canaries(canaryName)
+      }
+    canaryRatio() // warm the canary plan: row 1 must measure the box
 
     // one fresh daemon thread per query: after a timeout + job-group
     // cancel, a worker wedged in non-interruptible code is abandoned
@@ -122,10 +156,18 @@ object Sweep {
       val dt = (System.nanoTime() - t0) / 1e9
       pool.shutdownNow()
       if (status != "ok") failures += 1
+      // a timeout abandoned its worker inside widthScoped: restore the
+      // pre-sweep width baseline so the wedged query's ratchet does not
+      // leak into every later row (and the abandoned finally, if it
+      // ever unwinds, restores values equal to this baseline)
+      if (status == "timeout")
+        graft.sources.Tables.widthRestore(spark, widthBaseline)
       spark.catalog.clearCache()
+      val canary = canaryRatio()
       val line = String.format(java.util.Locale.ROOT,
-        """{"q":"%s","sec":%.3f,"status":"%s","sf":"%s"}""",
-        jsonEscape(name), Double.box(dt), jsonEscape(status), jsonEscape(dir))
+        """{"q":"%s","sec":%.3f,"status":"%s","canary":%.2f,"sf":"%s"}""",
+        jsonEscape(name), Double.box(dt), jsonEscape(status),
+        Double.box(canary), jsonEscape(dir))
       java.nio.file.Files.writeString(out, line + "\n",
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)

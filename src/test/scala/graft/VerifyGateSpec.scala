@@ -33,8 +33,10 @@ class VerifyGateSpec extends AnyFunSuite with SparkTestBase {
     // 178 = round 13's 176 + K2 _metadata summary + E4/E6 cast matrix
     // 179 = + embedding outlier detection (q_embed_outliers)
     // 181 = + vocabulary-coverage panel + n-gram saturation curve
-    assert(SparkEntry.queries.size >= 181,
-      s"query surface shrank to ${SparkEntry.queries.size} (< 181)")
+    // 182 = + embedding near-dup census (the replica-scale face of
+    //       q_dedup_embedding, whose raw pair dump is output-bound)
+    assert(SparkEntry.queries.size >= 182,
+      s"query surface shrank to ${SparkEntry.queries.size} (< 182)")
   }
 
   test("every query constructs and analyzes against sf0.001") {
