@@ -562,9 +562,28 @@ object ParityQueries {
     // partition count (opts that exchange out of AQE coalescing), so
     // small-scale partition counts can differ from a plain orderBy's.
     val sortWidth = Tables.volumeSizedShufflePartitions(spark, d, "lineitem")
+    // Volume path only: range bounds PRECOMPUTED from parquet row-group
+    // footer stats (MetaRangeBounds) + a partition-id-passthrough
+    // shuffle (GraftRangeBridge) sever the range exchange's sampling
+    // pass, which executed this scan-dominated child TWICE (stage 1 ≈
+    // stage 2 task-seconds at 1000×, PLANSTATS_E6_1000x_r15.json).
+    // Small fixtures (sortWidth == session floor) keep the plain
+    // sampling exchange — plan unchanged, oracle face untouched; so
+    // does any table whose footers lack l_orderkey stats.
+    val floor = spark.sessionState.conf.numShufflePartitions
+    val ranged = (if (sortWidth > floor)
+      graft.plans.MetaRangeBounds.boundsFor(
+        spark.sparkContext.hadoopConfiguration,
+        s"${d.stripSuffix("/")}/lineitem.parquet", "l_orderkey", sortWidth)
+    else None) match {
+      case Some(b) if b.nonEmpty =>
+        org.apache.spark.sql.GraftRangeBridge
+          .repartitionByPrecomputedRange(src, "l_orderkey", b)
+      case _ =>
+        src.repartitionByRange(sortWidth, col("l_orderkey"), col("l_linenumber"))
+    }
     Transforms.convertColumns(
-      src.repartitionByRange(sortWidth, col("l_orderkey"), col("l_linenumber"))
-        .sortWithinPartitions("l_orderkey", "l_linenumber"),
+      ranged.sortWithinPartitions("l_orderkey", "l_linenumber"),
       Map.empty, tc).select(
       col("l_orderkey"), col("l_linenumber"),
       col("as_int8").cast(LongType).as("as_int8"),
