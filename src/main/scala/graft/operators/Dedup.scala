@@ -212,6 +212,93 @@ object Dedup {
        |  CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS cand_pairs
        |FROM bk GROUP BY band_id ORDER BY band_id""".stripMargin
 
+  /** CROSS-FAMILY pair-volume BUDGET: for each banding family (MinHash
+    * bands, canonical simhash64 narrow bands, embedding sign-LSH
+    * buckets), the exact candidate-pair work its bucket join would
+    * enumerate — Σ C(bucket, 2) over the family's own bucket key —
+    * WITHOUT running any join. [[lshTuning]] generalized from per-band
+    * MinHash diagnostics to one comparable row per family: this is the
+    * number an operator reads BEFORE dispatching a `*_pairs` audit dump
+    * (whose replica wall time is output-volume-bound by contract) or
+    * before committing a banding config to a 100 TB run. Each leg is a
+    * map-side explode plus two bounded aggregations — nothing quadratic
+    * executes, which is the point: the report prices the quadratic
+    * stage instead of running it.
+    *
+    * `n_units` is derived arithmetically (band rows ÷ rows-per-unit) so
+    * each leg stays a single aggregation tree; the simhash leg prices
+    * the funnel it actually runs (canonical docs after
+    * [[exactCollapse]]), and the embedding leg buckets at the
+    * corpus-sized plane count ([[Similarity.numPlanesFor]]), so the
+    * budget tracks the engine's own scale adaptations.
+    */
+  def pairsBudget(spark: SparkSession, d: String): DataFrame = {
+    def leg(face: String, buckets: DataFrame, keys: Seq[String],
+        rowsPerUnit: Int): DataFrame =
+      buckets.groupBy(keys.map(col): _*).agg(count(lit(1)).as("sz"))
+        .agg(
+          expr(s"sum(sz) div $rowsPerUnit").as("n_units"),
+          count(lit(1)).as("n_buckets"),
+          max("sz").as("max_bucket"),
+          sum(expr("sz * (sz - 1) div 2")).as("cand_pairs"))
+        .select(lit(face).as("face"), col("n_units"), col("n_buckets"),
+          col("max_bucket"), col("cand_pairs"))
+    val mh = leg("minhash_lsh", bands(signatures(spark, d)),
+      Seq("band_id", "band_val"), DefaultNumBands)
+    val canonBands = exactCollapse(spark, d)
+      .where(col("doc_id") === col("gid"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.simhash64_bands(col("text")).as("sbands"))
+      .where(col("sbands").isNotNull)
+      .select(col("doc_id"),
+        posexplode(col("sbands")).as(Seq("band_id", "band_val")))
+    val sh = leg("simhash64_narrow", canonBands, Seq("band_id", "band_val"), 4)
+    val (bucketExpr, _) = Similarity.bucketExprFor(spark, d)
+    val emb = leg("embedding_lsh",
+      Tables.embeddings(spark, d).select(expr(bucketExpr).as("bucket")),
+      Seq("bucket"), 1)
+    mh.unionAll(sh).unionAll(emb).orderBy("face")
+  }
+
+  // lazy: the embedding leg reaches into Similarity, whose OWN init
+  // embeds Dedup SQL vals declared below this point — an eager val here
+  // would run Similarity's init against a half-initialized Dedup and
+  // bake the string "null" into those oracles (measured: exactly that,
+  // r16). Laziness defers the cross-object touch until both complete.
+  lazy val pairsBudgetSql: String =
+    s"""WITH ${signaturesDuckCte()},
+       |${bandsDuckCte()},
+       |mbk AS (SELECT band_id, band_val, count(*) AS sz
+       |        FROM bands GROUP BY 1, 2),
+       |m AS (SELECT 'minhash_lsh' AS face,
+       |        CAST(sum(sz) // $DefaultNumBands AS BIGINT) AS n_units,
+       |        count(*) AS n_buckets, CAST(max(sz) AS BIGINT) AS max_bucket,
+       |        CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS cand_pairs
+       |      FROM mbk),
+       |cm AS (SELECT doc_id, text, min(doc_id) OVER (PARTITION BY
+       |         sha256(array_to_string($tokensDuck, ' '))) AS gid
+       |       FROM documents),
+       |canon AS (SELECT doc_id, text FROM cm WHERE doc_id = gid),
+       |${simhash64SigDuckCtes("canon", "sh_")},
+       |sbk AS (SELECT gs.j AS band_id, sh_sig.sbands[gs.j + 1] AS band_val,
+       |          count(*) AS sz
+       |        FROM sh_sig, generate_series(0, 3) gs(j) GROUP BY 1, 2),
+       |s AS (SELECT 'simhash64_narrow' AS face,
+       |        CAST(sum(sz) // 4 AS BIGINT) AS n_units,
+       |        count(*) AS n_buckets, CAST(max(sz) AS BIGINT) AS max_bucket,
+       |        CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS cand_pairs
+       |      FROM sbk),
+       |ebk AS (SELECT ${Similarity.bucketDuckExpr()} AS bucket,
+       |          count(*) AS sz
+       |        FROM embeddings GROUP BY 1),
+       |e AS (SELECT 'embedding_lsh' AS face,
+       |        CAST(sum(sz) AS BIGINT) AS n_units,
+       |        count(*) AS n_buckets, CAST(max(sz) AS BIGINT) AS max_bucket,
+       |        CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS cand_pairs
+       |      FROM ebk)
+       |SELECT * FROM m UNION ALL SELECT * FROM s UNION ALL SELECT * FROM e
+       |ORDER BY face""".stripMargin
+
   /** Exact dedup: hash-group on normalized content (token-joined, so
     * whitespace/punctuation differences collapse); keep the smallest
     * doc_id as the canonical representative.
@@ -1027,29 +1114,33 @@ object Dedup {
   /** Shared DuckDB fingerprint prelude (t → v → bits → sig) of every
     * simhash64 oracle; the faces differ only in their `bands` CTE.
     */
-  private val simhash64SigDuckCtes: String =
-    s"""t AS (SELECT doc_id, $tokensDuck AS toks FROM documents),
-       |v AS (SELECT doc_id,
+  /** `p` prefixes every CTE name so the chain can coexist with the
+    * MinHash CTEs (which also define a `t`) in one statement.
+    */
+  private def simhash64SigDuckCtes(src: String = "documents",
+      p: String = ""): String =
+    s"""${p}t AS (SELECT doc_id, $tokensDuck AS toks FROM $src),
+       |${p}v AS (SELECT doc_id,
        |        list_transform(toks, tk -> ('0x' || substr(sha256(tk), 1, 8))::BIGINT) AS his,
        |        list_transform(toks, tk -> ('0x' || substr(sha256(tk), 9, 8))::BIGINT) AS los
-       |      FROM t WHERE len(toks) > 0),
-       |bits AS (SELECT doc_id,
+       |      FROM ${p}t WHERE len(toks) > 0),
+       |${p}bits AS (SELECT doc_id,
        |        list_transform(range(0, 64), b ->
        |          CASE WHEN list_sum(list_transform(range(1, len(his) + 1), i ->
        |                 CASE WHEN (CASE WHEN b < 32 THEN los[i] >> b
        |                            ELSE his[i] >> (b - 32) END) & 1 = 1
        |                 THEN 1 ELSE -1 END)) >= 0
        |          THEN 1 ELSE 0 END) AS sb
-       |      FROM v),
-       |sig AS (SELECT doc_id,
+       |      FROM ${p}v),
+       |${p}sig AS (SELECT doc_id,
        |        list_transform(range(0, 4), j ->
        |          CAST(list_sum(list_transform(range(0, 16), k ->
        |            sb[16*j + k + 1] * (1 << k))) AS BIGINT)) AS sbands
-       |      FROM bits)""".stripMargin
+       |      FROM ${p}bits)""".stripMargin
 
   private def simhash64PairsDuck(bandsCte: String, maxHamming: Int,
       flag: String): String =
-    s"""WITH $simhash64SigDuckCtes,
+    s"""WITH ${simhash64SigDuckCtes()},
        |$bandsCte,
        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |          FROM bands a JOIN bands b
@@ -2307,6 +2398,7 @@ object Dedup {
     "q_ingest_admission_strict" -> (ingestAdmissionStrict _),
     "q_ingest_admission_stream" -> (ingestAdmissionStream _),
     "q_dedup_exact" -> (dedupExact _),
+    "q_pairs_budget" -> (pairsBudget _),
     "q_lsh_tuning" -> (lshTuning _),
     "q_dedup_incremental" -> (dedupIncremental _),
     "q_dedup_incremental_lsh" -> ((s, d) => dedupIncrementalLsh(s, d)),
@@ -2335,6 +2427,7 @@ object Dedup {
     "q_ingest_admission_strict" -> ingestAdmissionStrictSql,
     "q_ingest_admission_stream" -> ingestAdmissionStreamSql,
     "q_dedup_exact" -> dedupExactSql,
+    "q_pairs_budget" -> pairsBudgetSql,
     "q_lsh_tuning" -> lshTuningSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
     "q_dedup_incremental_lsh" -> dedupIncrementalLshSql,

@@ -571,7 +571,10 @@ object ParityQueries {
     // sampling exchange — plan unchanged, oracle face untouched; so
     // does any table whose footers lack l_orderkey stats.
     val floor = spark.sessionState.conf.numShufflePartitions
-    val ranged = (if (sortWidth > floor)
+    // spark.graft.metaRangeBounds=off forces the sampling exchange —
+    // the A/B control and the operational escape hatch
+    val metaOn = spark.conf.get("spark.graft.metaRangeBounds", "on") != "off"
+    val ranged = (if (metaOn && sortWidth > floor)
       graft.plans.MetaRangeBounds.boundsFor(
         spark.sparkContext.hadoopConfiguration,
         s"${d.stripSuffix("/")}/lineitem.parquet", "l_orderkey", sortWidth)

@@ -117,6 +117,15 @@ object Similarity {
       numPlanesFor(Tables.tableRows(spark, d, "embeddings"))
     else numPlanes
 
+  /** The sign-LSH bucket expression + resolved plane count for `d`'s
+    * corpus — for cross-family pricing ([[Dedup.pairsBudget]]).
+    */
+  private[operators] def bucketExprFor(spark: SparkSession,
+      d: String): (String, Int) = {
+    val planes = resolvePlanes(spark, d, AutoPlanes)
+    (bucketSpark(planes), planes)
+  }
+
   private val Dims = 64 // embeddings.parquet vector width
 
   private def requirePlanes(numPlanes: Int): Unit =
@@ -133,6 +142,12 @@ object Similarity {
        |        THEN shiftleft(1, k) ELSE 0 END)"""
       .stripMargin.replace("\n", " ")
   }
+
+  /** The DuckDB twin of the bucket expression, for cross-family oracle
+    * assembly ([[Dedup.pairsBudgetSql]]).
+    */
+  private[operators] def bucketDuckExpr(
+      numPlanes: Int = DefaultNumPlanes): String = bucketDuck(numPlanes)
 
   private def bucketDuck(numPlanes: Int = DefaultNumPlanes): String = {
     requirePlanes(numPlanes)

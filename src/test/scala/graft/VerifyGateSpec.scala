@@ -35,8 +35,10 @@ class VerifyGateSpec extends AnyFunSuite with SparkTestBase {
     // 181 = + vocabulary-coverage panel + n-gram saturation curve
     // 182 = + embedding near-dup census (the replica-scale face of
     //       q_dedup_embedding, whose raw pair dump is output-bound)
-    assert(SparkEntry.queries.size >= 182,
-      s"query surface shrank to ${SparkEntry.queries.size} (< 182)")
+    // 183 = + cross-family pair-volume budget (q_pairs_budget: prices
+    //       each banding family's candidate join without running it)
+    assert(SparkEntry.queries.size >= 183,
+      s"query surface shrank to ${SparkEntry.queries.size} (< 183)")
   }
 
   test("every query constructs and analyzes against sf0.001") {
