@@ -63,6 +63,11 @@ object Sessions {
       // graded small-scale runs.
       .config("spark.graft.shuffleWidthRatchet",
         sys.env.getOrElse("SPARK_GRAFT_WIDTH_RATCHET", "on"))
+      // precomputed footer-stat range bounds for the volume global sort
+      // (MetaRangeBounds/GraftRangeBridge): "on" (default) | "off"
+      // forces Spark's sampling range exchange — the A/B control
+      .config("spark.graft.metaRangeBounds",
+        sys.env.getOrElse("SPARK_GRAFT_META_RANGE", "on"))
       // managed (bucketed) tables land outside the repo checkout
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")

@@ -95,39 +95,76 @@ object Curation {
     * collapses to ≤3 rows map-side.
     */
   def splitLeakage(spark: SparkSession, d: String): DataFrame = {
-    val splits = Tables.documents(spark, d)
+    // ALGEBRAIC census over the UNEXPANDED funnel (r16 1000× finding:
+    // routing this ≤3-row report through the expanded member-pair dump
+    // spilled to device-full — the dump is output-quadratic in
+    // duplication by contract, while everything this report needs is
+    // canonical-sized). Splits are a MEMBER-level property (near-dup
+    // copies hash independently), so expansion is replaced by algebra:
+    // each group carries its per-split member counts, a canonical pair
+    // (A, B) contributes cA[lo]·cB[hi] + cA[hi]·cB[lo] leak pairs, an
+    // eligible group contributes its internal cA[lo]·cA[hi] (identical
+    // content, Jaccard 10000 ≥ any threshold), and a doc counts as
+    // contaminated when its own group reaches across the boundary
+    // (intra) or any canonical partner's group does (cross). Output is
+    // row-identical to the expanded form — pinned by the unchanged
+    // DuckDB oracle, which still computes from the explicit pair dump.
+    val (membership, elig, gd) = Dedup.ngramJaccardFunnel(spark, d)
+    val splitNames = Seq("train", "val", "test")
+    val mm = Tables.documents(spark, d)
       .withColumn("bucket", bucketSpark)
       .select(col("doc_id"),
         when(col("bucket") < 90, lit("train"))
           .when(col("bucket") < 95, lit("val"))
           .otherwise(lit("test")).as("split"))
-    val leaks = Dedup.dedupNgramJaccard(spark, d)
-      .where(col("jaccard_e4") >= LeakThresholdE4)
-      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")),
-        Seq("doc_a"))
-      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")),
-        Seq("doc_b"))
-      .where(col("split_a") =!= col("split_b"))
-      .select(
-        least(col("split_a"), col("split_b")).as("split_lo"),
-        greatest(col("split_a"), col("split_b")).as("split_hi"),
-        when(col("split_a") <= col("split_b"), col("doc_a"))
-          .otherwise(col("doc_b")).as("doc_lo"),
-        when(col("split_a") <= col("split_b"), col("doc_b"))
-          .otherwise(col("doc_a")).as("doc_hi"))
-      .groupBy("split_lo", "split_hi")
-      .agg(count(lit(1)).as("n_leak_pairs"),
-        countDistinct("doc_lo").as("n_docs_lo"),
-        countDistinct("doc_hi").as("n_docs_hi"))
+      .join(membership.select("doc_id", "gid"), "doc_id")
+    val splitCnts = splitNames.map(s =>
+      sum(when(col("split") === s, 1L).otherwise(0L)).as(s"c_$s"))
+    val gs = mm.groupBy("gid").agg(splitCnts.head, splitCnts.tail: _*)
+      .persist()
+    gs.count()
+    val pairs = gd.where(col("jaccard_e4") >= LeakThresholdE4)
+      .select("ga", "gb").persist()
+    val p2 = pairs
+      .join(gs.select(col("gid").as("ga") +:
+        splitNames.map(s => col(s"c_$s").as(s"a_$s")): _*), "ga")
+      .join(gs.select(col("gid").as("gb") +:
+        splitNames.map(s => col(s"c_$s").as(s"b_$s")): _*), "gb")
+    // per-group flags: does ANY canonical partner's group hold a member
+    // of split s? (both pair orientations; groups are canonical ids)
+    val partnerHas = pairs.select(col("ga").as("gid"), col("gb").as("pg"))
+      .unionAll(pairs.select(col("gb").as("gid"), col("ga").as("pg")))
+      .join(gs.select(col("gid").as("pg") +:
+        splitNames.map(s => col(s"c_$s").as(s"p_$s")): _*), "pg")
+      .groupBy("gid")
+      .agg(max(col(s"p_${splitNames.head}") > 0).as(s"has_${splitNames.head}"),
+        splitNames.tail.map(s => max(col(s"p_$s") > 0).as(s"has_$s")): _*)
+    val docBase = gs
+      .join(elig.withColumn("is_elig", lit(true)), Seq("gid"), "left")
+      .join(partnerHas, Seq("gid"), "left")
     import spark.implicits._
-    Seq(("test", "train"), ("test", "val"), ("train", "val"))
-      .toDF("split_lo", "split_hi")
-      .join(leaks, Seq("split_lo", "split_hi"), "left")
-      .select(col("split_lo"), col("split_hi"),
-        coalesce(col("n_leak_pairs"), lit(0L)).as("n_leak_pairs"),
-        coalesce(col("n_docs_lo"), lit(0L)).as("n_docs_lo"),
-        coalesce(col("n_docs_hi"), lit(0L)).as("n_docs_hi"))
-      .orderBy("split_lo", "split_hi")
+    val combos = Seq(("test", "train"), ("test", "val"), ("train", "val"))
+    val rows = combos.map { case (lo, hi) =>
+      val cross = p2.select(
+        (col(s"a_$lo") * col(s"b_$hi") + col(s"a_$hi") * col(s"b_$lo"))
+          .as("n"))
+      val intra = docBase.where(col("is_elig"))
+        .select((col(s"c_$lo") * col(s"c_$hi")).as("n"))
+      val nPairs = cross.unionAll(intra)
+        .agg(coalesce(sum("n"), lit(0L)).as("n_leak_pairs"))
+      def docsIn(side: String, other: String) = docBase.select(
+        (col(s"c_$side") * when(
+          (coalesce(col("is_elig"), lit(false)) && col(s"c_$other") > 0) ||
+            coalesce(col(s"has_$other"), lit(false)), 1L).otherwise(0L))
+          .as("n"))
+        .agg(coalesce(sum("n"), lit(0L)))
+      nPairs
+        .crossJoin(docsIn(lo, hi).toDF("n_docs_lo"))
+        .crossJoin(docsIn(hi, lo).toDF("n_docs_hi"))
+        .select(lit(lo).as("split_lo"), lit(hi).as("split_hi"),
+          col("n_leak_pairs"), col("n_docs_lo"), col("n_docs_hi"))
+    }
+    rows.reduce(_ unionAll _).orderBy("split_lo", "split_hi")
   }
 
   val splitLeakageSql: String =

@@ -1111,6 +1111,23 @@ object Dedup {
   def dedupSimhash64Wide(spark: SparkSession, d: String): DataFrame =
     simhash64Banded(spark, d, "wide", maxHamming = 1, "within_1")
 
+  /** The wide face's CENSUS twin — standing rule 1 applied to the last
+    * simhash face that shipped as a raw dump: [[dedupSimhash64Wide]]'s
+    * member-level pair expansion is output-quadratic in duplication by
+    * contract (measured at the 1000× replica: 897 s on a quiet box,
+    * ~52× its 100× cost, ALL of it pair-dump materialization — narrow
+    * and manku, which census, sweep clean on the same fixture), so the
+    * dump joins `Sweep.ExpansionBound` and THIS face is what replica
+    * scale measures: identical funnel, counts instead of rows.
+    */
+  def dedupSimhash64WideCensus(spark: SparkSession, d: String): DataFrame = {
+    val (membership, elig, gd) =
+      simhash64CollapsedPairs(spark, d, "wide", maxHamming = 1, "within_1")
+    pairCountsByKey(membership, elig, gd, Seq("hamming", "within_1"),
+      Seq("hamming" -> lit(0L), "within_1" -> lit(true)))
+      .orderBy("hamming")
+  }
+
   /** Shared DuckDB fingerprint prelude (t → v → bits → sig) of every
     * simhash64 oracle; the faces differ only in their `bands` CTE.
     */
@@ -1186,6 +1203,9 @@ object Dedup {
       |            sbands[2*j + 1] * 65536 + sbands[2*j + 2] AS band_val
       |          FROM sig, generate_series(0, 1) g(j))""".stripMargin,
     maxHamming = 1, flag = "within_1")
+
+  val dedupSimhash64WideCensusSql: String =
+    simhash64CensusDuck(dedupSimhash64WideSql, "within_1")
 
   /** Manku-banded census oracle: the 15 pair-key expressions are the
     * SAME strings the Spark face evaluates ([[mankuKeyExprs]]), indexed
@@ -1390,6 +1410,24 @@ object Dedup {
       // pair reorients relative to its canonical pair (da > db), each
       // key takes its partner's value. Symmetric metrics omit this.
       swapOnFlip: Map[String, String] = Map.empty): DataFrame = {
+    val (membership, elig, gd) =
+      collapsedPairFunnel(spark, d, numHashes, numBands, metric, intraMetrics)
+    expandMemberPairs(membership, elig, gd, intraMetrics.map(_._1),
+      intraMetrics, swapOnFlip)
+  }
+
+  /** The funnel triple of [[collapsedPairVerify]] WITHOUT the member
+    * expansion — (membership, eligible groups, canonical pair frame) —
+    * for census consumers that aggregate member-level answers
+    * algebraically instead of exploding pairs ([[Curation.splitLeakage]]
+    * crossed a 1000×-replica disk by routing through the expanded
+    * dump: its ≤3-row output spilled the expansion to device-full).
+    */
+  private[operators] def collapsedPairFunnel(spark: SparkSession, d: String,
+      numHashes: Int, numBands: Int,
+      metric: DataFrame => DataFrame,
+      intraMetrics: Seq[(String, Column)])
+      : (DataFrame, DataFrame, DataFrame) = {
     val membership = exactCollapse(spark, d)
     membership.count()
     val reps = membership.where(col("doc_id") === col("gid"))
@@ -1416,7 +1454,7 @@ object Dedup {
     // inner joins above; restrict groups identically
     val elig = sets.select(col("doc_id").as("gid"))
       .join(sigs.select(col("doc_id").as("gid")), Seq("gid"), "left_semi")
-    expandMemberPairs(membership, elig, gd, names, intraMetrics, swapOnFlip)
+    (membership, elig, gd)
   }
 
   /** Exact n-gram Jaccard, verified only on the LSH candidate pairs —
@@ -1429,10 +1467,20 @@ object Dedup {
       numHashes: Int = DefaultNumHashes,
       numBands: Int = DefaultNumBands): DataFrame =
     collapsedPairVerify(spark, d, numHashes, numBands,
-      base => base.select(col("doc_a"), col("doc_b"),
-        graft.functions.GraftFunctions.jaccard_e4(col("set_a"), col("set_b"))
-          .as("jaccard_e4")),
-      Seq("jaccard_e4" -> lit(10000L)))
+      ngramJaccardMetric, Seq("jaccard_e4" -> lit(10000L)))
+
+  private val ngramJaccardMetric: DataFrame => DataFrame =
+    base => base.select(col("doc_a"), col("doc_b"),
+      graft.functions.GraftFunctions.jaccard_e4(col("set_a"), col("set_b"))
+        .as("jaccard_e4"))
+
+  /** The n-gram Jaccard funnel UNEXPANDED — (membership, elig,
+    * canonical pairs with jaccard_e4) for algebraic census consumers.
+    */
+  private[operators] def ngramJaccardFunnel(spark: SparkSession,
+      d: String): (DataFrame, DataFrame, DataFrame) =
+    collapsedPairFunnel(spark, d, DefaultNumHashes, DefaultNumBands,
+      ngramJaccardMetric, Seq("jaccard_e4" -> lit(10000L)))
 
   val dedupNgramJaccardSql: String =
     s"""WITH ${signaturesDuckCte()},
@@ -2410,6 +2458,7 @@ object Dedup {
     "q_dedup_simhash64_pairs" -> ((s, d) => dedupSimhash64Pairs(s, d)),
     "q_dedup_simhash64_manku" -> ((s, d) => dedupSimhash64Manku(s, d)),
     "q_dedup_simhash64_wide" -> (dedupSimhash64Wide _),
+    "q_dedup_simhash64_wide_census" -> (dedupSimhash64WideCensus _),
     "q_dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(s, d)),
     "q_minhash_est_audit" -> ((s, d) => minhashEstAudit(s, d)),
     "q_minhash_est_audit_pairs" -> ((s, d) => minhashEstAuditPairs(s, d)),
@@ -2439,6 +2488,7 @@ object Dedup {
     "q_dedup_simhash64_pairs" -> dedupSimhash64PairsSql,
     "q_dedup_simhash64_manku" -> dedupSimhash64MankuSql,
     "q_dedup_simhash64_wide" -> dedupSimhash64WideSql,
+    "q_dedup_simhash64_wide_census" -> dedupSimhash64WideCensusSql,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "q_minhash_est_audit" -> minhashEstAuditSql,
     "q_minhash_est_audit_pairs" -> minhashEstAuditPairsSql,

@@ -40,7 +40,11 @@ object Sweep {
     // ~C(copies,2)·n_orig + pairs·copies² rows (~1.25e9 at the 1000×
     // fixture) — the engine-measurable face is
     // q_dedup_embedding_census (same funnel, O(bands) output)
-    "q_dedup_embedding")
+    "q_dedup_embedding",
+    // the simhash WIDE face is a member-level pair dump too (narrow and
+    // manku census) — 897 s at 1000× on a QUIET box, all output volume;
+    // its census twin q_dedup_simhash64_wide_census is the sweep face
+    "q_dedup_simhash64_wide")
 
   private def jsonEscape(s: String): String =
     s.flatMap {

@@ -37,8 +37,10 @@ class VerifyGateSpec extends AnyFunSuite with SparkTestBase {
     //       q_dedup_embedding, whose raw pair dump is output-bound)
     // 183 = + cross-family pair-volume budget (q_pairs_budget: prices
     //       each banding family's candidate join without running it)
-    assert(SparkEntry.queries.size >= 183,
-      s"query surface shrank to ${SparkEntry.queries.size} (< 183)")
+    // 184 = + wide-band simhash census (the sweepable twin of the
+    //       q_dedup_simhash64_wide member-pair dump)
+    assert(SparkEntry.queries.size >= 184,
+      s"query surface shrank to ${SparkEntry.queries.size} (< 184)")
   }
 
   test("every query constructs and analyzes against sf0.001") {
