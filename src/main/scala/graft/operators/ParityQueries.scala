@@ -570,7 +570,15 @@ object ParityQueries {
     // Small fixtures (sortWidth == session floor) keep the plain
     // sampling exchange — plan unchanged, oracle face untouched; so
     // does any table whose footers lack l_orderkey stats.
-    val floor = spark.sessionState.conf.numShufflePartitions
+    //
+    // defaultNumShufflePartitions, NOT numShufflePartitions: the width
+    // ratchet (fired by the Tables.lineitem read above) raises the AQE
+    // initialPartitionNum, and numShufflePartitions REPORTS that raised
+    // value under AQE — comparing sortWidth against it reads 340 > 340
+    // and silently falls back to the sampling exchange on exactly the
+    // volume that needs the bridge (caught by the r16 A/B's identical
+    // stage tables). The static conf is the pre-ratchet baseline.
+    val floor = spark.sessionState.conf.defaultNumShufflePartitions
     // spark.graft.metaRangeBounds=off forces the sampling exchange —
     // the A/B control and the operational escape hatch
     val metaOn = spark.conf.get("spark.graft.metaRangeBounds", "on") != "off"

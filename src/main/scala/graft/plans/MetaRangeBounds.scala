@@ -27,10 +27,18 @@ import org.apache.hadoop.conf.Configuration
   */
 object MetaRangeBounds {
 
-  /** Per-row-group histogram slices: 8 sub-points per group bound the
-    * equi-depth error at ~1/8 of a row group per boundary while keeping
-    * the driver-side walk trivial (a 32-file 1000× replica has ~200
-    * groups → 1600 points).
+  /** Minimum per-row-group histogram slices. The REAL slice count
+    * scales with the asked partition count (2× numPartitions per
+    * group): when a table is HASH-distributed on the bounds column,
+    * every row group spans the same global [min, max] and coinciding
+    * groups add NO resolution — with a fixed 8 slices the merged
+    * histogram holds ~8 distinct positions however many groups exist,
+    * and a 340-partition ask collapses onto ~8 effective boundaries
+    * (measured on the 1000× replica: bounds came out as consecutive
+    * longs clustered at the 8 slice positions). 2× the ask per group
+    * keeps equi-depth resolution even in the fully-coinciding case,
+    * and the driver-side walk stays trivial (192 groups × 680 points
+    * ≈ 130k tuples for the worst real ask).
     */
   private val SlicesPerGroup = 8
 
@@ -43,11 +51,14 @@ object MetaRangeBounds {
     if (totalRows <= 0L) return Some(Array.empty)
     // merged fine histogram: (value, weight) sub-points, uniform within
     // each group's [min, max]
+    val slices = math.max(SlicesPerGroup, 2 * numPartitions)
     val points = groups.flatMap { case (min, max, rows) =>
-      val w = rows.toDouble / SlicesPerGroup
-      (0 until SlicesPerGroup).map { j =>
-        val frac = (2 * j + 1).toDouble / (2 * SlicesPerGroup)
-        (min + ((max - min) * frac).toLong, w)
+      val w = rows.toDouble / slices
+      (0 until slices).map { j =>
+        val frac = (2 * j + 1).toDouble / (2 * slices)
+        // double-space interpolation: (max - min) as a long can overflow
+        // when the column spans most of the long range
+        ((min + (max.toDouble - min.toDouble) * frac).toLong, w)
       }
     }.sortBy(_._1)
     val target = totalRows.toDouble / numPartitions
