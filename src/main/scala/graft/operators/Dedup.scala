@@ -1705,19 +1705,24 @@ object Dedup {
       numHashes: Int = DefaultNumHashes,
       numBands: Int = DefaultNumBands): DataFrame =
     collapsedPairVerify(spark, d, numHashes, numBands,
-      base => base
-        .select(col("doc_a"), col("doc_b"),
-          graft.functions.GraftFunctions.overlap_stats(col("set_a"), col("set_b"))
-            .as("ov"))
-        .select(col("doc_a"), col("doc_b"),
-          expr("ov[0] * 10000L div ov[1]").as("cont_a_in_b_e4"),
-          expr("ov[0] * 10000L div ov[2]").as("cont_b_in_a_e4"),
-          expr("ov[0] * 10000L div (ov[1] + ov[2] - ov[0])").as("jaccard_e4")),
-      // identical content: full mutual containment
-      Seq("cont_a_in_b_e4" -> lit(10000L), "cont_b_in_a_e4" -> lit(10000L),
-        "jaccard_e4" -> lit(10000L)),
+      containmentMetric, containmentIntra,
       swapOnFlip = Map("cont_a_in_b_e4" -> "cont_b_in_a_e4",
         "cont_b_in_a_e4" -> "cont_a_in_b_e4"))
+
+  private val containmentMetric: DataFrame => DataFrame =
+    base => base
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.GraftFunctions.overlap_stats(col("set_a"), col("set_b"))
+          .as("ov"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("ov[0] * 10000L div ov[1]").as("cont_a_in_b_e4"),
+        expr("ov[0] * 10000L div ov[2]").as("cont_b_in_a_e4"),
+        expr("ov[0] * 10000L div (ov[1] + ov[2] - ov[0])").as("jaccard_e4"))
+
+  // identical content: full mutual containment
+  private val containmentIntra: Seq[(String, Column)] =
+    Seq("cont_a_in_b_e4" -> lit(10000L), "cont_b_in_a_e4" -> lit(10000L),
+      "jaccard_e4" -> lit(10000L))
 
   val dedupContainmentSql: String =
     s"""WITH ${signaturesDuckCte()},
@@ -1736,6 +1741,83 @@ object Dedup {
        |  inter * 10000 // nb AS cont_b_in_a_e4,
        |  inter * 10000 // (na + nb - inter) AS jaccard_e4
        |FROM ov ORDER BY doc_a, doc_b""".stripMargin
+
+  /** DEFAULT (scale-safe) face of the n-gram Jaccard verify: member
+    * pairs and docs per exact-Jaccard value, counted WITHOUT expanding
+    * the member-pair list ([[pairCountsByKey]] multiplicity arithmetic
+    * over the unexpanded [[ngramJaccardFunnel]]). The key space is
+    * bounded by distinct CANONICAL pair values — a function of content,
+    * not duplication mass — so output stays fixed while the per-pair
+    * dump (`q_dedup_ngram_jaccard`, now the audit face) grows
+    * quadratically under replication: at the 1000× exact replica every
+    * document gains 999 verbatim twins, and the dump's 1000²-fold
+    * member-pair output is volume, not verify work. Same contract move
+    * as `q_dedup_embedding` → `q_dedup_embedding_census` (r16).
+    */
+  def dedupNgramJaccardCensus(spark: SparkSession, d: String): DataFrame = {
+    val (membership, elig, gd) = ngramJaccardFunnel(spark, d)
+    pairCountsByKey(membership, elig, gd, Seq("jaccard_e4"),
+      Seq("jaccard_e4" -> lit(10000L)))
+      .orderBy("jaccard_e4")
+  }
+
+  /** Oracle: the naive expanded pair list, aggregated per Jaccard. */
+  val dedupNgramJaccardCensusSql: String =
+    s"""WITH pr AS (SELECT jaccard_e4, doc_a, doc_b
+       |            FROM ($dedupNgramJaccardSql)),
+       |p AS (SELECT jaccard_e4, count(*) AS n_pairs FROM pr GROUP BY 1),
+       |dd AS (SELECT jaccard_e4, count(DISTINCT doc_id) AS n_docs
+       |       FROM (SELECT jaccard_e4, doc_a AS doc_id FROM pr
+       |             UNION ALL SELECT jaccard_e4, doc_b FROM pr)
+       |       GROUP BY 1)
+       |SELECT p.jaccard_e4, CAST(p.n_pairs AS BIGINT) AS n_pairs,
+       |  CAST(dd.n_docs AS BIGINT) AS n_docs
+       |FROM p JOIN dd USING (jaccard_e4)
+       |ORDER BY p.jaccard_e4""".stripMargin
+
+  /** DEFAULT (scale-safe) face of the containment verify: the census
+    * per containment/Jaccard key. Containment is DIRECTIONAL — a member
+    * pair that reorients against its canonical swaps the two values —
+    * so the census keys on the orientation-INVARIANT (least, greatest)
+    * of the pair, which every member of a canonical pair shares
+    * regardless of which side sorts first. Same multiplicity arithmetic
+    * as [[dedupNgramJaccardCensus]]; the per-pair dump
+    * (`q_dedup_containment`) becomes the audit face.
+    */
+  def dedupContainmentCensus(spark: SparkSession, d: String): DataFrame = {
+    val (membership, elig, gd) = collapsedPairFunnel(spark, d,
+      DefaultNumHashes, DefaultNumBands, containmentMetric, containmentIntra)
+    val sym = gd.select(col("ga"), col("gb"),
+      least(col("cont_a_in_b_e4"), col("cont_b_in_a_e4")).as("cont_lo_e4"),
+      greatest(col("cont_a_in_b_e4"), col("cont_b_in_a_e4")).as("cont_hi_e4"),
+      col("jaccard_e4"))
+    pairCountsByKey(membership, elig, sym,
+      Seq("cont_lo_e4", "cont_hi_e4", "jaccard_e4"),
+      Seq("cont_lo_e4" -> lit(10000L), "cont_hi_e4" -> lit(10000L),
+        "jaccard_e4" -> lit(10000L)))
+      .orderBy("cont_lo_e4", "cont_hi_e4", "jaccard_e4")
+  }
+
+  /** Oracle: expanded pairs, re-keyed to the symmetric (lo, hi). */
+  val dedupContainmentCensusSql: String =
+    s"""WITH pr AS (SELECT least(cont_a_in_b_e4, cont_b_in_a_e4) AS cont_lo_e4,
+       |              greatest(cont_a_in_b_e4, cont_b_in_a_e4) AS cont_hi_e4,
+       |              jaccard_e4, doc_a, doc_b
+       |            FROM ($dedupContainmentSql)),
+       |p AS (SELECT cont_lo_e4, cont_hi_e4, jaccard_e4, count(*) AS n_pairs
+       |      FROM pr GROUP BY 1, 2, 3),
+       |dd AS (SELECT cont_lo_e4, cont_hi_e4, jaccard_e4,
+       |         count(DISTINCT doc_id) AS n_docs
+       |       FROM (SELECT cont_lo_e4, cont_hi_e4, jaccard_e4,
+       |               doc_a AS doc_id FROM pr
+       |             UNION ALL SELECT cont_lo_e4, cont_hi_e4, jaccard_e4,
+       |               doc_b FROM pr)
+       |       GROUP BY 1, 2, 3)
+       |SELECT p.cont_lo_e4, p.cont_hi_e4, p.jaccard_e4,
+       |  CAST(p.n_pairs AS BIGINT) AS n_pairs,
+       |  CAST(dd.n_docs AS BIGINT) AS n_docs
+       |FROM p JOIN dd USING (cont_lo_e4, cont_hi_e4, jaccard_e4)
+       |ORDER BY p.cont_lo_e4, p.cont_hi_e4, p.jaccard_e4""".stripMargin
 
   /** Truncation bound for the edit-distance verify: the DP is
     * O(len_a·len_b) PER PAIR, so production caps the compared prefix —
@@ -2460,9 +2542,11 @@ object Dedup {
     "q_dedup_simhash64_wide" -> (dedupSimhash64Wide _),
     "q_dedup_simhash64_wide_census" -> (dedupSimhash64WideCensus _),
     "q_dedup_ngram_jaccard" -> ((s, d) => dedupNgramJaccard(s, d)),
+    "q_dedup_ngram_jaccard_census" -> (dedupNgramJaccardCensus _),
     "q_minhash_est_audit" -> ((s, d) => minhashEstAudit(s, d)),
     "q_minhash_est_audit_pairs" -> ((s, d) => minhashEstAuditPairs(s, d)),
     "q_dedup_containment" -> ((s, d) => dedupContainment(s, d)),
+    "q_dedup_containment_census" -> (dedupContainmentCensus _),
     "q_dedup_editdist" -> ((s, d) => dedupEditDistance(s, d)),
     "q_dedup_editdist_pairs" -> ((s, d) => dedupEditDistancePairs(s, d)),
     "q_dedup_clusters" -> ((s, d) => dedupClusters(s, d)),
@@ -2471,7 +2555,14 @@ object Dedup {
     "q_soft_dedup" -> (softDedup _),
     "q_dedup_threshold_sweep" -> ((s, d) => dedupThresholdSweep(s, d)))
 
-  val oracles: Map[String, String] = Map(
+  // lazy: forces pairsBudgetSql, whose embedding leg runs Similarity's
+  // init while Similarity's init reads Dedup's eager SQL vals — an
+  // eager map here re-creates the bidirectional init dependency, where
+  // two threads first-touching Dedup and Similarity concurrently
+  // deadlock on the object-init locks. Lazy, the force happens strictly
+  // AFTER Dedup's init completes, so Similarity's init never waits on a
+  // thread that holds Dedup's init lock.
+  lazy val oracles: Map[String, String] = Map(
     "q_ingest_admission" -> ingestAdmissionSql,
     "q_ingest_admission_strict" -> ingestAdmissionStrictSql,
     "q_ingest_admission_stream" -> ingestAdmissionStreamSql,
@@ -2490,9 +2581,11 @@ object Dedup {
     "q_dedup_simhash64_wide" -> dedupSimhash64WideSql,
     "q_dedup_simhash64_wide_census" -> dedupSimhash64WideCensusSql,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "q_dedup_ngram_jaccard_census" -> dedupNgramJaccardCensusSql,
     "q_minhash_est_audit" -> minhashEstAuditSql,
     "q_minhash_est_audit_pairs" -> minhashEstAuditPairsSql,
     "q_dedup_containment" -> dedupContainmentSql,
+    "q_dedup_containment_census" -> dedupContainmentCensusSql,
     "q_dedup_editdist" -> dedupEditDistanceSql,
     "q_dedup_editdist_pairs" -> dedupEditDistancePairsSql,
     "q_dedup_clusters" -> dedupClustersSql,

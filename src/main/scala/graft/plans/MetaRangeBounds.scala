@@ -121,6 +121,11 @@ object MetaRangeBounds {
           if (chunk == null) return None
           val stats = chunk.getStatistics
           if (stats == null || !stats.hasNonNullValue) return None
+          // a NULL key would read undefined bytes in the bridge's
+          // row.getLong and scatter across partitions — any row group
+          // holding nulls disqualifies the footer path (caller falls
+          // back to Spark's sampling-based range partitioning)
+          if (!stats.isNumNullsSet || stats.getNumNulls > 0) return None
           val (mn, mx) = (stats.genericGetMin, stats.genericGetMax) match {
             case (a: java.lang.Long, b: java.lang.Long) =>
               (a.longValue, b.longValue)

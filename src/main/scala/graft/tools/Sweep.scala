@@ -44,7 +44,14 @@ object Sweep {
     // the simhash WIDE face is a member-level pair dump too (narrow and
     // manku census) — 897 s at 1000× on a QUIET box, all output volume;
     // its census twin q_dedup_simhash64_wide_census is the sweep face
-    "q_dedup_simhash64_wide")
+    "q_dedup_simhash64_wide",
+    // the jaccard/containment verify dumps are member-pair output too
+    // (collapsedPairVerify → expandMemberPairs): compute is collapsed,
+    // output re-expands quadratically under replica duplication. Their
+    // r16 1000× timeouts were output volume (both rows also carried box
+    // canaries 55–89); the sweep faces are the census twins
+    // q_dedup_ngram_jaccard_census / q_dedup_containment_census
+    "q_dedup_ngram_jaccard", "q_dedup_containment")
 
   private def jsonEscape(s: String): String =
     s.flatMap {
@@ -106,13 +113,19 @@ object Sweep {
       java.nio.file.Paths.get(s"$canaryDir/lineitem.parquet"))
     def canaryRatio(): Double =
       if (!canaryOk) -1.0
-      else {
+      else try {
         val t0 = System.nanoTime()
         graft.sources.Tables.widthScoped(spark) {
           SparkEntry.queries(canaryName)(spark, canaryDir)
             .write.format("noop").mode("overwrite").save()
         }
         ((System.nanoTime() - t0) / 1e9) / graft.Bench.Canaries(canaryName)
+      } catch {
+        // the canary runs on the sweep thread itself: a transient
+        // failure (executor loss, contention from an abandoned wedged
+        // worker) must cost one row's adjustment, not the whole
+        // multi-hour sweep — sentinel, matching the no-fixture case
+        case scala.util.control.NonFatal(_) => -1.0
       }
     canaryRatio() // warm the canary plan: row 1 must measure the box
 

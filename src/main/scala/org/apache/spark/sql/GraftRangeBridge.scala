@@ -50,6 +50,15 @@ object GraftRangeBridge {
     val withPid: RDD[Product2[Int, InternalRow]] =
       qe.toRdd.mapPartitions { iter =>
         iter.map { row =>
+          // getLong on a null field reads undefined bytes and would
+          // scatter the row silently — nulls are a contract violation
+          // (MetaRangeBounds.statsFor rejects inputs whose row groups
+          // report any nulls), so fail loudly if one slips through
+          if (row.isNullAt(ordinal))
+            throw new IllegalStateException(
+              s"repartitionByPrecomputedRange: NULL in key column " +
+                s"'$keyCol' — precomputed range bounds require a " +
+                "null-free key")
           val k = if (isInt) row.getInt(ordinal).toLong
                   else row.getLong(ordinal)
           (MetaRangeBounds.partitionFor(bounds, k), row.copy())

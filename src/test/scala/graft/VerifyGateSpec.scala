@@ -39,8 +39,10 @@ class VerifyGateSpec extends AnyFunSuite with SparkTestBase {
     //       each banding family's candidate join without running it)
     // 184 = + wide-band simhash census (the sweepable twin of the
     //       q_dedup_simhash64_wide member-pair dump)
-    assert(SparkEntry.queries.size >= 184,
-      s"query surface shrank to ${SparkEntry.queries.size} (< 184)")
+    // 186 = + jaccard/containment census twins (the last pair-dump
+    //       default faces move to audit; census is the sweep face)
+    assert(SparkEntry.queries.size >= 186,
+      s"query surface shrank to ${SparkEntry.queries.size} (< 186)")
   }
 
   test("every query constructs and analyzes against sf0.001") {

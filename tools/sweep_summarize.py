@@ -11,26 +11,31 @@ Classes:
   flagged     everything else (slow > flag line, unexplained timeout/fail)
 
 Usage: python3 tools/sweep_summarize.py <raw.jsonl> <out.json> [flag_ratio]
+         [baseline_json] [budget_sec]
 """
 import json
 import sys
 
+DEFAULT_BASELINE = "bench_out/SWEEP_100x_FULL_r14_raw.json"
 
-def main(raw_path: str, out_path: str, flag: float = 15.0) -> None:
-    base = json.load(open("bench_out/SWEEP_100x_FULL_r14_raw.json"))["queries"]
+
+def main(raw_path: str, out_path: str, flag: float = 15.0,
+         baseline_path: str = DEFAULT_BASELINE,
+         budget: float = 600.0) -> None:
+    base = json.load(open(baseline_path))["queries"]
     rows = [json.loads(l) for l in open(raw_path) if l.strip()]
-    budget = 600.0
     ok, linear_cap, flagged = [], [], []
     for r in rows:
         q, sec, st = r["q"], r["sec"], r["status"]
         canary = r.get("canary")
         b = base.get(q)
         ratio = sec / b if (b and b > 0) else None
-        adj = ratio / canary if (ratio and canary and canary > 0) else None
+        adj = (ratio / canary
+               if (ratio is not None and canary and canary > 0) else None)
         eff = adj if adj is not None else ratio
         rec = {"q": q, "sec": round(sec, 1), "sec_100x": b,
-               "ratio": round(ratio, 1) if ratio else None,
-               "ratio_canary_adj": round(adj, 1) if adj else None,
+               "ratio": round(ratio, 1) if ratio is not None else None,
+               "ratio_canary_adj": round(adj, 1) if adj is not None else None,
                "canary": canary, "status": st}
         if st == "timeout" and b and 10 * b >= budget * 0.9:
             rec["note"] = (f"linear floor 10x{b:.0f}s >= budget {budget:.0f}s"
@@ -43,12 +48,14 @@ def main(raw_path: str, out_path: str, flag: float = 15.0) -> None:
         else:
             ok.append(rec)
     out = {
-        "purpose": ("Round-16 full-surface 1000x survival sweep "
-                    "(/tmp/sf100), reconciled from the raw JSONL - every "
+        "purpose": ("Full-surface replica survival sweep, reconciled "
+                    "from the raw JSONL - every "
                     "row classified; rows carry a per-row box canary "
                     "(frozen q6 vs canonical seconds) so ratios are "
                     "de-distorted per row, not per session."),
         "raw": raw_path,
+        "baseline": baseline_path,
+        "budget_sec": budget,
         "flag_line": flag,
         "counts": {"total": len(rows), "ok": len(ok),
                    "linear_cap_timeouts": len(linear_cap),
@@ -68,4 +75,6 @@ def main(raw_path: str, out_path: str, flag: float = 15.0) -> None:
 
 if __name__ == "__main__":
     main(sys.argv[1], sys.argv[2],
-         float(sys.argv[3]) if len(sys.argv) > 3 else 15.0)
+         float(sys.argv[3]) if len(sys.argv) > 3 else 15.0,
+         sys.argv[4] if len(sys.argv) > 4 else DEFAULT_BASELINE,
+         float(sys.argv[5]) if len(sys.argv) > 5 else 600.0)
