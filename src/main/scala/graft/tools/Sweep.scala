@@ -53,6 +53,27 @@ object Sweep {
     // q_dedup_ngram_jaccard_census / q_dedup_containment_census
     "q_dedup_ngram_jaccard", "q_dedup_containment")
 
+  /** Census twin for each expansion-bound dump. The twin's `n_pairs`
+    * column counts EXACTLY the member-pair rows the dump would emit
+    * (invariant spec-pinned in `SweepPricingSpec`: sum(n_pairs) equals
+    * the dump's row count on the canonical fixture, all nine faces), so
+    * a full sweep can PRICE each excluded dump — `expected_output_rows`
+    * at the sweep fixture's duplication — by aggregating the twin's
+    * bounded output instead of expanding the pairs. The exclusion then
+    * carries its justification in-artifact (a `priced` JSONL row)
+    * rather than by fiat.
+    */
+  val CensusTwin: Map[String, String] = Map(
+    "q_dedup_minhash_lsh_pairs" -> "q_dedup_minhash_lsh",
+    "q_dedup_simhash64_pairs" -> "q_dedup_simhash64",
+    "q_dedup_editdist_pairs" -> "q_dedup_editdist",
+    "q_minhash_est_audit_pairs" -> "q_minhash_est_audit",
+    "q_crossmodal_audit_pairs" -> "q_crossmodal_audit",
+    "q_dedup_embedding" -> "q_dedup_embedding_census",
+    "q_dedup_simhash64_wide" -> "q_dedup_simhash64_wide_census",
+    "q_dedup_ngram_jaccard" -> "q_dedup_ngram_jaccard_census",
+    "q_dedup_containment" -> "q_dedup_containment_census")
+
   private def jsonEscape(s: String): String =
     s.flatMap {
       case '"' => "\\\""
@@ -189,6 +210,55 @@ object Sweep {
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
       println(f"[sweep] $name%-36s ${dt}%9.1f s  $status")
+    }
+
+    // price the expansion-bound dumps this full sweep excluded: one
+    // `priced` row per dump, expected_output_rows = sum of the census
+    // twin's n_pairs at THIS fixture's duplication — the exclusions
+    // carry their justification in the artifact instead of by fiat
+    if (only.isEmpty) {
+      val toPrice = ExpansionBound.toSeq.sorted
+        .filterNot(done.contains).filterNot(skip.contains)
+      for (name <- toPrice; twin <- CensusTwin.get(name)) {
+        val pool = Executors.newSingleThreadExecutor(tf)
+        val t0 = System.nanoTime()
+        val fut = pool.submit(new Callable[Long] {
+          def call(): Long = {
+            spark.sparkContext.setJobGroup(s"price-$name",
+              s"price $name via $twin", interruptOnCancel = true)
+            try graft.sources.Tables.widthScoped(spark) {
+              val r = SparkEntry.queries(twin)(spark, dir)
+                .agg(org.apache.spark.sql.functions.sum("n_pairs"))
+                .collect()(0)
+              if (r.isNullAt(0)) 0L else r.getLong(0)
+            }
+            finally spark.sparkContext.clearJobGroup()
+          }
+        })
+        val (status, rows) =
+          try ("priced", fut.get(timeoutSec, TimeUnit.SECONDS))
+          catch {
+            case _: TimeoutException =>
+              spark.sparkContext.cancelJobGroup(s"price-$name")
+              try fut.get(120, TimeUnit.SECONDS)
+              catch { case _: Throwable => () }
+              graft.sources.Tables.widthRestore(spark, widthBaseline)
+              ("price_timeout", -1L)
+            case _: Throwable => ("price_fail", -1L)
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        pool.shutdownNow()
+        spark.catalog.clearCache()
+        val line = String.format(java.util.Locale.ROOT,
+          """{"q":"%s","sec":%.3f,"status":"%s","twin":"%s",""" +
+            """"expected_output_rows":%d,"canary":%.2f,"sf":"%s"}""",
+          jsonEscape(name), Double.box(dt), status, jsonEscape(twin),
+          Long.box(rows), Double.box(canaryRatio()), jsonEscape(dir))
+        java.nio.file.Files.writeString(out, line + "\n",
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+        println(f"[sweep] $name%-36s ${dt}%9.1f s  $status rows=$rows")
+      }
     }
     println(s"[sweep] DONE: ${todo.size} ran, $failures not-ok, " +
       s"results in $out")

@@ -22,6 +22,9 @@ def main(path: str, flag: float = 15.0) -> None:
     flagged, ok = [], 0
     for r in rows:
         q, sec, st = r["q"], r["sec"], r["status"]
+        if st == "priced":  # expansion-bound pricing rows, not timings
+            ok += 1
+            continue
         canary = r.get("canary")
         b = base.get(q)
         ratio = sec / b if (b and b > 0) else None

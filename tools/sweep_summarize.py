@@ -9,6 +9,9 @@ Classes:
               budget — a perfectly linear plan cannot finish; expected, and
               annotated with the linear floor it would need
   flagged     everything else (slow > flag line, unexplained timeout/fail)
+  priced      expansion-bound dumps the sweep excluded but PRICED via
+              their census twin (expected_output_rows at this fixture's
+              duplication) - the exclusion's justification, in-artifact
 
 Usage: python3 tools/sweep_summarize.py <raw.jsonl> <out.json> [flag_ratio]
          [baseline_json] [budget_sec]
@@ -24,10 +27,16 @@ def main(raw_path: str, out_path: str, flag: float = 15.0,
          budget: float = 600.0) -> None:
     base = json.load(open(baseline_path))["queries"]
     rows = [json.loads(l) for l in open(raw_path) if l.strip()]
-    ok, linear_cap, flagged = [], [], []
+    ok, linear_cap, flagged, priced = [], [], [], []
     for r in rows:
         q, sec, st = r["q"], r["sec"], r["status"]
         canary = r.get("canary")
+        if st.startswith("price"):
+            rec = {"q": q, "sec": round(sec, 1), "status": st,
+                   "twin": r.get("twin"),
+                   "expected_output_rows": r.get("expected_output_rows")}
+            (priced if st == "priced" else flagged).append(rec)
+            continue
         b = base.get(q)
         ratio = sec / b if (b and b > 0) else None
         adj = (ratio / canary
@@ -59,9 +68,11 @@ def main(raw_path: str, out_path: str, flag: float = 15.0,
         "flag_line": flag,
         "counts": {"total": len(rows), "ok": len(ok),
                    "linear_cap_timeouts": len(linear_cap),
-                   "flagged": len(flagged)},
-        "flagged": sorted(flagged, key=lambda x: -(x["ratio"] or 9999)),
+                   "flagged": len(flagged),
+                   "expansion_bound_priced": len(priced)},
+        "flagged": sorted(flagged, key=lambda x: -(x.get("ratio") or 9999)),
         "linear_cap_timeouts": linear_cap,
+        "expansion_bound_priced": sorted(priced, key=lambda x: x["q"]),
         "worst_ok": sorted(ok, key=lambda x: -(x["ratio_canary_adj"]
                                                or x["ratio"] or 0))[:10],
     }
