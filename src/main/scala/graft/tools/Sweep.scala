@@ -21,7 +21,7 @@ import graft.{Sessions, SparkEntry}
   *
   * Usage:
   *   runMain graft.tools.Sweep <sfDir> <outJsonl> [timeoutSec]
-  *     [only=a,b,…|skip=a,b,…]
+  *     [only=a,b,…|skip=a,b,…|price=a,b,…|price=all]
   */
 object Sweep {
 
@@ -93,6 +93,15 @@ object Sweep {
       if (sel.startsWith("only="))
         Some(sel.drop(5).split(",").map(_.trim).filter(_.nonEmpty).toSet)
       else None
+    // price-only mode: no timed rows, just the expansion-bound pricing
+    // loop for the named dumps (price=all → every excluded face) — lets
+    // a chunked replica campaign carry priced rows without re-running
+    // the full surface
+    val priceSel: Option[Set[String]] =
+      if (sel == "price=all") Some(ExpansionBound)
+      else if (sel.startsWith("price="))
+        Some(sel.drop(6).split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      else None
     val skip =
       if (sel.startsWith("skip="))
         sel.drop(5).split(",").map(_.trim).filter(_.nonEmpty).toSet
@@ -106,6 +115,7 @@ object Sweep {
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
 
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(_ => priceSel.isEmpty)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .filter { case (n, _) =>
         only.isDefined || (!skip.contains(n) && !ExpansionBound.contains(n)) }
@@ -217,7 +227,7 @@ object Sweep {
     // twin's n_pairs at THIS fixture's duplication — the exclusions
     // carry their justification in the artifact instead of by fiat
     if (only.isEmpty) {
-      val toPrice = ExpansionBound.toSeq.sorted
+      val toPrice = priceSel.getOrElse(ExpansionBound).toSeq.sorted
         .filterNot(done.contains).filterNot(skip.contains)
       for (name <- toPrice; twin <- CensusTwin.get(name)) {
         val pool = Executors.newSingleThreadExecutor(tf)
