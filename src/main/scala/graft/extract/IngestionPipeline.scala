@@ -166,7 +166,12 @@ object IngestionPipeline {
       else (Dedup.incrementalLshProbe(
         newDocs.select(col("doc_id"), col("text")),
         regBands, regSets, regHashes, numHashes, numBands, thresholdE4), null)
-    val verdictsCh = vRaw.localCheckpoint(true)
+    // LAZY severing: the fused allAdmitted/allIdx cache fill below is the
+    // first action touching the verdict frame, so it materializes AND
+    // checkpoints the probe there, strictly BEFORE any store write (the
+    // severing contract is unchanged — only the job that pays for it
+    // moved; the eager form ran a dedicated per-batch checkpoint job)
+    val verdictsCh = vRaw.localCheckpoint(false)
     lap("probe")
 
     // is_dup is a function of the content, so the batch canonical per
@@ -182,14 +187,16 @@ object IngestionPipeline {
     // Index rows follow the same merge; consolidated tiles LIFT
     // committed docs' stored rows instead of re-deriving them
     val allAdmitted = regDocs.unionByName(admittedNew).persist()
-    allAdmitted.count()
-    lap("allAdmitted")
     val newIdx =
       if (strictBatch) indexRowsFromProbe(admittedIds, cont)
       else indexRowsFor(admittedNew, numHashes)
     val allIdx = oldIdx.unionByName(newIdx).persist()
-    allIdx.count()
-    lap("allIdx")
+    // ONE fused fill job for both table frames (was two sequential
+    // count() jobs): the union's branches materialize in parallel, the
+    // probe's lazy checkpoint severs here (before any write), and the
+    // shared newDocs/verdict blocks fill once under the block locks
+    Dedup.fillCaches(allAdmitted, allIdx)
+    lap("allAdmittedIdx")
     // Bulk tiled sink (ONE distributed job per table, not a sequential
     // per-tile driver loop): broadcast range-tag + dynamic-partition-
     // overwrite, one sorted fragment per worklist directory. The
@@ -264,18 +271,15 @@ object IngestionPipeline {
     * instead (IngestionPipelineSpec pins the two row-identical).
     */
   def indexRowsFor(admitted: DataFrame,
-      numHashes: Int = Dedup.DefaultNumHashes): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val withG = admitted.select(col("doc_id"), col("text"),
-        graft.functions.GraftFunctions.content_hash(col("text")).as("ch"))
-      .withColumn("rgid", min("doc_id").over(Window.partitionBy("ch")))
-    val canonIdx = Dedup.registryIndexRows(
-      withG.where(col("doc_id") === col("rgid"))
-        .select(col("doc_id"), col("text")), numHashes)
-    withG.select(col("doc_id"), col("ch"))
-      .join(canonIdx.select(col("doc_id"), col("sig"), col("sset")),
-        Seq("doc_id"), "left")
-  }
+      numHashes: Int = Dedup.DefaultNumHashes): DataFrame =
+    // canonical-only sig/sset is now [[Dedup.registryIndexRows]]'s own
+    // contract (one content-hash window pass), so the former
+    // hash-window + canonical-recurse + left-join composition here
+    // collapsed into the kernel call — one corpus pass, zero joins,
+    // identical rows (IngestionPipelineSpec pins them against
+    // indexRowsFromProbe and registryIndexOver)
+    Dedup.registryIndexRows(admitted.select(col("doc_id"), col("text")),
+      numHashes)
 
   /** The committed admitted store: rows of every partition directory in
     * the CURRENT watermark's plan (none → empty frame with the

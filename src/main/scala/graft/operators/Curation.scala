@@ -111,13 +111,16 @@ object Curation {
     // DuckDB oracle, which still computes from the explicit pair dump.
     val (membership, elig, gd) = Dedup.ngramJaccardFunnel(spark, d)
     val splitNames = Seq("train", "val", "test")
-    val mm = Tables.documents(spark, d)
+    // split buckets are a pure function of doc_id, and the funnel's
+    // membership frame already carries every document's id — deriving
+    // the split inline drops a second corpus scan plus the doc_id
+    // equi-join the former documents-table read paid
+    val mm = membership.select("doc_id", "gid")
       .withColumn("bucket", bucketSpark)
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("gid"),
         when(col("bucket") < 90, lit("train"))
           .when(col("bucket") < 95, lit("val"))
           .otherwise(lit("test")).as("split"))
-      .join(membership.select("doc_id", "gid"), "doc_id")
     val splitCnts = splitNames.map(s =>
       sum(when(col("split") === s, 1L).otherwise(0L)).as(s"c_$s"))
     val gs = mm.groupBy("gid").agg(splitCnts.head, splitCnts.tail: _*)
@@ -142,29 +145,44 @@ object Curation {
     val docBase = gs
       .join(elig.withColumn("is_elig", lit(true)), Seq("gid"), "left")
       .join(partnerHas, Seq("gid"), "left")
-    import spark.implicits._
     val combos = Seq(("test", "train"), ("test", "val"), ("train", "val"))
-    val rows = combos.map { case (lo, hi) =>
-      val cross = p2.select(
-        (col(s"a_$lo") * col(s"b_$hi") + col(s"a_$hi") * col(s"b_$lo"))
-          .as("n"))
-      val intra = docBase.where(col("is_elig"))
-        .select((col(s"c_$lo") * col(s"c_$hi")).as("n"))
-      val nPairs = cross.unionAll(intra)
-        .agg(coalesce(sum("n"), lit(0L)).as("n_leak_pairs"))
-      def docsIn(side: String, other: String) = docBase.select(
-        (col(s"c_$side") * when(
-          (coalesce(col("is_elig"), lit(false)) && col(s"c_$other") > 0) ||
-            coalesce(col(s"has_$other"), lit(false)), 1L).otherwise(0L))
-          .as("n"))
-        .agg(coalesce(sum("n"), lit(0L)))
-      nPairs
-        .crossJoin(docsIn(lo, hi).toDF("n_docs_lo"))
-        .crossJoin(docsIn(hi, lo).toDF("n_docs_hi"))
-        .select(lit(lo).as("split_lo"), lit(hi).as("split_hi"),
-          col("n_leak_pairs"), col("n_docs_lo"), col("n_docs_hi"))
-    }
-    rows.reduce(_ unionAll _).orderBy("split_lo", "split_hi")
+    // ALL three split-pair rows from TWO single-row aggregates (was nine
+    // scalar aggregates — one nPairs union-agg and two docsIn aggs per
+    // combo — each its own two-stage job tree crossJoined back): one
+    // pass over the canonical pair frame sums the three cross products,
+    // one pass over the group frame sums the three intra products and
+    // the six contaminated-doc counts, and the 1×1 crossJoin explodes
+    // into the same three output rows. Pure algebra rearrangement; the
+    // unchanged expanded-dump oracle pins row identity.
+    val crossAgg = p2.agg(
+      combos.map { case (lo, hi) =>
+        coalesce(sum(col(s"a_$lo") * col(s"b_$hi") +
+          col(s"a_$hi") * col(s"b_$lo")), lit(0L)).as(s"x_${lo}_$hi")
+      }.head, combos.tail.map { case (lo, hi) =>
+        coalesce(sum(col(s"a_$lo") * col(s"b_$hi") +
+          col(s"a_$hi") * col(s"b_$lo")), lit(0L)).as(s"x_${lo}_$hi")
+      }: _*)
+    def intraSum(lo: String, hi: String) =
+      coalesce(sum(when(coalesce(col("is_elig"), lit(false)),
+        col(s"c_$lo") * col(s"c_$hi")).otherwise(lit(0L))), lit(0L))
+        .as(s"i_${lo}_$hi")
+    def docSum(side: String, other: String) =
+      coalesce(sum(col(s"c_$side") * when(
+        (coalesce(col("is_elig"), lit(false)) && col(s"c_$other") > 0) ||
+          coalesce(col(s"has_$other"), lit(false)), 1L).otherwise(0L)),
+        lit(0L)).as(s"d_${side}_$other")
+    val docAggCols = combos.map { case (lo, hi) => intraSum(lo, hi) } ++
+      combos.flatMap { case (lo, hi) => Seq(docSum(lo, hi), docSum(hi, lo)) }
+    val docAgg = docBase.agg(docAggCols.head, docAggCols.tail: _*)
+    crossAgg.crossJoin(docAgg)
+      .select(explode(array(combos.map { case (lo, hi) =>
+        struct(lit(lo).as("split_lo"), lit(hi).as("split_hi"),
+          (col(s"x_${lo}_$hi") + col(s"i_${lo}_$hi")).as("n_leak_pairs"),
+          col(s"d_${lo}_$hi").as("n_docs_lo"),
+          col(s"d_${hi}_$lo").as("n_docs_hi"))
+      }: _*)).as("r"))
+      .select("r.*")
+      .orderBy("split_lo", "split_hi")
   }
 
   val splitLeakageSql: String =

@@ -410,12 +410,26 @@ object Dedup {
     * Jaccard and signature-estimate faces can never drift in candidacy
     * semantics (the r9 advice item).
     */
+  /** Fill several persisted frames' caches with ONE action: the union of
+    * their single-column projections scans (and therefore computes) every
+    * frame's partitions inside a single job, instead of one sequential
+    * count() job per frame — the branches run in parallel and the driver
+    * pays one job round trip. A shared upstream cache (e.g. the
+    * exactCollapse membership both sets and sigs scan) fills exactly once:
+    * BlockManager's per-partition compute lock dedupes concurrent fills.
+    * Caching materializes full InMemoryRelation batches whichever column
+    * the probe reads, so the lit(1) projection fills the whole cache,
+    * same as count().
+    */
+  private[graft] def fillCaches(dfs: DataFrame*): Unit = {
+    dfs.map(_.select(lit(1L).as("one"))).reduce(_.unionAll(_)).count(): Unit
+  }
+
   private def collapsedFunnel(spark: SparkSession, d: String,
       numHashes: Int, numBands: Int)(
       score: (DataFrame, DataFrame, DataFrame) => DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
     val membership = exactCollapse(spark, d)
-    membership.count()
     val reps = membership.where(col("doc_id") === col("gid"))
       .select(col("doc_id"), col("text"))
     val sets = reps
@@ -424,7 +438,9 @@ object Dedup {
       .where(col("sset").isNotNull)
       .persist()
     val sigs = signaturesOver(reps, numHashes).persist()
-    sets.count(); sigs.count()
+    // one fused fill job: sets + sigs (and, through their shared scan,
+    // the membership cache) — was three sequential count() jobs
+    fillCaches(sets, sigs)
     // candidacy = both endpoints band AND carry a shingle set; the semi
     // joins enforce it once for every score function
     val cand = candidatePairs(sigs, numHashes, numBands)
@@ -541,16 +557,29 @@ object Dedup {
     * exact-hash path still covers them through ch).
     */
   def registryIndexRows(docs: DataFrame,
-      numHashes: Int = DefaultNumHashes): DataFrame =
-    docs.select(col("doc_id"),
-      graft.functions.GraftFunctions.content_hash(col("text")).as("ch"),
-      // cast to the parquet read-back element nullability so freshly
-      // computed and store-lifted rows share one schema (a strict
-      // _metadata merge rejects containsNull drift across tiles)
-      graft.functions.GraftFunctions.minhash_sig(col("text"), numHashes)
-        .cast("array<bigint>").as("sig"),
-      graft.functions.GraftFunctions.shingle_set(col("text"))
-        .cast("array<string>").as("sset"))
+      numHashes: Int = DefaultNumHashes): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // sig/sset on the CONTENT CANONICAL (min doc id per content hash)
+    // only — the probe reads canonical signatures exclusively
+    // ([[registryIndexFromRows]]'s null filters), and under mass
+    // duplication the copies' shingle arrays would be the index's whole
+    // weight. This is the same row shape [[graft.extract
+    // .IngestionPipeline.indexRowsFor]] stores, made the kernel-level
+    // contract: sig/sset non-null ⟺ the row is its content's canonical.
+    docs.select(col("doc_id"), col("text"),
+        graft.functions.GraftFunctions.content_hash(col("text")).as("ch"))
+      .withColumn("rgid", min("doc_id").over(Window.partitionBy("ch")))
+      .select(col("doc_id"), col("ch"),
+        // cast to the parquet read-back element nullability so freshly
+        // computed and store-lifted rows share one schema (a strict
+        // _metadata merge rejects containsNull drift across tiles)
+        when(col("doc_id") === col("rgid"),
+          graft.functions.GraftFunctions.minhash_sig(col("text"), numHashes))
+          .cast("array<bigint>").as("sig"),
+        when(col("doc_id") === col("rgid"),
+          graft.functions.GraftFunctions.shingle_set(col("text")))
+          .cast("array<string>").as("sset"))
+  }
 
   /** The probe-side registry triple from STORED index rows — pure
     * column arithmetic, zero hashing: canonicals are the min doc per
@@ -565,13 +594,22 @@ object Dedup {
       numHashes: Int = DefaultNumHashes,
       numBands: Int = DefaultNumBands): (DataFrame, DataFrame, DataFrame) = {
     val regHashes = idx.groupBy(col("ch")).agg(min(col("doc_id")).as("rgid"))
-    val canon = idx.join(regHashes.select(col("rgid").as("doc_id")),
-      Seq("doc_id"), "left_semi")
+    // canonical rows are exactly the sig/sset-bearing rows — every
+    // producer ([[registryIndexRows]],
+    // [[graft.extract.IngestionPipeline.indexRowsFor]],
+    // [[graft.extract.IngestionPipeline.indexRowsFromProbe]]) stores
+    // sig/sset on the content canonical ONLY — so the band/set sides
+    // read straight off the stored rows through a null filter. The
+    // former min-doc semi-join re-derived the same rows while shuffling
+    // the index's HEAVY columns (128-hash signatures, shingle-set
+    // arrays) store-wide on every probe; only the 16-byte (ch, doc_id)
+    // exact-hit map still aggregates (it must cover unshingleable
+    // canonicals, whose sig/sset are legitimately null).
     val regBands = bands(
-      canon.select(col("doc_id"), col("sig")).where(col("sig").isNotNull),
+      idx.select(col("doc_id"), col("sig")).where(col("sig").isNotNull),
       numHashes, numBands)
       .select(col("doc_id").as("rgid"), col("band_id"), col("band_val"))
-    val regSets = canon.where(col("sset").isNotNull)
+    val regSets = idx.where(col("sset").isNotNull)
       .select(col("doc_id").as("rgid"), col("sset").as("rset"))
     (regBands, regSets, regHashes.select(col("ch"), col("rgid")))
   }
@@ -669,16 +707,30 @@ object Dedup {
     // subtrees (the r9 lesson), and a cacheManager persist would be
     // invalidated by the caller's subsequent store writes
     // (recacheByPath) — severed blocks are immune to both.
+    // LAZY checkpoint: the first caller action (the strict face's
+    // broadcast-decision count below, or the caller's verdict
+    // materialization) computes AND severs this frame in one job — the
+    // eager form paid a dedicated job here; the three consuming branches
+    // still evaluate it once (local-checkpoint blocks are computed under
+    // BlockManager's per-partition lock, then read by the other branches)
     val cont = base.groupBy(col("ch"))
       .agg(min(col("doc_id")).as("cid"), first(col("text")).as("text"))
       .select(col("ch"), col("cid"),
         graft.functions.GraftFunctions.minhash_sig(col("text"), numHashes)
           .as("sig"),
         graft.functions.GraftFunctions.shingle_set(col("text")).as("sset"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
+    // the exact leg carries the exact-hit flag INTO the per-ch aggregate
+    // (max(ex) below), so the verdict assembly needs ONE left join
+    // against perCh instead of two (the former second join probed
+    // regHashes — whose ch is unique by construction in both producers,
+    // registryIndexFromRows' groupBy and registryIndexOver's distinct —
+    // through a redundant distinct(): one shuffle stage + one join stage
+    // per batch for a bit the aggregate already knows)
     val exact = cont
       .join(regHashes, Seq("ch"))
-      .select(col("ch"), col("rgid"), lit(10000L).as("j"))
+      .select(col("ch"), col("rgid"), lit(10000L).as("j"),
+        lit(true).as("ex"))
     val cand = bands(
         cont.select(col("cid").as("doc_id"), col("sig"))
           .where(col("sig").isNotNull), numHashes, numBands)
@@ -689,10 +741,11 @@ object Dedup {
       .join(regSets, Seq("rgid"))
       .select(col("ch"), col("rgid"),
         graft.functions.GraftFunctions.jaccard_e4(col("sset"), col("rset"))
-          .as("j"))
+          .as("j"), lit(false).as("ex"))
     val perCh = cand.unionByName(exact)
       .groupBy("ch")
-      .agg(max("j").as("best"), countDistinct("rgid").as("n_groups"))
+      .agg(max("j").as("best"), countDistinct("rgid").as("n_groups"),
+        max("ex").as("exact_hit"))
     // cid map for the per-doc join (strict variant only): broadcast
     // when the DISTINCT content count (exact — cont is already
     // materialized) is small enough, as it is under any duplication
@@ -715,8 +768,6 @@ object Dedup {
       }
     }
     val verdicts = withCidJoin(base.select(col("doc_id"), col("ch"))
-      .join(regHashes.select(col("ch"), lit(true).as("exact_hit")).distinct(),
-        Seq("ch"), "left")
       .join(perCh, Seq("ch"), "left"))
       .select((Seq(col("doc_id")) ++ cidCols ++ Seq(
         coalesce(col("exact_hit"), lit(false)).as("exact_dup"),
@@ -998,12 +1049,13 @@ object Dedup {
     // identical 64-bit fingerprint, so member pairs band exactly when
     // their canonicals do, with equal Hamming distance (0 in-group)
     val membership = exactCollapse(spark, d)
-    membership.count()
     val sigs = membership.where(col("doc_id") === col("gid"))
       .select(col("doc_id"),
         graft.functions.GraftFunctions.simhash64_bands(col("text")).as("sbands"))
       .where(col("sbands").isNotNull)
       .persist()
+    // one fill job: sigs (and, through its scan, the membership cache) —
+    // the separate membership.count() was a second job for the same fill
     sigs.count()
     // the banding S-curve knob production turns as the corpus grows:
     // narrow 4×16 guarantees detection at Hamming ≤ 3; wide 2×32 only
@@ -1319,28 +1371,32 @@ object Dedup {
       .join(sz.select(col("gid").as("ga"), col("sz").as("sz_a")), "ga")
       .join(sz.select(col("gid").as("gb"), col("sz").as("sz_b")), "gb")
     val intraGroups = elig.join(sz, Seq("gid")).where(col("sz") >= 2)
-    // member-pair multiplicities per key: |A|·|B| cross, C(s,2) intra
-    val crossCnt = keyed.select(
-      keyCols.map(col) :+ (col("sz_a") * col("sz_b")).as("m"): _*)
-    val intraCnt = intraGroups.select(
-      intraKeys.map { case (n, c) => c.as(n) } :+
-        expr("sz * (sz - 1) div 2").as("m"): _*)
-    val nPairs = crossCnt.unionByName(intraCnt)
+    // ONE pass over the pair mass for BOTH census columns (was: separate
+    // n_pairs and n_docs aggregation trees re-reading the pair frame,
+    // joined back on the key — 2 extra shuffles plus a key join). Each
+    // cross pair explodes to its two touched groups, carrying the full
+    // |A|·|B| member-pair multiplicity on the ga row (0 on gb, so pairs
+    // are counted once) and the touched group's size on both; eligible
+    // dup groups contribute (C(s,2), s) at the intraKeys literals. The
+    // (key, gid) aggregation then dedupes group touches (a group may sit
+    // on many pairs with the same key) while summing pair multiplicity,
+    // and one more key-level aggregation yields n_pairs = Σm and
+    // n_docs = Σ distinct touched groups' sizes — algebraically the same
+    // census, one shuffle chain instead of three.
+    val crossPer = keyed.select(
+      keyCols.map(col) :+ explode(expr(
+        "array(struct(ga as gid, sz_a * sz_b as m, sz_a as gsz), " +
+          "struct(gb as gid, 0L as m, sz_b as gsz))")).as("t"): _*)
+      .select(keyCols.map(col) ++ Seq(col("t.gid").as("gid"),
+        col("t.m").as("m"), col("t.gsz").as("gsz")): _*)
+    val intraPer = intraGroups.select(
+      intraKeys.map { case (n, c) => c.as(n) } ++ Seq(col("gid"),
+        expr("sz * (sz - 1) div 2").as("m"), col("sz").as("gsz")): _*)
+    crossPer.unionByName(intraPer)
+      .groupBy((keyCols :+ "gid").map(col): _*)
+      .agg(sum("m").as("m"), max("gsz").as("gsz"))
       .groupBy(keyCols.map(col): _*)
-      .agg(sum("m").as("n_pairs"))
-    // docs touched at key k: every member of a group on a cross pair at
-    // k, or of any eligible dup group when k is the identical-content
-    // key — distinct at (key, gid) BEFORE summing sizes, since a group
-    // may sit on many pairs with the same key
-    val crossTouch = keyed.select(
-      keyCols.map(col) :+ explode(expr("array(ga, gb)")).as("gid"): _*)
-    val intraTouch = intraGroups.select(
-      intraKeys.map { case (n, c) => c.as(n) } :+ col("gid"): _*)
-    val nDocs = crossTouch.unionByName(intraTouch).distinct()
-      .join(sz, Seq("gid"))
-      .groupBy(keyCols.map(col): _*)
-      .agg(sum("sz").as("n_docs"))
-    nPairs.join(nDocs, keyCols)
+      .agg(sum("m").as("n_pairs"), sum("gsz").as("n_docs"))
   }
 
   /** Member-level EXPANSION of a collapsed funnel's canonical pair
@@ -1429,7 +1485,6 @@ object Dedup {
       intraMetrics: Seq[(String, Column)])
       : (DataFrame, DataFrame, DataFrame) = {
     val membership = exactCollapse(spark, d)
-    membership.count()
     val reps = membership.where(col("doc_id") === col("gid"))
       .select(col("doc_id"), col("text"))
     val sets = reps
@@ -1438,7 +1493,9 @@ object Dedup {
       .where(col("sset").isNotNull)
       .persist()
     val sigs = signaturesOver(reps, numHashes).persist()
-    sets.count(); sigs.count()
+    // one fused fill job for sets + sigs + (transitively) membership —
+    // was three sequential count() jobs
+    fillCaches(sets, sigs)
     val base = candidatePairs(sigs, numHashes, numBands)
       .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b")), "doc_b")
@@ -2057,12 +2114,15 @@ object Dedup {
       // previous-round LOGICAL plan nested inside the next one, so
       // round k re-analyzes a k-deep chain (O(k²) driver planning over
       // the loop — the crossmodal-prelude lesson, BUILDER_NOTES round
-      // 13). Severing keeps every round's plan flat, and the labelSum
-      // materialization the convergence test needs is the same work the
-      // persist-and-aggregate form paid.
+      // 13). Severing keeps every round's plan flat. LAZY checkpoint:
+      // the labelSum aggregate below is the round's first action, so it
+      // materializes AND checkpoints the round in ONE job (local
+      // checkpoint finalization computes any partitions the aggregate's
+      // job missed before returning) — the eager form paid a separate
+      // count-style job per round for the same severing.
       val next = labels.unionByName(msgs)
         .groupBy("doc_id").agg(min("label").as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
@@ -2182,8 +2242,10 @@ object Dedup {
     while (!converged && it < maxIters) {
       // localCheckpoint for the same reason as the propagation twin:
       // flat per-round plans instead of a chain that re-analyzes every
-      // prior star round
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // prior star round. Lazy: the fingerprint aggregate is the round's
+      // first action and doubles as the checkpoint's materialization —
+      // one job per round instead of two.
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
       val nfp = fingerprint(next)
       converged = nfp == fp
       fp = nfp

@@ -1083,8 +1083,12 @@ object Similarity {
     val touched = gd.select(col("ga").as("gid"))
       .unionByName(gd.select(col("gb").as("gid")))
       .unionByName(elig.select("gid"))
+    // persisted but NOT separately counted: the cls checkpoint job below
+    // is the first action and fills this cache for both its consumer
+    // branches (the vector semi-prune and the member join) under the
+    // block-manager compute locks — the dedicated count() was one more
+    // job for the same fill
     val memT = mem.join(touched, Seq("gid"), "left_semi").persist()
-    memT.count()
     t = xlap("memT", t)
     // fetch vectors for touched members only: the semi-join prunes the
     // embeddings scan to touched ids (broadcastable id set — one
@@ -1122,6 +1126,9 @@ object Similarity {
     // manager until the caller's clearCache
     memT.unpersist()
     t = xlap("cls", t)
+    // LAZY checkpoint: canonCos below is the next action and materializes
+    // (and severs) this group-sized frame inside its own job — the eager
+    // form paid a dedicated job for the same result
     val perGroup = cls.groupBy("gid")
       .agg(sum("csz").as("n_mem"),
         sum(when(col("embedding").isNotNull, col("csz")).otherwise(lit(0L)))
@@ -1129,7 +1136,7 @@ object Similarity {
         count(when(col("embedding").isNotNull, lit(1))).as("n_cls"),
         first(when(col("has_canon"), col("embedding")), ignoreNulls = true)
           .as("rep_emb"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     t = xlap("perGroup", t)
     val groupInfo = perGroup.select(col("gid"),
       (col("n_emb") === col("n_mem") && col("n_cls") === 1).as("uniform"),

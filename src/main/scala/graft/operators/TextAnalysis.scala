@@ -349,7 +349,7 @@ object TextAnalysis {
       rounds: Int): (Seq[(Long, String, Long, Long)], DataFrame) = {
     var seg = wf.select(col("word"), col("cf"),
       regexp_replace(col("word"), "(.)", " $1").as("seg"))
-    val learned = Seq.newBuilder[(Long, String, Long, Long)]
+    val merges = Seq.newBuilder[(Long, String, Long)]
     for (r <- 1 to rounds) {
       val withSy = seg.withColumn("sy", split(col("seg"), " "))
       val top = withSy.where(size(col("sy")) >= 3)
@@ -364,13 +364,31 @@ object TextAnalysis {
       val Array(a, b) = rule.split("\\+", 2)
       seg = seg.withColumn("seg",
         replace(col("seg"), lit(s" $a $b"), lit(s" $a$b")))
-      val nSyms = seg
-        .select(explode(split(col("seg"), " ")).as("s"))
-        .where(col("s") =!= "")
-        .agg(countDistinct("s")).collect()(0).getLong(0)
-      learned += ((r.toLong, rule, cnt, nSyms))
+      merges += ((r.toLong, rule, cnt))
     }
-    (learned.result(), seg)
+    // vocabulary sizes for ALL rounds in ONE job (was one countDistinct
+    // job per round): each round's segmentation re-derives from the
+    // chosen merge rules by the same chained replaces — pure per-row
+    // string work over the cached vocabulary — and a single aggregation
+    // counts distinct symbols per round tag. The merge argmax jobs above
+    // are inherently sequential (round r+1's pair stats depend on round
+    // r's merge); the symbol counts are not.
+    val segExprs = merges.result().scanLeft(
+      regexp_replace(col("word"), "(.)", " $1")) { case (prev, (_, rule, _)) =>
+        val Array(a, b) = rule.split("\\+", 2)
+        replace(prev, lit(s" $a $b"), lit(s" $a$b"))
+      }.drop(1) // segExprs(r-1) = segmentation AFTER merge r
+    val nSymsByRound: Map[Int, Long] = wf
+      .select(posexplode(array(segExprs.map(split(_, " ")): _*))
+        .as(Seq("ri", "sy")))
+      .select(col("ri"), explode(col("sy")).as("s"))
+      .where(col("s") =!= "")
+      .groupBy("ri").agg(countDistinct("s").as("n"))
+      .collect().map(row => (row.getInt(0) + 1, row.getLong(1))).toMap
+    val learned = merges.result().map { case (r, rule, cnt) =>
+      (r, rule, cnt, nSymsByRound(r.toInt))
+    }
+    (learned, seg)
   }
 
   def bpeTrain(spark: SparkSession, d: String,
@@ -815,16 +833,20 @@ object TextAnalysis {
     // spans are detected among exact-canonical docs only (the funnel's
     // collapse); a replica's coverage is its canonical's — identical
     // text, identical spans — so the per-doc report expands through the
-    // (doc_id, gid) membership frame rather than losing replica rows.
-    // Membership only — the text-free variant keeps the window
-    // exchange at 16-byte rows instead of re-shuffling the corpus text
-    // the funnel already paid for
-    val collapsed = Dedup.exactMembership(spark, d)
+    // (doc_id, gid) membership. Token counts and membership ride ONE
+    // corpus scan: the text_stats kernel projects before the membership
+    // window's hash exchange (16-byte rows + the count instead of text),
+    // where the former separate documents scan + membership join paid a
+    // second corpus pass and a corpus-sized equi-join for a column the
+    // window pass could carry.
+    val winByCh = org.apache.spark.sql.expressions.Window.partitionBy("ch")
     val out = Tables.documents(spark, d)
       .select(col("doc_id"),
         graft.functions.GraftFunctions.text_stats(col("text"), Nil)
-          .getItem(0).as("n_tokens"))
-      .join(collapsed, "doc_id")
+          .getItem(0).as("n_tokens"),
+        graft.functions.GraftFunctions.content_hash(col("text")).as("ch"))
+      .withColumn("gid", min("doc_id").over(winByCh))
+      .select("doc_id", "n_tokens", "gid")
       .join(covered.withColumnRenamed("doc_id", "gid"), Seq("gid"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
