@@ -611,7 +611,15 @@ object Curation {
     * a doc_id semi-join, and the corpus streams through one left join
     * plus one LEFT SEMI join keyed on doc_id.
     */
-  def corpusEmit(spark: SparkSession, d: String): DataFrame = {
+  def corpusEmit(spark: SparkSession, d: String): DataFrame =
+    corpusEmitCore(spark, d).orderBy("doc_id")
+
+  /** [[corpusEmit]] without the presentation sort — the composition
+    * point for consumers that immediately re-shuffle ([[corpusShards]]
+    * hashes the survivors by shard key, so an upstream global sort
+    * exchange would be pure waste at any scale).
+    */
+  private def corpusEmitCore(spark: SparkSession, d: String): DataFrame = {
     val reps = Dedup.dedupClusters(spark, d)
     val keepIds = verdictFlags(Tables.documents(spark, d))
       .where(col("keep")).select("doc_id")
@@ -620,7 +628,6 @@ object Curation {
       .where(col("cluster_rep").isNull || col("cluster_rep") === col("doc_id"))
       .join(keepIds, Seq("doc_id"), "left_semi")
       .select("doc_id", "lang", "source", "n_chars")
-      .orderBy("doc_id")
   }
 
   val corpusEmitSql: String =
@@ -696,7 +703,7 @@ object Curation {
   def corpusShards(spark: SparkSession, d: String,
       numShards: Int = DefaultNumShards,
       salt: String = DefaultShardSalt): DataFrame =
-    shardFrames(corpusEmit(spark, d).select("doc_id"), numShards, salt)
+    shardFrames(corpusEmitCore(spark, d).select("doc_id"), numShards, salt)
       .orderBy("shard", "pos")
 
   val corpusShardsSql: String =

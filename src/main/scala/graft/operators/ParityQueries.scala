@@ -429,28 +429,37 @@ object ParityQueries {
     val (dep, schema, sub, table) =
       ("K2DEPLOY", "sgd_k2", "k2_subgraph", "events_entity")
     def p(rel: String) = s"$root/$rel"
-    Seq((dep, schema, "testnet", true))
-      .toDF("subgraph", "name", "network", "active")
-      .write.mode("overwrite").parquet(p("catalog/deployment_schemas.parquet"))
-    Seq((dep, "v1")).toDF("deployment", "id")
-      .write.mode("overwrite").parquet(p("catalog/subgraph_version.parquet"))
-    Seq((sub, "v1")).toDF("name", "current_version")
-      .write.mode("overwrite").parquet(p("catalog/subgraph.parquet"))
-    // latest = max+1: the catalog range is half-open into the planner
-    Seq((dep, lo, hi))
-      .toDF("deployment", "earliest_block_number", "latest_ethereum_block_number")
-      .write.mode("overwrite").parquet(p("catalog/subgraph_deployment.parquet"))
-    Seq((schema, table, "vid", "bigint"),
-      (schema, table, "block_range", "int4range"),
-      (schema, table, "user_id", "bigint"),
-      (schema, table, "event_type", "text"))
-      .toDF("table_schema", "table_name", "column_name", "data_type")
-      .write.mode("overwrite").parquet(p("catalog/information_schema.parquet"))
-    Tables.events(spark, d).select(
-        col("event_id").as("vid"), col("event_id").as("block_lower"),
-        lit(null).cast("long").as("block_upper"),
-        col("user_id"), col("event_type"))
-      .write.mode("overwrite").parquet(p(s"$schema/$table.parquet"))
+    // the six fixture writes are independent single-row(-ish) jobs —
+    // submitted from a small thread pool so their driver/job round
+    // trips overlap instead of serializing (guide §2.6 back-fill); job
+    // descriptions are thread-local so the UI stays labelled per write
+    val writes: Seq[() => Unit] = Seq(
+      () => Seq((dep, schema, "testnet", true))
+        .toDF("subgraph", "name", "network", "active")
+        .write.mode("overwrite").parquet(p("catalog/deployment_schemas.parquet")),
+      () => Seq((dep, "v1")).toDF("deployment", "id")
+        .write.mode("overwrite").parquet(p("catalog/subgraph_version.parquet")),
+      () => Seq((sub, "v1")).toDF("name", "current_version")
+        .write.mode("overwrite").parquet(p("catalog/subgraph.parquet")),
+      // latest = max+1: the catalog range is half-open into the planner
+      () => Seq((dep, lo, hi))
+        .toDF("deployment", "earliest_block_number", "latest_ethereum_block_number")
+        .write.mode("overwrite").parquet(p("catalog/subgraph_deployment.parquet")),
+      () => Seq((schema, table, "vid", "bigint"),
+        (schema, table, "block_range", "int4range"),
+        (schema, table, "user_id", "bigint"),
+        (schema, table, "event_type", "text"))
+        .toDF("table_schema", "table_name", "column_name", "data_type")
+        .write.mode("overwrite").parquet(p("catalog/information_schema.parquet")),
+      () => Tables.events(spark, d).select(
+          col("event_id").as("vid"), col("event_id").as("block_lower"),
+          lit(null).cast("long").as("block_upper"),
+          col("user_id"), col("event_type"))
+        .write.mode("overwrite").parquet(p(s"$schema/$table.parquet")))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try writes.map(w => pool.submit(new Runnable { def run(): Unit = w() }))
+      .foreach(_.get())
+    finally pool.shutdown()
 
     val outRoot = java.nio.file.Files.createTempDirectory("graft-k2-out").toString
     ExtractPipeline.extract(spark, new ParquetEntitySource(root),
