@@ -224,6 +224,22 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
+    // Compact headline-only twin, printed LAST: the harness keeps only a
+    // ~2000-char stdout tail, and the full line above grew past it at 186
+    // queries — the tail then holds a truncated (unparseable) JSON
+    // fragment, so rounds 16/17 published no machine-readable totals.
+    // This line repeats every headline field (and points at the per-query
+    // artifact) in well under the window at ANY query count. The full
+    // line's numbers are unchanged and still printed + persisted first.
+    val compact = s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
+      s""""reps":$reps,"stat":"median_of_interleaved_passes",""" +
+      s""""n_queries":${results.size},"queries_file":"$outFile",""" +
+      s""""planning_total":${s3(planning.map(_._2).sum)},""" +
+      s""""spread_median":${s3(medianSpread)},"spread_p90":${s3(p90Spread)},""" +
+      s""""load_flagged":$loadFlagged,"box_factor":${s3(boxFactor)},""" +
+      s""""normalized_value":${s3(total / boxFactor)},""" +
+      s""""failed":$failed,"value":${s3(total)}}"""
+    println(compact)
     spark.stop()
     if (failures.nonEmpty) {
       System.err.println(s"BENCH FAILURES: ${failures.mkString(", ")}")

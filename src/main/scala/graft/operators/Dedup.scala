@@ -1942,15 +1942,9 @@ object Dedup {
       .withColumn("gid", min("doc_id").over(Window.partitionBy("rh")))
       .select("doc_id", "gid", "text")
       .persist()
-    // materialize NOW: membership fans out to ~8 plan branches (both
-    // sides of two self-joins, three prefix consumers, the signature
-    // chain); inside one action an unmaterialized cache is recomputed
-    // per branch — measured 20× on the 10× replica
-    membership.count()
     val reps = membership.where(col("doc_id") === col("gid"))
       .select(col("doc_id"), col("text"))
     val sigs = signaturesOver(reps, numHashes).persist()
-    sigs.count()
     val pfx = reps.select(col("doc_id"), substring(col("text"), 1, maxChars).as("pfx"))
     // per-canonical-pair distance: distinct content by construction, so
     // every DP is novel work; equal prefixes (docs diverging only past
@@ -1964,14 +1958,20 @@ object Dedup {
           .as("edit_dist"),
         greatest(length(col("pfx_a")), length(col("pfx_b"))).as("mx"))
       .persist()
-    // materialize the kernel BEFORE the expansion joins consume it:
-    // whole-stage codegen evaluates an unmaterialized projection at its
-    // point of USE, which after the membership fan-out is once per
-    // EXPANDED row — measured 1.2M DP evaluations instead of 12k (95 s
-    // vs 3 s on the 10× replica). The persist pins one evaluation per
-    // canonical pair; the frame is model-sized (capped candidate pairs
-    // of distinct content) at any corpus scale.
-    gd.count()
+    // ONE fused fill job for the whole funnel (was three sequential
+    // count() jobs): the gd branch's computation fills the sigs and
+    // membership caches on the way up (persisted blocks compute once
+    // under BlockManager's per-partition locks — the same discipline as
+    // collapsedFunnel's fused fill), and the membership/sigs branches
+    // of the union read those blocks. The two materialize-BEFORE-
+    // consume contracts are unchanged: membership fans out to ~8 plan
+    // branches (recomputed per branch when unmaterialized — measured
+    // 20× on the 10× replica), and the levenshtein kernel must pin one
+    // evaluation per CANONICAL pair before the expansion joins would
+    // inline it per expanded row (measured 1.2M DP evaluations instead
+    // of 12k — 95 s vs 3 s on the 10× replica). Both still materialize
+    // here, strictly before any downstream consumer runs.
+    fillCaches(membership, sigs, gd)
     val gdSim = gd.select(col("ga"), col("gb"), col("edit_dist"),
       expr(s"""CASE WHEN edit_dist < 0 THEN 0L
                WHEN mx > 0 THEN 10000L - edit_dist * 10000L div mx

@@ -1980,8 +1980,26 @@ object Similarity {
   def simTopkIvfPq(spark: SparkSession, d: String,
       nprobe: Int = DefaultNprobe, k: Int = K): DataFrame = {
     val emb = Tables.embeddings(spark, d)
-    val centArr = centroidRow(spark, fitIvfCentroids(spark, d))
-    val cbRow = pqCbRow(spark, fitPqCodebooks(spark, d))
+    // The two model fits are INDEPENDENT job chains (coarse quantizer,
+    // PQ codebooks) that were submitted back-to-back from the driver —
+    // each internally sequential (Lloyd iterations), but nothing orders
+    // one fit's iterations against the other's. Submitting them from two
+    // driver threads overlaps their seed/iteration job round trips and
+    // back-fills each other's stage tails (guide §2.6). Results are
+    // unchanged: each fit is a deterministic pure function of the
+    // corpus, and job descriptions stay thread-local.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val (cents, cb) = try {
+      val fc = pool.submit(new java.util.concurrent.Callable[
+        Seq[(Long, Seq[Long])]] {
+        def call(): Seq[(Long, Seq[Long])] = fitIvfCentroids(spark, d) })
+      val fb = pool.submit(new java.util.concurrent.Callable[
+        Seq[(Int, Long, Seq[Long])]] {
+        def call(): Seq[(Int, Long, Seq[Long])] = fitPqCodebooks(spark, d) })
+      (fc.get(), fb.get())
+    } finally pool.shutdown()
+    val centArr = centroidRow(spark, cents)
+    val cbRow = pqCbRow(spark, cb)
     val corpus = emb.crossJoin(broadcast(centArr)).crossJoin(broadcast(cbRow))
       .withColumn("ve6", expr(Ve6Expr))
       .select(col("vec_id"),
