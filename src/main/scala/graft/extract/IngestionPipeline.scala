@@ -207,22 +207,36 @@ object IngestionPipeline {
     // recompute the probe chain from files
     val nAdmitted = admittedIds.count()
     lap("nAdmitted")
-    BulkWriter.writeTiles(spark, allAdmitted, "doc_id", work, tDir)
-    lap("writeStore")
-    BulkWriter.writeTiles(spark, allIdx, "doc_id", work, iDir)
-    lap("writeIdx")
-    // K2 composed in: plan-scoped `_metadata` over the NEW plan's
-    // directories (superseded tiles excluded), before the commit point
-    // so a crash re-summarizes with the re-run
-    if (work.nonEmpty) {
-      // incremental: only this run's fragments get their footers read;
-      // unchanged tiles' row groups are lifted from the previous
-      // _metadata (O(new fragments), not O(store))
-      MetadataSink.writeMetadata(tDir, newPlan, work, conf)
-      lap("metaStore")
-      MetadataSink.writeMetadata(iDir, newPlan, work, conf)
+    // The store and index chains — bulk tiled write, then the plan-scoped
+    // incremental `_metadata` summary (K2 composed in: only this run's
+    // fragments get their footers read; unchanged tiles' row groups are
+    // lifted from the previous `_metadata` — O(new fragments), not
+    // O(store)) — are INDEPENDENT per-table job chains over already-
+    // filled caches writing to disjoint directories. Submitting them from
+    // two driver threads (guide §2.6) lets the index chain back-fill the
+    // store chain's task tails. Per-table ordering (write, THEN metadata,
+    // both before the commit point so a crash re-summarizes with the
+    // re-run) is preserved inside each chain; the watermark commit below
+    // still happens strictly after BOTH chains complete.
+    def tableChain(frame: DataFrame, dir: String): Unit = {
+      BulkWriter.writeTiles(spark, frame, "doc_id", work, dir)
+      if (work.nonEmpty) MetadataSink.writeMetadata(dir, newPlan, work, conf): Unit
     }
-    lap("metadata")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val chains = Seq(tDir -> allAdmitted, iDir -> allIdx).map {
+        case (dir, frame) => pool.submit(new Runnable {
+          def run(): Unit = tableChain(frame, dir) })
+      }
+      // unwrap so a chain failure surfaces as itself (and aborts before
+      // the commit point, exactly as the sequential form did)
+      chains.foreach { f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause }
+      }
+    } finally pool.shutdown()
+    lap("writeBoth")
 
     // THE commit point — everything above is redoable, nothing below
     val wm = Watermark(Subgraph, Table, nowMillis, 0L, latestDocId)

@@ -438,16 +438,17 @@ object Dedup {
       .where(col("sset").isNotNull)
       .persist()
     val sigs = signaturesOver(reps, numHashes).persist()
-    // one fused fill job: sets + sigs (and, through their shared scan,
-    // the membership cache) — was three sequential count() jobs
-    fillCaches(sets, sigs)
     // candidacy = both endpoints band AND carry a shingle set; the semi
     // joins enforce it once for every score function
     val cand = candidatePairs(sigs, numHashes, numBands)
       .join(sets.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
       .join(sets.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
     val gd = score(cand, sets, sigs).persist()
-    gd.count()
+    // one fused fill job for the WHOLE funnel: the gd branch's
+    // computation fills sets/sigs (and, through their shared scan, the
+    // membership cache) on the way up under the block-manager locks —
+    // was fillCaches(sets, sigs) + a separate gd.count() (two jobs)
+    fillCaches(sets, sigs, gd)
     val elig = sets.select(col("doc_id").as("gid"))
       .join(sigs.select(col("doc_id").as("gid")), Seq("gid"), "left_semi")
     (membership, elig, gd)
@@ -1054,9 +1055,6 @@ object Dedup {
         graft.functions.GraftFunctions.simhash64_bands(col("text")).as("sbands"))
       .where(col("sbands").isNotNull)
       .persist()
-    // one fill job: sigs (and, through its scan, the membership cache) —
-    // the separate membership.count() was a second job for the same fill
-    sigs.count()
     // the banding S-curve knob production turns as the corpus grows:
     // narrow 4×16 guarantees detection at Hamming ≤ 3; wide 2×32 only
     // ≤ 1 but cuts bucket collisions quadratically; manku 15×~21-bit
@@ -1089,7 +1087,10 @@ object Dedup {
       .select(col("doc_a").as("ga"), col("doc_b").as("gb"), hamming.as("hamming"))
       .withColumn(flagName, col("hamming") <= maxHamming)
       .persist()
-    gd.count()
+    // one fused fill job: gd's computation fills sigs (and, through its
+    // scan, the membership cache) on the way up — was a sigs.count()
+    // plus a separate gd.count() (two jobs)
+    fillCaches(sigs, gd)
     val elig = sigs.select(col("doc_id").as("gid"))
     (membership, elig, gd)
   }
@@ -1493,9 +1494,6 @@ object Dedup {
       .where(col("sset").isNotNull)
       .persist()
     val sigs = signaturesOver(reps, numHashes).persist()
-    // one fused fill job for sets + sigs + (transitively) membership —
-    // was three sequential count() jobs
-    fillCaches(sets, sigs)
     val base = candidatePairs(sigs, numHashes, numBands)
       .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b")), "doc_b")
@@ -1505,7 +1503,10 @@ object Dedup {
     val gd = metric(base)
       .select(col("doc_a").as("ga") +: col("doc_b").as("gb") +: names.map(col): _*)
       .persist()
-    gd.count()
+    // one fused fill job for sets + sigs + gd (+ transitively the
+    // membership cache) — was a fused sets/sigs fill PLUS a separate
+    // gd.count() (two jobs)
+    fillCaches(sets, sigs, gd)
     // intra-group pairs exist in the raw funnel only when the doc both
     // bands (non-null signature) and carries a shingle set — the two
     // inner joins above; restrict groups identically

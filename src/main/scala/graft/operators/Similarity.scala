@@ -1301,7 +1301,11 @@ object Similarity {
           cosE6("ea", "eb")) >= minCosE6, lit(false)).as("embeds_agree"),
         (col("ca") * col("cb")).as("m"),
         col("ga"), col("gb"),
-        embOrderKey(col("ea")).as("ka"), embOrderKey(col("eb")).as("kb"))
+        embOrderKey(col("ea")).as("ka"), embOrderKey(col("eb")).as("kb"),
+        // per-side class sizes CARRIED from the cls join above, so the
+        // nDocs touch expansion below reads them off the branch instead
+        // of re-joining the class frame on the struct key (guide §2.4)
+        col("ca"), col("cb"))
     val clsNon = cls
       .join(groupInfo.where(!col("uniform")), Seq("gid"), "left_semi")
       .join(elig, Seq("gid"), "left_semi")
@@ -1311,7 +1315,7 @@ object Similarity {
           cosE6("embedding", "embedding")) >= minCosE6, lit(false))
           .as("embeds_agree"),
         expr("csz * (csz - 1) div 2").as("m"),
-        col("gid"), embOrderKey(col("embedding")).as("k"))
+        col("gid"), embOrderKey(col("embedding")).as("k"), col("csz"))
     val slowIntraDiff = clsNon.as("x")
       .join(clsNon.as("y"), col("x.gid") === col("y.gid") &&
         embOrderKey(col("x.embedding")) < embOrderKey(col("y.embedding")))
@@ -1323,7 +1327,8 @@ object Similarity {
         (col("x.csz") * col("y.csz")).as("m"),
         col("x.gid").as("gid"),
         embOrderKey(col("x.embedding")).as("ka"),
-        embOrderKey(col("y.embedding")).as("kb"))
+        embOrderKey(col("y.embedding")).as("kb"),
+        col("x.csz").as("ca"), col("y.csz").as("cb"))
     val keys = Seq("est_jaccard_e4", "embeds_agree")
     val kc = keys.map(col)
     // each branch feeds BOTH census aggregates (pair multiplicities and
@@ -1359,16 +1364,19 @@ object Similarity {
       .join(cls, Seq("gid"))
       .select(kc :+ col("gid") :+ embOrderKey(col("embedding")).as("k")
         :+ col("csz"): _*)
+    // class sizes ride the branches (each already joined cls to build its
+    // pairs), so the slow touch expansion is a pure explode — the former
+    // second cls join keyed on the (isnull, vector) struct re-shuffled the
+    // fault-mass rows for values the branches had already read (the rows
+    // are identical: csz is a function of (gid, k), and every ka/kb came
+    // from a cls row of that gid, so the inner join was a no-op filter)
     val slowTouch = slowCross
-      .select(kc :+ explode(expr("array(struct(ga AS gid, ka AS k), struct(gb AS gid, kb AS k))")).as("t"): _*)
-      .select(kc :+ col("t.gid").as("gid") :+ col("t.k").as("k"): _*)
-      .unionByName(slowIntraSame.select(kc :+ col("gid") :+ col("k"): _*))
+      .select(kc :+ explode(expr("array(struct(ga AS gid, ka AS k, ca AS csz), struct(gb AS gid, kb AS k, cb AS csz))")).as("t"): _*)
+      .select(kc :+ col("t.gid").as("gid") :+ col("t.k").as("k") :+ col("t.csz").as("csz"): _*)
+      .unionByName(slowIntraSame.select(kc :+ col("gid") :+ col("k") :+ col("csz"): _*))
       .unionByName(slowIntraDiff
-        .select(kc :+ explode(expr("array(struct(gid, ka AS k), struct(gid, kb AS k))")).as("t"): _*)
-        .select(kc :+ col("t.gid").as("gid") :+ col("t.k").as("k"): _*))
-      .join(cls.select(col("gid"), embOrderKey(col("embedding")).as("k"),
-        col("csz")), Seq("gid", "k"))
-      .select(kc :+ col("gid") :+ col("k") :+ col("csz"): _*)
+        .select(kc :+ explode(expr("array(struct(gid, ka AS k, ca AS csz), struct(gid, kb AS k, cb AS csz))")).as("t"): _*)
+        .select(kc :+ col("t.gid").as("gid") :+ col("t.k").as("k") :+ col("t.csz").as("csz"): _*))
     val nDocs = (if (!hasFault) fastTouchG
       else fastTouchG.unionByName(slowTouch))
       .distinct()
